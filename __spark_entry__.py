@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Everything is delegated to the query catalog
+(`data_warehouse_opensky_spark.plans.catalog`): each SURVEY.md §2
+operator is registered there with its Spark program and (when
+SQL-expressible) an exact DuckDB oracle. Cross-engine determinism
+rules (integer fixed-point money, no raw timestamps, total-order
+tiebreaks, identical aliases) are documented in catalog.py.
 """
 
 from __future__ import annotations
@@ -13,26 +14,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_warehouse_opensky_spark.plans import get_oracles, get_queries
+from data_warehouse_opensky_spark.plans.relational import join_star_revenue
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Scan → broadcast star join → exact fixed-point agg → sort: one of
+    everything (SURVEY §7 v0 slice).
+    """
+    return join_star_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins; keys missing here get the rows-only check."""
+    return get_oracles()

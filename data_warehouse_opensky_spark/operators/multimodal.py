@@ -1,0 +1,125 @@
+"""Multimodal column plumbing (north-star T3.3).
+
+Images/audio/video are opaque `binary` columns with typed metadata.
+The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+signatures, partitioning — is real and tested; the actual media
+decode is stubbed (this container ships no image/audio libs):
+`decode_image_real` raises NotImplementedError, and
+`decode_image_meta` substitutes a deterministic fake decode so the
+pipeline (and its SQL oracle) is end-to-end verifiable.
+
+Why mapInPandas: decode is inherently Python-library work, so the
+correct Spark shape is Arrow-batched pandas iteration (10-100× over
+row-at-a-time UDFs), one batch per input split, output schema declared
+up front. At 100 TB: binary payloads dominate scan bytes — partition
+the table so `maxPartitionBytes` bounds Arrow batch memory, and prune
+the binary column out of every query that only needs metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata contract for binary media columns.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+FRAME_SIZE = 500  # bytes per fake "frame"
+MAX_FRAMES = 6
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload column + typed metadata.
+
+    In production this column arrives from the source (image bytes);
+    here we derive it from text (utf-8) so the pipeline is testable.
+    """
+    return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "payload_md5", F.md5(F.col("payload"))
+    )
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real decode — STUB (no image libs in this container).
+
+    The production body is `PIL.Image.open(io.BytesIO(payload))`;
+    plumbing around it (batching, schema, null handling) is what this
+    module actually exercises.
+    """
+    raise NotImplementedError("image decode requires PIL/opencv — not shipped here")
+
+
+def _fake_dims(n_bytes: int) -> tuple[int, int, int]:
+    """Deterministic fake decode: dims derived from payload length."""
+    return (n_bytes * 7) % 640 + 16, (n_bytes * 13) % 480 + 16, 3
+
+
+def decode_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas: binary payload → typed image metadata (Arrow batches)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": ((n_bytes * 7) % 640 + 16).astype("int32"),
+                    "height": ((n_bytes * 13) % 480 + 16).astype("int32"),
+                    "channels": 3,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas: sample fake "frames" from each payload (1 row per
+    frame) — the video-frame-sampling batch shape: an exploding
+    transform whose output row count differs from its input's."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_bytes = len(payload)
+                n_frames = min(n_bytes // FRAME_SIZE + 1, MAX_FRAMES)
+                for i in range(n_frames):
+                    off = i * FRAME_SIZE
+                    rows.append(
+                        (doc_id, i, off, min(FRAME_SIZE, n_bytes - off))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_bytes"]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "int32",
+                    "frame_offset": "int64",
+                    "frame_bytes": "int64",
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, FRAME_SCHEMA)

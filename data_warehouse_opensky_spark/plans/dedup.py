@@ -1,0 +1,184 @@
+"""Tier-3 dedup queries (north-star: training-data pipeline dedup).
+
+Every query runs on the `documents` table and has an exact DuckDB
+oracle — the md5-derived hashing in operators/dedup.py was chosen
+precisely so an independent SQL engine reproduces signatures bit-for-
+bit (no engine-specific hash functions anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources import load_table
+from .catalog import query
+
+# Shared SQL fragments -----------------------------------------------------
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         unnest(list_distinct(
+           [substring(text, i, 3) for i in range(1, greatest(length(text) - 2, 1) + 1)]
+         )) AS shingle
+  FROM documents
+"""
+
+_MD5H = "CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# T3.1 — exact dedup
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    tier="T3",
+    doc="Exact dedup: hash-groupBy on content; canonical = min id. "
+    "Scales as one shuffle on a 128-bit content digest.",
+    oracle="""
+    SELECT md5(text) AS content_md5,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY canonical_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — n-gram Jaccard near-dup (inverted-index join)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    tier="T3",
+    doc="3-gram Jaccard pairs ≥ 0.25 via inverted-index join — shuffle "
+    "is O(total shingles), never O(n²) pairs.",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.25
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, threshold=0.25).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# T3.2 — MinHash LSH candidate pairs
+# --------------------------------------------------------------------------
+@query(
+    "dedup_minhash_lsh",
+    tier="T3",
+    doc="MinHash LSH: 6 salted-md5 minhashes, 6 bands of 1 row; "
+    "candidate pairs = band-signature bucket collisions (T3.2).",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    h AS (
+      SELECT doc_id, k,
+             min({_MD5H.format(expr="CAST(k AS VARCHAR) || ':' || shingle")}) AS minhash
+      FROM sh, (SELECT unnest(range(6)) AS k)
+      GROUP BY doc_id, k
+    ),
+    sig AS (
+      SELECT doc_id, k AS band, CAST(minhash AS VARCHAR) AS band_sig FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_bands
+    FROM sig a
+    JOIN sig b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_band_pairs(d, num_hashes=6, rows_per_band=1).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — SimHash signatures + hamming pairs
+# --------------------------------------------------------------------------
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    th AS (
+      SELECT doc_id, {_MD5H.format(expr='t')} AS h FROM tok
+    ),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM th GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums
+    )
+    """
+
+
+@query(
+    "dedup_simhash",
+    tier="T3",
+    doc="32-bit SimHash signature per document (T3.2). One explode + "
+    "one agg with 32 sum expressions — no per-bit row blowup.",
+    oracle=_simhash_sql() + "SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash(d).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_pairs",
+    tier="T3",
+    doc="SimHash near-dup pairs, hamming ≤ 8 (T3.2). Bench: signature "
+    "self-join; 100 TB: pigeonhole block join (simhash_blocked_pairs).",
+    oracle=_simhash_sql()
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=8).orderBy("doc_a", "doc_b")

@@ -1,0 +1,163 @@
+"""Reference-domain queries: the faithful clean transform + the
+flagship state-vector analytics, run against the reference's own 14
+sample CSVs (/root/reference/data — read-only, readable).
+
+These queries ignore `sf_dir` (the reference corpus has one scale).
+Their oracles replicate the SURVEY §1.3 coercion contract in DuckDB
+(try_cast doubles, strict boolean vocabulary, epoch→timestamp), so the
+driver's harness directly checks reference parity, not just TPC-H-ish
+shapes. The same 1,834-row corpus backs the golden unit tests in
+tests/test_transform.py (null profile from SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import RAW_SCHEMA
+from ..session import configure_runtime
+from ..transform import clean_state_vectors
+from .catalog import query
+
+REFERENCE_GLOB = "/root/reference/data/states_*.csv"
+
+#: DuckDB twin of the §1.3 transform over the raw CSVs. all_varchar so
+#: typing is OUR contract, not the CSV sniffer's (SURVEY §1.2).
+_CLEAN_SQL = f"""
+  SELECT try_cast(longitude AS DOUBLE) AS longitude,
+         try_cast(latitude AS DOUBLE) AS latitude,
+         try_cast(baro_altitude AS DOUBLE) AS baro_altitude,
+         try_cast(velocity AS DOUBLE) AS velocity,
+         try_cast(true_track AS DOUBLE) AS true_track,
+         try_cast(vertical_rate AS DOUBLE) AS vertical_rate,
+         try_cast(geo_altitude AS DOUBLE) AS geo_altitude,
+         try_cast(position_source AS INTEGER) AS position_source,
+         to_timestamp(try_cast(time_position AS BIGINT)) AS time_position,
+         to_timestamp(try_cast(last_contact AS BIGINT)) AS last_contact,
+         CASE WHEN lower(on_ground) = 'true' THEN true
+              WHEN lower(on_ground) = 'false' THEN false END AS on_ground,
+         CASE WHEN lower(spi) = 'true' THEN true
+              WHEN lower(spi) = 'false' THEN false END AS spi,
+         icao24, callsign, origin_country, sensors, squawk
+  FROM read_csv('{REFERENCE_GLOB}', header = true, all_varchar = true)
+"""
+
+
+@query(
+    "opensky_clean_parity",
+    tier="T1",
+    doc="Faithful §1.3 transform over the reference's own sample corpus "
+    "(T1.11–T1.16), reduced to a null/count/value profile. Matches the "
+    "golden numbers in SURVEY §1.3 (e.g. 1834 rows, 27 null callsigns).",
+    oracle=f"""
+    WITH c AS ({_CLEAN_SQL})
+    SELECT count(*) AS n_rows,
+           count(DISTINCT icao24) AS n_aircraft,
+           count(*) - count(callsign) AS nulls_callsign,
+           count(*) - count(velocity) AS nulls_velocity,
+           count(*) - count(baro_altitude) AS nulls_baro_altitude,
+           count(*) - count(vertical_rate) AS nulls_vertical_rate,
+           count(*) - count(geo_altitude) AS nulls_geo_altitude,
+           count(*) - count(squawk) AS nulls_squawk,
+           count(*) - count(sensors) AS nulls_sensors,
+           sum(CASE WHEN on_ground THEN 1 ELSE 0 END) AS n_on_ground,
+           sum(CASE WHEN spi THEN 1 ELSE 0 END) AS n_spi,
+           CAST(sum(CAST(round(velocity * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_velocity,
+           CAST(min(epoch(last_contact)) AS BIGINT) AS min_last_contact_s,
+           CAST(max(epoch(last_contact)) AS BIGINT) AS max_last_contact_s
+    FROM c
+    """,
+)
+def opensky_clean_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    raw = spark.read.csv(REFERENCE_GLOB, header=True, schema=RAW_SCHEMA)
+    c = clean_state_vectors(raw)
+    return c.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("icao24").alias("n_aircraft"),
+        (F.count("*") - F.count("callsign")).alias("nulls_callsign"),
+        (F.count("*") - F.count("velocity")).alias("nulls_velocity"),
+        (F.count("*") - F.count("baro_altitude")).alias("nulls_baro_altitude"),
+        (F.count("*") - F.count("vertical_rate")).alias("nulls_vertical_rate"),
+        (F.count("*") - F.count("geo_altitude")).alias("nulls_geo_altitude"),
+        (F.count("*") - F.count("squawk")).alias("nulls_squawk"),
+        (F.count("*") - F.count("sensors")).alias("nulls_sensors"),
+        F.sum(F.when(F.col("on_ground"), 1).otherwise(0)).alias("n_on_ground"),
+        F.sum(F.when(F.col("spi"), 1).otherwise(0)).alias("n_spi"),
+        (F.sum(F.round(F.col("velocity") * 100).cast("long")) / 100.0).alias(
+            "sum_velocity"
+        ),
+        F.min(F.unix_timestamp("last_contact")).cast("long").alias(
+            "min_last_contact_s"
+        ),
+        F.max(F.unix_timestamp("last_contact")).cast("long").alias(
+            "max_last_contact_s"
+        ),
+    )
+
+
+@query(
+    "opensky_latest_position",
+    tier="T2",
+    doc="THE flagship domain query (T2.5): current position of each "
+    "aircraft = latest last_contact per icao24 across the 14 crawls, "
+    "rolled up per origin country.",
+    oracle=f"""
+    WITH c AS ({_CLEAN_SQL}),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY icao24
+          ORDER BY last_contact DESC, time_position DESC NULLS LAST,
+                   longitude DESC NULLS LAST, latitude DESC NULLS LAST,
+                   velocity DESC NULLS LAST, baro_altitude DESC NULLS LAST,
+                   callsign DESC NULLS LAST) AS rn
+        FROM c
+      ) WHERE rn = 1
+    )
+    SELECT origin_country,
+           count(*) AS n_aircraft,
+           sum(CASE WHEN on_ground THEN 1 ELSE 0 END) AS n_on_ground,
+           CAST(sum(CAST(round(velocity * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_velocity,
+           CAST(max(round(baro_altitude * 100)) AS BIGINT) / 100.0
+             AS max_baro_altitude
+    FROM latest
+    GROUP BY origin_country
+    ORDER BY origin_country
+    """,
+)
+def opensky_latest_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    configure_runtime(spark)
+    raw = spark.read.csv(REFERENCE_GLOB, header=True, schema=RAW_SCHEMA)
+    c = clean_state_vectors(raw)
+    # Tiebreak chain long enough to be a total order in practice —
+    # identical last_contact across overlapping crawl files is common.
+    w = Window.partitionBy("icao24").orderBy(
+        F.desc("last_contact"),
+        F.desc_nulls_last("time_position"),
+        F.desc_nulls_last("longitude"),
+        F.desc_nulls_last("latitude"),
+        F.desc_nulls_last("velocity"),
+        F.desc_nulls_last("baro_altitude"),
+        F.desc_nulls_last("callsign"),
+    )
+    latest = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        latest.groupBy("origin_country")
+        .agg(
+            F.count("*").alias("n_aircraft"),
+            F.sum(F.when(F.col("on_ground"), 1).otherwise(0)).alias("n_on_ground"),
+            (F.sum(F.round(F.col("velocity") * 100).cast("long")) / 100.0).alias(
+                "sum_velocity"
+            ),
+            (F.max(F.round(F.col("baro_altitude") * 100)).cast("long") / 100.0).alias(
+                "max_baro_altitude"
+            ),
+        )
+        .orderBy("origin_country")
+    )

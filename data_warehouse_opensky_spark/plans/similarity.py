@@ -1,0 +1,194 @@
+"""Tier-3 similarity-search queries over the `embeddings` table.
+
+Oracles compute the identical float→double sequential-fold cosine in
+DuckDB (list comprehensions + list_sum); NOT DuckDB's built-in
+list_cosine_similarity, which accumulates in float32 and would
+mismatch. All similarity outputs rounded to 6 dp (continuous-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources import load_table
+from .catalog import query
+
+DIM = 64
+
+
+def _cos_sql(a: str, b: str, dim: int = DIM) -> str:
+    """Exact DuckDB twin of operators.similarity.cosine."""
+    d = (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in range(1, {dim} + 1)])"
+    )
+    na = (
+        f"sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) "
+        f"for i in range(1, {dim} + 1)]))"
+    )
+    nb = (
+        f"sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in range(1, {dim} + 1)]))"
+    )
+    return f"({d} / ({na} * {nb}))"
+
+
+def _planes_sql(vec: str, num_planes: int, dim: int = DIM) -> str:
+    """Exact DuckDB twin of operators.similarity.hyperplane_bits."""
+    terms = []
+    for p in range(num_planes):
+        proj = (
+            f"list_sum([CAST({vec}[j] AS DOUBLE) "
+            f"* (((1009 * {p} + 31 * j) % 199) - 99) "
+            f"for j in range(1, {dim} + 1)])"
+        )
+        terms.append(
+            f"(CASE WHEN {proj} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ann_brute_force_topk",
+    tier="T3",
+    doc="Exact cosine top-10 neighbors of vec_id=0 (T3.2 baseline). "
+    "Broadcast query vector; TakeOrderedAndProject — no shuffle.",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_cos_sql('e.embedding', 'q.qvec')}, 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, query_id=0, k=10)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "embedding_neardup_pairs",
+    tier="T3",
+    doc="Embedding near-dup pairs: cosine ≥ 0.4 within label blocks "
+    "(T3.2 embedding-cosine near-dup; blocking = the scale plan).",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(e, threshold=0.4).orderBy("vec_a", "vec_b")
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ann_lsh_buckets",
+    tier="T3",
+    doc="Random-hyperplane LSH bucket histogram (8 deterministic integer "
+    "planes). The offline half of the ANN scale path.",
+    oracle=f"""
+    SELECT {_planes_sql('embedding', 8)} AS bucket,
+           count(*) AS n_vecs,
+           min(vec_id) AS min_vec_id
+    FROM embeddings
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.withColumn("bucket", S.hyperplane_bits("embedding", 8))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ann_lsh_topk",
+    tier="T3",
+    doc="ANN probe: top-10 within the query's LSH bucket only (the "
+    "online half of the scale path; compare recall vs brute force).",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_planes_sql('embedding', 8)} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT e.vec_id, e.bucket,
+           round({_cos_sql('e.embedding', 'q.qvec')}, 6) AS cos_sim
+    FROM b e, q
+    WHERE e.bucket = q.qbucket AND e.vec_id != 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_topk(e, query_id=0, k=10, num_planes=8)
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ann_ivf_topk",
+    tier="T3",
+    doc="IVF-style ANN: assign to deterministic seed centroids (argmax "
+    "cosine), probe only the query's cell (T3.2 IVF variant).",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC,
+                          c.centroid_id) AS rn
+        FROM embeddings e, cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qvec, centroid_id AS qcell
+          FROM assigned WHERE vec_id = 0)
+    SELECT a.vec_id, a.centroid_id,
+           round({_cos_sql('a.embedding', 'q.qvec')}, 6) AS cos_sim
+    FROM assigned a, q
+    WHERE a.centroid_id = q.qcell AND a.vec_id != 0
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(e, num_centroids=8)
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qvec"), F.col("centroid_id").alias("__qcell")
+    )
+    return (
+        assigned.join(F.broadcast(q), F.col("centroid_id") == F.col("__qcell"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(S.cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

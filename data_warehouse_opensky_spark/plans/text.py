@@ -1,0 +1,122 @@
+"""Tier-3 text-analysis queries over `documents` (north-star T3.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import text as X
+from ..sources import load_table
+from .catalog import query
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+_LEX_SQL = ", ".join(f"('{w}', '{lang}')" for w, lang in X.LANG_LEXICON)
+
+
+@query(
+    "text_token_count",
+    tier="T3",
+    doc="Whitespace + regex token counting (T3.4).",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.token_stats(d).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    tier="T3",
+    doc="Quality signals as exact ppm integers (T3.4): alpha ratio, "
+    "stopword ratio, avg token length, composite score.",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(list_sum([length(t) for t in string_split(text, ' ')]) AS BIGINT)
+               AS sum_tok_len,
+             CAST(len([t for t in string_split(text, ' ')
+                       if list_contains([{_STOP_SQL}], t)]) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           (n_alpha * 1000000) // greatest(n_chars, 1) AS alpha_ratio_e6,
+           (n_stop * 1000000) // greatest(n_tokens, 1) AS stop_ratio_e6,
+           (sum_tok_len * 1000000) // greatest(n_tokens, 1) AS avg_token_len_e6,
+           ((n_alpha * 1000000) // greatest(n_chars, 1)
+            + (n_stop * 1000000) // greatest(n_tokens, 1)
+            + least(n_tokens, 100) * 10000) // 3 AS quality_e6
+    FROM x
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.quality_score(d).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    tier="T3",
+    doc="Heuristic language-ID: stopword-lexicon argmax (T3.4). "
+    "Ties → lang asc; no hits → 'unknown'.",
+    oracle=f"""
+    WITH lex(t, lang_guess) AS (VALUES {_LEX_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang_guess, count(*) AS n_hits
+      FROM tok JOIN lex USING (t)
+      GROUP BY doc_id, lang_guess
+    ),
+    best AS (
+      SELECT doc_id, lang_guess, n_hits FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY n_hits DESC, lang_guess) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           coalesce(b.lang_guess, 'unknown') AS pred_lang,
+           CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits,
+           d.lang AS actual_lang,
+           CASE WHEN b.lang_guess = d.lang THEN 1 ELSE 0 END AS is_match
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.lang_id(d).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    tier="T3",
+    doc="Document fingerprinting (T3.4): md5 of normalized content + "
+    "polynomial rolling hash mod 2^31−1 (exact integer fold).",
+    oracle=f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fingerprint_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(substring(text, i, 1)) AS BIGINT)
+                for i in range(1, length(text) + 1)]),
+             (acc, x) -> (acc * 31 + x) % {X.ROLLING_MOD}) AS rolling_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.fingerprint(d).orderBy("doc_id")

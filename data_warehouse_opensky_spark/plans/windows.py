@@ -1,0 +1,220 @@
+"""Tier-2 window/as-of surface (SURVEY T2.5, T2.9, T2.10).
+
+The flagship semantic of the reference's data model: "current position
+of each aircraft" = latest row per key (SURVEY T2.5) — the same shape
+here over the `events` stream table.
+
+Determinism: the parquet event timestamps are nanosecond-precision;
+both Spark and DuckDB truncate to microseconds on read (verified), but
+every ordering still carries `event_id` as a unique tiebreaker, and no
+raw timestamp is ever output (epoch seconds / formatted strings only).
+
+Scale: all of these are single-shuffle (hash partition by the window
+key) — the as-of join uses the union+last_value trick, NOT a pairwise
+join, so it stays O(n log n within partition) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cents
+from ..operators.asof import asof_join
+from ..sources import load_table
+from .catalog import query
+
+
+# --------------------------------------------------------------------------
+# T2.5 — latest-per-key (the "current state" query)
+# --------------------------------------------------------------------------
+@query(
+    "latest_event_per_user",
+    tier="T2",
+    doc="Latest row per key via row_number (T2.5 — current position of "
+    "each aircraft). Single shuffle on user_id; at 100 TB prefer "
+    "partition-pruned recent data + this window.",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) / 100.0 AS value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch_s
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            (cents("value") / 100.0).alias("value"),
+            F.unix_timestamp("ts").cast("long").alias("ts_epoch_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.9 — lag/lead deltas (trajectory deltas between crawls)
+# --------------------------------------------------------------------------
+@query(
+    "window_lag_delta",
+    tier="T2",
+    doc="Per-key lag delta (T2.9 — per-aircraft velocity delta between "
+    "10-min crawls). Exact cents arithmetic so deltas hash-match.",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           (CAST(round(value * 100) AS BIGINT)
+            - lag(CAST(round(value * 100) AS BIGINT)) OVER w) / 100.0 AS value_delta,
+           CAST(floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w AS BIGINT) AS gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    value_c = cents("value")
+    epoch = F.unix_timestamp("ts").cast("long")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            ((value_c - F.lag(value_c).over(w)) / 100.0).alias("value_delta"),
+            (epoch - F.lag(epoch).over(w)).cast("long").alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.9 — rolling frame aggregate (exact fixed-point rolling mean)
+# --------------------------------------------------------------------------
+@query(
+    "window_rolling_avg",
+    tier="T2",
+    doc="Rolling mean over a 4-row frame per key (T2.9 frames). Integer "
+    "floor-division avg → deterministic across engines.",
+    oracle="""
+    SELECT event_id,
+           (sum(CAST(round(value * 100) AS BIGINT)) OVER w * 100)
+             // count(*) OVER w / 10000.0 AS rolling_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def window_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    x = e.select(
+        "event_id",
+        F.sum(cents("value")).over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    )
+    return x.select(
+        "event_id", (F.expr("(s * 100) div c") / 10000.0).alias("rolling_avg")
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# T2.9/T2.10 — ranked top-n per group
+# --------------------------------------------------------------------------
+@query(
+    "rank_topn_per_group",
+    tier="T2",
+    doc="Top-3 orders per customer via row_number (T2.9 ranking + T2.10 "
+    "top-k). WindowGroupLimit pushes the limit into the sort at scale.",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn AS rank_in_cust, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("rn").alias("rank_in_cust"),
+            "o_totalprice",
+        )
+        .orderBy("o_custkey", "rank_in_cust")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.5 — as-of join (latest click before each purchase)
+# --------------------------------------------------------------------------
+@query(
+    "asof_click_before_purchase",
+    tier="T2",
+    doc="As-of join: for each purchase, the user's most recent strictly-"
+    "earlier click (T2.5). Implemented scalably via union + last_value "
+    "over a single user-partitioned window (operators/asof.py) — no "
+    "pairwise join blowup. Oracle uses a correlated subquery (exact "
+    "same (ts, event_id) lexicographic tie rule).",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(round(p.value * 100) AS BIGINT) / 100.0 AS purchase_value,
+           (SELECT CAST(round(c.value * 100) AS BIGINT) / 100.0
+            FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+            ORDER BY c.ts DESC, c.event_id DESC
+            LIMIT 1) AS last_click_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        left=purchases,
+        right=clicks,
+        on="user_id",
+        left_time=["ts", "event_id"],
+        right_time=["ts", "event_id"],
+        right_values={"last_click_value_c": cents("value")},
+        strict=True,
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (cents("value") / 100.0).alias("purchase_value"),
+        (F.col("last_click_value_c") / 100.0).alias("last_click_value"),
+    ).orderBy("purchase_id")

@@ -1,0 +1,58 @@
+"""Testdata table registry: parquet scans with pruning-friendly access.
+
+Every query goes through :func:`load_table` so scans are uniform:
+plain `spark.read.parquet` (columnar, predicate-pushdown/column-pruning
+eligible — Catalyst pushes filters/projections declared downstream into
+the scan; verify with `.explain` → PushedFilters / ReadSchema).
+
+At 100 TB these would be partitioned/bucketed external tables; the
+access path (named table → DataFrame) is the same, which is why it is
+centralized here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import configure_runtime
+
+#: The driver-provided star schema + LLM-pipeline tables (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Single choke point for all physical-layout choices."""
+    configure_runtime(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet TIMESTAMP(NANOS) read as long ns (nanosAsLong conf) —
+        # floor to µs, exactly what DuckDB sees for the same file.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` queries work."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,125 @@
+"""Local replica of the driver's correctness gate: run every catalog
+query in Spark AND its DuckDB oracle, compare row count + column names
++ order-insensitive values. Strict equality for exact types; tight
+tolerance fallback for floats (the catalog aims for bit-equality, the
+tolerance only localizes a failure to 'float drift' vs 'wrong rows').
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+
+from data_warehouse_opensky_spark.sources import TABLES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int = -1
+    oracle_rows: int = -1
+    errors: list[str] = field(default_factory=list)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    return ("s", str(v))
+
+
+def _sorted_rows(cols, rows):
+    # driver semantics: sort columns by name, order-insensitive rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare(name: str, sdf, oracle: str, con) -> CompareResult:
+    res = CompareResult(name=name, ok=True)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = con.execute(oracle)
+    ocols = [d[0].lower() for d in cur.description]
+    orows = cur.fetchall()
+    res.spark_rows, res.oracle_rows = len(srows), len(orows)
+
+    if sorted(scols) != sorted(ocols):
+        res.ok = False
+        res.errors.append(f"columns differ: spark={sorted(scols)} duck={sorted(ocols)}")
+        return res
+    if len(srows) != len(orows):
+        res.ok = False
+        res.errors.append(f"row count: spark={len(srows)} duck={len(orows)}")
+
+    a = _sorted_rows(scols, srows)
+    b = _sorted_rows(ocols, orows)
+    mism = 0
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra == rb:
+            continue
+        # float-tolerance diagnostic pass
+        close = len(ra) == len(rb) and all(
+            (
+                ta == tb
+                and (
+                    va == vb
+                    or (
+                        ta == "f"
+                        and isinstance(va, float)
+                        and isinstance(vb, float)
+                        and abs(va - vb) <= 1e-9 * max(1.0, abs(va), abs(vb))
+                    )
+                )
+            )
+            for (ta, va), (tb, vb) in zip(ra, rb)
+        )
+        mism += 1
+        if mism <= 3:
+            tag = "FLOAT-DRIFT" if close else "VALUE"
+            res.errors.append(f"{tag} row {i}: spark={ra} duck={rb}")
+    if mism:
+        res.ok = False
+        res.errors.append(f"{mism} mismatched rows total")
+    return res
+
+
+def run_all(spark, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
+    from data_warehouse_opensky_spark.plans import QUERIES
+
+    con = duck_connection(sf_dir)
+    results = []
+    for name, q in QUERIES.items():
+        if names and name not in names:
+            continue
+        try:
+            sdf = q.fn(spark, sf_dir)
+            if q.oracle is None:
+                n = sdf.count()
+                results.append(
+                    CompareResult(name=name, ok=n >= 0, spark_rows=n, oracle_rows=-1)
+                )
+                continue
+            results.append(compare(name, sdf, q.oracle, con))
+        except Exception as ex:  # noqa: BLE001
+            results.append(
+                CompareResult(name=name, ok=False, errors=[f"EXCEPTION: {ex}"])
+            )
+    return results
