@@ -61,6 +61,8 @@ def clean_state_vectors(
             exprs[c] = F.timestamp_seconds(F.col(c).try_cast("long"))
         elif c in BOOL_COLS:
             exprs[c] = strict_bool(c)
+        elif c == "position_source":
+            exprs[c] = try_int(c)  # astype('Int64'), load_warehouse.py:68
         else:
             exprs[c] = F.col(c).cast("string")
 

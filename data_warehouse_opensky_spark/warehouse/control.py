@@ -1,0 +1,145 @@
+"""Control-plane tables (SURVEY §1.1.2) — Spark-native replacement for
+the reference's Postgres `file_log` / `job_logs`.
+
+The reference mutates control rows in place (INSERT … ON CONFLICT DO
+NOTHING at load_warehouse.py:110-111, keyed UPDATE at :117-129).
+Plain parquet can't update in place (SURVEY §7 watch-out #4), so both
+tables are **event-sourced**: every status change is an appended
+event, and the current state is `latest_per_key` over the event log —
+the T2.5 operator again. This is the idiomatic append-only-storage
+design; on Delta/Iceberg the same API would compact via MERGE.
+
+Status machine reproduced from load_warehouse.py:97,191,198,202,207:
+NEW → PROCESSING → CLEAN_EXPORTED | FAILED.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.asof import latest_per_key
+
+FILE_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("file_name", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("row_count", T.LongType()),
+        T.StructField("error_message", T.StringType()),
+        T.StructField("last_updated", T.TimestampType()),
+        T.StructField("seq", T.LongType()),  # monotonic per-process tiebreak
+    ]
+)
+
+JOB_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("log_id", T.StringType()),  # uuid (T1.20: uniqueness only)
+        T.StructField("job_name", T.StringType()),
+        T.StructField("start_time", T.TimestampType()),
+        T.StructField("end_time", T.TimestampType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("message", T.StringType()),
+    ]
+)
+
+
+class FileLog:
+    """Per-file ingest ledger (T1.5–T1.7) over an append-only parquet dir."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._seq = 0
+
+    def _read_events(self) -> DataFrame:
+        if not os.path.isdir(self.path) or not os.listdir(self.path):
+            return self.spark.createDataFrame([], FILE_LOG_SCHEMA)
+        return self.spark.read.schema(FILE_LOG_SCHEMA).parquet(self.path)
+
+    def current(self) -> DataFrame:
+        """Latest status per file — T2.5 over the event log."""
+        return latest_per_key(self._read_events(), "file_name", ["last_updated", "seq"])
+
+    def processed_files(self) -> DataFrame:
+        """`SELECT file_name WHERE status != 'NEW'` (load_warehouse.py:97)."""
+        return self.current().filter(F.col("status") != "NEW").select("file_name")
+
+    def record(
+        self,
+        file_name: str,
+        status: str,
+        row_count: int | None = None,
+        error_message: str | None = None,
+    ) -> None:
+        """Append one status event. Error messages clipped to 500 chars
+        (T1.21, extract_script.py:184)."""
+        self._seq += 1
+        msg = error_message[:500] if error_message else None
+        row = [
+            (
+                file_name,
+                status,
+                row_count,
+                msg,
+                datetime.now(timezone.utc).replace(tzinfo=None),
+                self._seq,
+            )
+        ]
+        self.spark.createDataFrame(row, FILE_LOG_SCHEMA).write.mode("append").parquet(
+            self.path
+        )
+
+    def register_new(self, file_names: DataFrame) -> int:
+        """Idempotent keyed insert (T1.6 — INSERT … ON CONFLICT DO
+        NOTHING): left-anti against everything already registered, then
+        append NEW events for the survivors only."""
+        known = self._read_events().select("file_name").distinct()
+        fresh = file_names.select("file_name").distinct().join(
+            known, "file_name", "left_anti"
+        )
+        rows = [r.file_name for r in fresh.collect()]
+        for name in rows:
+            self.record(name, "NEW")
+        return len(rows)
+
+
+class JobLog:
+    """Run-audit table (T1.20, extract_script.py:157-189)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def start(self, job_name: str) -> str:
+        log_id = str(uuid.uuid4())
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        self.spark.createDataFrame(
+            [(log_id, job_name, now, None, "STARTED", None)], JOB_LOG_SCHEMA
+        ).write.mode("append").parquet(self.path)
+        return log_id
+
+    def end(self, log_id: str, job_name: str, status: str, message: str | None = None) -> None:
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        msg = message[:500] if message else None
+        self.spark.createDataFrame(
+            [(log_id, job_name, None, now, status, msg)], JOB_LOG_SCHEMA
+        ).write.mode("append").parquet(self.path)
+
+    def current(self) -> DataFrame:
+        df = (
+            self.spark.read.schema(JOB_LOG_SCHEMA).parquet(self.path)
+            if os.path.isdir(self.path) and os.listdir(self.path)
+            else self.spark.createDataFrame([], JOB_LOG_SCHEMA)
+        )
+        agg = df.groupBy("log_id", "job_name").agg(
+            F.min("start_time").alias("start_time"),
+            F.max("end_time").alias("end_time"),
+            F.max_by("status", F.coalesce("end_time", "start_time")).alias("status"),
+            F.max("message").alias("message"),
+        )
+        return agg

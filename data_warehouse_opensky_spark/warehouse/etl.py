@@ -1,0 +1,163 @@
+"""Zone ETL: landing CSV → bronze → silver → gold (SURVEY §1.1.3, EP2,
+and the diagram's missing stages 4–6).
+
+The reference's sequential per-file/per-chunk loops (load_warehouse.py
+:145,:196 — its scalability ceiling, SURVEY §3 EP2) become Spark
+partitioned scans; its two sinks (raw Postgres append + clean CSV)
+become bronze/silver parquet writes. Per-file fault isolation (T1.22)
+is preserved: one bad file logs FAILED and the loop continues.
+
+Scale design (the 100 TB layout):
+* bronze: raw strings + lineage cols, partitioned by ingest date —
+  append-only, never rewritten.
+* silver: typed clean table partitioned by event date
+  (`last_contact`), the column every time-windowed query prunes on.
+* gold marts: pre-aggregated cubes rebuilt per load (tiny relative to
+  fact data; at scale, incremental MERGE per partition).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import latest_per_key
+from ..schemas import RAW_SCHEMA
+from ..session import configure_runtime
+from ..transform import clean_state_vectors
+from .control import FileLog
+
+
+def discover_new_files(spark: SparkSession, landing_dir: str, file_log: FileLog) -> list[str]:
+    """T1.4 + T1.5: glob the landing zone, anti-join the ledger,
+    register survivors as NEW, return their paths."""
+    names = [
+        f
+        for f in sorted(os.listdir(landing_dir))
+        if f.startswith("states_") and f.endswith(".csv")
+    ]
+    if not names:
+        return []
+    names_df = spark.createDataFrame([(n,) for n in names], ["file_name"])
+    file_log.register_new(names_df)
+    new = {
+        r.file_name
+        for r in file_log.current().filter(F.col("status") == "NEW").collect()
+    }
+    return [f"{landing_dir}/{n}" for n in names if n in new]
+
+
+def stage_files(
+    spark: SparkSession,
+    paths: list[str],
+    bronze_dir: str,
+    silver_dir: str,
+    file_log: FileLog,
+) -> dict[str, str]:
+    """EP2 core loop with per-file fault isolation (T1.22).
+
+    Returns {file_name: final_status}. Each file: raw read (explicit
+    schema, no inference) → bronze append → §1.3 clean transform →
+    silver append partitioned by event date."""
+    configure_runtime(spark)
+    results: dict[str, str] = {}
+    for path in paths:
+        name = os.path.basename(path)
+        file_log.record(name, "PROCESSING")
+        try:
+            raw = spark.read.csv(path, header=True, schema=RAW_SCHEMA)
+            bronze = raw.withColumn("file_source", F.lit(name)).withColumn(
+                "load_timestamp", F.current_timestamp()
+            )
+            bronze.withColumn(
+                "ingest_date", F.to_date("load_timestamp")
+            ).write.mode("append").partitionBy("ingest_date").parquet(bronze_dir)
+
+            clean = clean_state_vectors(raw, file_source=F.lit(name))
+            n = clean.count()
+            clean.withColumn(
+                "event_date", F.to_date(F.coalesce("last_contact", "load_timestamp"))
+            ).write.mode("append").partitionBy("event_date").parquet(silver_dir)
+
+            file_log.record(name, "CLEAN_EXPORTED", row_count=n)
+            results[name] = "CLEAN_EXPORTED"
+        except Exception as ex:  # noqa: BLE001 — per-file isolation is the contract
+            file_log.record(name, "FAILED", error_message=str(ex))
+            results[name] = "FAILED"
+    return results
+
+
+def run_incremental_load(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_dir: str,
+) -> dict[str, str]:
+    """EP2 end-to-end: discover → stage → (idempotent on re-run)."""
+    file_log = FileLog(spark, f"{warehouse_dir}/control/file_log")
+    new_paths = discover_new_files(spark, landing_dir, file_log)
+    return stage_files(
+        spark,
+        new_paths,
+        f"{warehouse_dir}/bronze/state_vectors",
+        f"{warehouse_dir}/silver/state_vectors",
+        file_log,
+    )
+
+
+def build_gold_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dict[str, int]:
+    """Diagram stages 5–6: aggregate marts off the silver table.
+
+    country_hour_cube  — T2.8 cube (country × hour × on_ground)
+    latest_positions   — T2.5 current state per aircraft
+    country_toplists   — T2.10 fastest aircraft per country
+    trajectory_deltas  — T2.9 lag deltas per aircraft
+    """
+    s = spark.read.parquet(silver_dir)
+    out: dict[str, int] = {}
+
+    cube = (
+        s.withColumn("hour", F.date_trunc("hour", "last_contact"))
+        .cube("origin_country", "hour", "on_ground")
+        .agg(
+            F.count("*").alias("n_states"),
+            F.countDistinct("icao24").alias("n_aircraft"),
+            F.avg("velocity").alias("avg_velocity"),
+            F.avg("baro_altitude").alias("avg_baro_altitude"),
+        )
+    )
+    cube.write.mode("overwrite").parquet(f"{gold_dir}/country_hour_cube")
+    out["country_hour_cube"] = cube.count()
+
+    latest = latest_per_key(
+        s, "icao24", ["last_contact", "time_position", "file_source"]
+    )
+    latest.write.mode("overwrite").parquet(f"{gold_dir}/latest_positions")
+    out["latest_positions"] = latest.count()
+
+    w = Window.partitionBy("origin_country").orderBy(F.desc_nulls_last("velocity"))
+    top = (
+        latest.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("origin_country", "rank", "icao24", "callsign", "velocity")
+    )
+    top.write.mode("overwrite").parquet(f"{gold_dir}/country_toplists")
+    out["country_toplists"] = top.count()
+
+    tw = Window.partitionBy("icao24").orderBy("last_contact", "file_source")
+    deltas = s.select(
+        "icao24",
+        "last_contact",
+        (F.col("velocity") - F.lag("velocity").over(tw)).alias("velocity_delta"),
+        (F.col("baro_altitude") - F.lag("baro_altitude").over(tw)).alias(
+            "altitude_delta"
+        ),
+        (
+            F.unix_timestamp("last_contact")
+            - F.lag(F.unix_timestamp("last_contact")).over(tw)
+        ).alias("gap_s"),
+    )
+    deltas.write.mode("overwrite").parquet(f"{gold_dir}/trajectory_deltas")
+    out["trajectory_deltas"] = deltas.count()
+    return out

@@ -1,0 +1,102 @@
+"""Operator-level property tests: the scalable implementations must
+agree with their naive reference forms (SURVEY §5 layering (1))."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_warehouse_opensky_spark.operators.asof import asof_join, latest_per_key
+from data_warehouse_opensky_spark.operators.dedup import (
+    simhash_blocked_pairs,
+    simhash_pairs,
+)
+from data_warehouse_opensky_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+from data_warehouse_opensky_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_join_equals_naive_pairwise(spark):
+    """The union+last_value as-of must equal the O(L·R) pairwise form."""
+    e = load_table(spark, SF, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+
+    fast = asof_join(
+        purchases, clicks, on="user_id",
+        left_time=["ts", "event_id"], right_time=["ts", "event_id"],
+        right_values={"click_value": F.col("value")}, strict=True,
+    ).select("event_id", "click_value")
+
+    p, c = purchases.alias("p"), clicks.alias("c")
+    w = Window.partitionBy("p.event_id").orderBy(
+        F.desc("c.ts"), F.desc("c.event_id")
+    )
+    naive = (
+        p.join(
+            c,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (
+                (F.col("c.ts") < F.col("p.ts"))
+                | ((F.col("c.ts") == F.col("p.ts"))
+                   & (F.col("c.event_id") < F.col("p.event_id")))
+            ),
+            "left",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("p.event_id").alias("event_id"),
+                F.col("c.value").alias("click_value"))
+    )
+    a = {(r.event_id, r.click_value) for r in fast.collect()}
+    b = {(r.event_id, r.click_value) for r in naive.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_asof_nonstrict_includes_equal_key(spark):
+    left = spark.createDataFrame([(1, 10)], ["k", "t"])
+    right = spark.createDataFrame([(1, 10, 99.0)], ["k", "t", "v"])
+    strict = asof_join(left, right, "k", "t", "t",
+                       {"v": F.col("v")}, strict=True).first()
+    loose = asof_join(left, right, "k", "t", "t",
+                      {"v": F.col("v")}, strict=False).first()
+    assert strict.v is None and loose.v == 99.0
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 3, "y"), ("a", 2, "z"), ("b", 1, "w")],
+        ["k", "t", "payload"],
+    )
+    out = {r.k: r.payload for r in latest_per_key(df, "k", "t").collect()}
+    assert out == {"a": "y", "b": "w"}
+
+
+def test_simhash_blocked_finds_all_close_pairs(spark):
+    """Pigeonhole guarantee: blocked pairs ⊇ plain pairs for
+    hamming ≤ n_blocks − 1."""
+    d = load_table(spark, SF, "documents")
+    plain = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(d, max_hamming=3).collect()
+    }
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_blocked_pairs(d, max_hamming=3, n_blocks=4).collect()
+    }
+    assert blocked == plain
+
+
+def test_lsh_topk_is_subset_of_brute_force_universe(spark):
+    e = load_table(spark, SF, "embeddings")
+    bf = {r.vec_id: r.cos_sim for r in brute_force_topk(e, 0, k=500).collect()}
+    lsh = lsh_bucket_topk(e, 0, k=10, num_planes=8).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert r.vec_id in bf
+        assert abs(bf[r.vec_id] - r.cos_sim) < 1e-9

@@ -1,0 +1,105 @@
+"""Structured Streaming ingest (T2.16): availableNow-bounded runs.
+
+The batch/streaming symmetry is the oracle: the same windowed-agg
+function runs on the streamed silver output and on a batch read of
+the landing zone, and must agree."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_opensky_spark.schemas import RAW_SCHEMA
+from data_warehouse_opensky_spark.streaming import (
+    session_window_stats,
+    stream_clean_to_silver,
+    windowed_country_counts,
+)
+from data_warehouse_opensky_spark.transform import clean_state_vectors
+
+HEADER = (
+    "icao24,callsign,origin_country,time_position,last_contact,longitude,"
+    "latitude,baro_altitude,on_ground,velocity,true_track,vertical_rate,"
+    "sensors,geo_altitude,squawk,spi,position_source"
+)
+
+
+def _write_crawl(landing, name, rows):
+    body = "\n".join(",".join("" if v is None else str(v) for v in r) for r in rows)
+    (landing / name).write_text(HEADER + "\n" + body + "\n")
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    t0 = 1700000000
+    _write_crawl(d, "states_j_20251113_090000.csv", [
+        ("a1", "CS1     ", "Germany", t0, t0, 1.0, 2.0, 100.0, "false", 10.0, 0.0, 0.0, None, 110.0, "1000", "false", 0),
+        ("b2", "CS2     ", "France", t0, t0 + 5, 1.0, 2.0, 200.0, "false", 20.0, 0.0, 0.0, None, 210.0, "2000", "false", 0),
+    ])
+    _write_crawl(d, "states_j_20251113_091000.csv", [
+        ("a1", "CS1     ", "Germany", t0 + 600, t0 + 600, 1.1, 2.1, 120.0, "false", 12.0, 0.0, 0.0, None, 130.0, "1000", "false", 0),
+        # late event: 35 min older than the newest (inside 1h watermark)
+        ("c3", "CS3     ", "Germany", t0 - 2100, t0 - 2100, 1.2, 2.2, 300.0, "true", 0.0, 0.0, 0.0, None, None, "0622", "false", 0),
+    ])
+    # a non-matching file the glob filter must skip (T1.4 semantics)
+    (d / "notes.txt").write_text("not a crawl")
+    return d
+
+
+def test_stream_to_silver_exactly_once(spark, landing, tmp_path):
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_clean_to_silver(spark, str(landing), silver, ckpt)
+    q.awaitTermination(120)
+    df = spark.read.parquet(silver)
+    assert df.count() == 4  # txt file skipped by pathGlobFilter
+
+    # restart with the same checkpoint: no new files → no duplicates
+    q2 = stream_clean_to_silver(spark, str(landing), silver, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(silver).count() == 4
+
+    # drop in a new crawl; only it is processed (exactly-once per file)
+    _write_crawl(landing, "states_j_20251113_092000.csv", [
+        ("a1", "CS1     ", "Germany", 1700001200, 1700001200, 1.2, 2.2,
+         140.0, "false", 14.0, 0.0, 0.0, None, 150.0, "1000", "false", 0),
+    ])
+    q3 = stream_clean_to_silver(spark, str(landing), silver, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(silver).count() == 5
+
+
+def test_windowed_counts_stream_equals_batch(spark, landing, tmp_path):
+    silver = str(tmp_path / "silver")
+    q = stream_clean_to_silver(spark, str(landing), silver, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    batch_clean = clean_state_vectors(
+        spark.read.csv(f"{landing}/states_*.csv", header=True, schema=RAW_SCHEMA)
+    )
+    expect = {
+        (r.window_start, r.origin_country): (r.n_states, r.avg_velocity)
+        for r in windowed_country_counts(batch_clean).collect()
+    }
+    got = {
+        (r.window_start, r.origin_country): (r.n_states, r.avg_velocity)
+        for r in windowed_country_counts(spark.read.parquet(silver)).collect()
+    }
+    assert got == expect
+    assert len(got) >= 2
+
+
+def test_session_windows(spark, landing):
+    clean = clean_state_vectors(
+        spark.read.csv(f"{landing}/states_*.csv", header=True, schema=RAW_SCHEMA)
+    )
+    sessions = session_window_stats(clean, gap="30 minutes").collect()
+    by_ac = {}
+    for r in sessions:
+        by_ac.setdefault(r.icao24, []).append(r)
+    # a1 pinged at t0 and t0+600 (10 min apart) → ONE session of 2 pings
+    assert len(by_ac["a1"]) == 1 and by_ac["a1"][0].n_pings == 2
+    # c3's lone early ping is its own session
+    assert len(by_ac["c3"]) == 1 and by_ac["c3"][0].n_pings == 1
