@@ -33,24 +33,52 @@ def md5_hash64(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+#: Universal-hash family for MinHash: h_k = (A(k)·h + B(k)) mod P over
+#: the 32-bit md5-derived base hash. ONE md5 per shingle total (the K
+#: variants are integer arithmetic) instead of K md5s over K× the rows.
+#: P is the smallest prime > 2^32; A(k) ≈ 2^20 keeps A·h < 2^52 (no
+#: int64 overflow in any engine).
+MINHASH_PRIME = 4294967311
+
+
+def minhash_a(k: int) -> int:
+    return 1_000_003 + 7_919 * k
+
+
+def minhash_b(k: int) -> int:
+    return 12_345 + 104_729 * k
+
+
+def salted_hash_sql(k: int, h: str = "h") -> str:
+    """SQL text of the k-th salted hash — identical in Spark and DuckDB."""
+    return f"(({minhash_a(k)} * {h} + {minhash_b(k)}) % {MINHASH_PRIME})"
+
+
 def shingle_index(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     max_shingle_df: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle) inverted index over distinct char n-grams."""
+    """(id, shingle) inverted index over char n-grams.
+
+    `distinct=False` skips the per-doc array_distinct for consumers
+    where duplicates are harmless (minhash: min over duplicates = min
+    over distinct) — array_distinct is O(k²) per row.
+    """
+    # NOTE: substring(text, i, n) per position measured 12× FASTER than
+    # the split-once-then-slice form — Catalyst inlines a split() that
+    # appears inside the transform lambda and re-evaluates it per
+    # element (O(chars²) splits). Keep the direct substring form.
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n}))"
+    )
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
-                    f" i -> substring({text_col}, i, {n}))"
-                )
-            )
-        ).alias("shingle"),
+        F.explode(F.array_distinct(grams) if distinct else grams).alias("shingle"),
     )
     if max_shingle_df is not None:
         hot = (
@@ -69,13 +97,31 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard via inverted-index join.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard rounded to 6 dp (continuous ratio — rounding-safe).
+
+    `max_df_frac` drops shingles present in more than that fraction of
+    the corpus BEFORE the join — the standard web-dedup guard: the
+    intersection join is Σ_shingle df², so one ubiquitous shingle turns
+    it into an O(n²) cross product. Jaccard is then computed over the
+    filtered shingle sets (documented semantics change; true near-dups
+    share plenty of rare shingles, so recall is unaffected in practice).
     """
     sh = shingle_index(docs, id_col, text_col, n)
+    if max_df_frac is not None:
+        n_docs = docs.select(F.count("*").alias("__n_docs"))
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") > F.col("__n_docs") * max_df_frac)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -103,6 +149,77 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY on candidate pairs.
+
+    The 100 TB shape: LSH (minhash bands) proposes candidates, this
+    verifies them exactly — join cost is O(|candidates| × shingles/doc)
+    instead of the Σ df² inverted-index blowup of all-pairs Jaccard
+    (degenerate when the corpus shares a small shingle vocabulary).
+    `candidates` needs columns (doc_a, doc_b).
+    """
+    sh = shingle_index(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        candidates.select("doc_a", "doc_b")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 6,
+) -> DataFrame:
+    """(doc_id, m0..m{K-1}): K minhashes as ONE map-side-combined agg.
+
+    One md5 per distinct shingle; the K hash variants are the salted
+    linear family (MINHASH_PRIME) — integer arithmetic inside codegen,
+    no row explosion. Shuffle = partially-aggregated (doc_id → K mins)
+    rows only.
+    """
+    sh = shingle_index(docs, id_col, text_col, n, distinct=False)
+    hb = sh.select("doc_id", md5_hash64(F.col("shingle")).alias("h"))
+    return hb.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(salted_hash_sql(k))).alias(f"m{k}")
+            for k in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -110,21 +227,11 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 6,
 ) -> DataFrame:
-    """(doc_id, k, minhash): K salted-md5 minhashes over char shingles."""
-    spark = docs.sparkSession
-    sh = shingle_index(docs, id_col, text_col, n)
-    ks = spark.range(num_hashes).withColumnRenamed("id", "k")
-    return (
-        sh.crossJoin(F.broadcast(ks))
-        .select(
-            "doc_id",
-            "k",
-            md5_hash64(
-                F.concat_ws(":", F.col("k").cast("string"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "k")
-        .agg(F.min("h").alias("minhash"))
+    """(doc_id, k, minhash): long form of `minhash_signatures_wide`."""
+    wide = minhash_signatures_wide(docs, id_col, text_col, n, num_hashes)
+    stack = ", ".join(f"CAST({k} AS BIGINT), m{k}" for k in range(num_hashes))
+    return wide.select(
+        "doc_id", F.expr(f"stack({num_hashes}, {stack}) AS (k, minhash)")
     )
 
 
@@ -139,24 +246,29 @@ def minhash_band_pairs(
     """LSH candidate pairs: docs sharing any band signature.
 
     Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b. Band
-    signature = the ordered minhash values of the band's rows joined
-    with ',' — bucket-join on (band, signature) is the LSH step that
-    avoids the O(n²) pair space.
+    signature = the band's minhash values joined with ',' — bucket-join
+    on (band, signature) is the LSH step that avoids the O(n²) pair
+    space. Bands come straight off the wide signature row (no second
+    shuffle to assemble signatures).
     """
-    sig = (
-        minhash_signatures(docs, id_col, text_col, n, num_hashes)
-        .withColumn("band", F.expr(f"k div {rows_per_band}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
+    num_bands = num_hashes // rows_per_band
+    wide = minhash_signatures_wide(docs, id_col, text_col, n, num_hashes)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
                 ",",
-            ).alias("band_sig")
+                *[
+                    F.col(f"m{k}").cast("string")
+                    for k in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            ).alias("band_sig"),
         )
-    )
+        for b in range(num_bands)
+    ]
+    sig = wide.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_sig")
     a = sig.alias("a")
     b = sig.alias("b")
     return (

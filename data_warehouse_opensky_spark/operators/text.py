@@ -35,10 +35,15 @@ def tokens(text_col: str = "text") -> Column:
 
 def rolling_hash(text_col: str = "text") -> Column:
     """Polynomial rolling hash h = Σ 31^i·c_i mod (2^31−1), sequential
-    fold — exact integer arithmetic, engine-portable."""
+    fold — exact integer arithmetic, engine-portable.
+
+    Splits into a char array ONCE (O(n)); the earlier per-position
+    `substring(text, i, 1)` form was O(n²) on UTF-8 strings (each
+    substring seeks from the start of the varlen encoding).
+    """
     return F.expr(
-        f"aggregate(transform(sequence(1, length({text_col})),"
-        f" i -> CAST(ascii(substring({text_col}, i, 1)) AS BIGINT)),"
+        f"aggregate(transform(split({text_col}, ''),"
+        f" c -> CAST(ascii(c) AS BIGINT)),"
         f" CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {ROLLING_MOD})"
     )
 

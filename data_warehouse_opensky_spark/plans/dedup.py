@@ -17,13 +17,18 @@ from .catalog import query
 
 # Shared SQL fragments -----------------------------------------------------
 
-_SHINGLES_SQL = """
+def _shingles_sql(n: int = 3) -> str:
+    return f"""
   SELECT doc_id,
          unnest(list_distinct(
-           [substring(text, i, 3) for i in range(1, greatest(length(text) - 2, 1) + 1)]
+           [substring(text, i, {n})
+            for i in range(1, greatest(length(text) - {n - 1}, 1) + 1)]
          )) AS shingle
   FROM documents
 """
+
+
+_SHINGLES_SQL = _shingles_sql(3)
 
 _MD5H = "CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
 
@@ -60,18 +65,71 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T3.2 — n-gram Jaccard near-dup (inverted-index join)
 # --------------------------------------------------------------------------
+# 16 hashes in 4 bands of 4 rows over 5-gram shingles: a band collides
+# only when all FOUR of its minhashes agree (collision prob ≈ j⁴ per
+# band — tuned for a high-similarity threshold). 1-row bands over
+# 3-grams were degenerate on this templated corpus (one bucket held
+# half the docs → 11.6M candidate pairs at sf0.1); 4-row bands give
+# ~20k candidates.
+_MINHASH_K = 16
+_MINHASH_RPB = 4
+_MINHASH_N = 5
+_MINHASH_MINS = ",\n             ".join(
+    f"min({D.salted_hash_sql(k)}) AS m{k}" for k in range(_MINHASH_K)
+)
+_MINHASH_SIG_UNION = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + " || ',' || ".join(
+        f"CAST(m{k} AS VARCHAR)"
+        for k in range(b * _MINHASH_RPB, (b + 1) * _MINHASH_RPB)
+    )
+    + " AS band_sig FROM m"
+    for b in range(_MINHASH_K // _MINHASH_RPB)
+)
+
+
+#: Shared CTE chain: distinct 5-gram shingles → base md5 hash → 16
+#: minhash mins → band signatures. Used by both LSH queries below.
+_MINHASH_CTES = f"""
+    sh AS ({_shingles_sql(_MINHASH_N)}),
+    hb AS (
+      SELECT doc_id, {_MD5H.format(expr="shingle")} AS h FROM sh
+    ),
+    m AS (
+      SELECT doc_id,
+             {_MINHASH_MINS}
+      FROM hb GROUP BY doc_id
+    ),
+    sig AS (
+      {_MINHASH_SIG_UNION}
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_bands
+      FROM sig a
+      JOIN sig b ON a.band = b.band AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )"""
+
+
 @query(
     "dedup_ngram_jaccard",
     tier="T3",
-    doc="3-gram Jaccard pairs ≥ 0.25 via inverted-index join — shuffle "
-    "is O(total shingles), never O(n²) pairs.",
+    doc="Exact 5-gram Jaccard ≥ 0.8 verified ONLY on MinHash-LSH "
+    "candidate pairs — the production near-dup shape (LSH proposes, "
+    "exact Jaccard disposes). Join cost O(|candidates| × shingles/doc) "
+    "instead of the Σ df² all-pairs inverted-index blowup (degenerate "
+    "on corpora with a small shingle vocabulary).",
     oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH {_MINHASH_CTES},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY doc_a, doc_b
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
     )
     SELECT i.doc_a, i.doc_b,
            round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6)
@@ -79,13 +137,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.25
+    WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.8
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(d, threshold=0.25).orderBy("doc_a", "doc_b")
+    cand = D.minhash_band_pairs(
+        d, n=_MINHASH_N, num_hashes=_MINHASH_K, rows_per_band=_MINHASH_RPB
+    )
+    return D.jaccard_verify_pairs(
+        d, cand, n=_MINHASH_N, threshold=0.8
+    ).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -94,33 +157,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_lsh",
     tier="T3",
-    doc="MinHash LSH: 6 salted-md5 minhashes, 6 bands of 1 row; "
-    "candidate pairs = band-signature bucket collisions (T3.2).",
+    doc="MinHash LSH: one md5 per 5-gram shingle + 16 salted linear "
+    "hashes (mod prime > 2^32), 4 bands of 4 rows; candidate pairs = "
+    "band-signature bucket collisions (T3.2).",
     oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    h AS (
-      SELECT doc_id, k,
-             min({_MD5H.format(expr="CAST(k AS VARCHAR) || ':' || shingle")}) AS minhash
-      FROM sh, (SELECT unnest(range(6)) AS k)
-      GROUP BY doc_id, k
-    ),
-    sig AS (
-      SELECT doc_id, k AS band, CAST(minhash AS VARCHAR) AS band_sig FROM h
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           count(*) AS n_shared_bands
-    FROM sig a
-    JOIN sig b ON a.band = b.band AND a.band_sig = b.band_sig
-              AND a.doc_id < b.doc_id
-    GROUP BY doc_a, doc_b
+    WITH {_MINHASH_CTES}
+    SELECT doc_a, doc_b, n_shared_bands
+    FROM cand
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return D.minhash_band_pairs(d, num_hashes=6, rows_per_band=1).orderBy(
-        "doc_a", "doc_b"
-    )
+    return D.minhash_band_pairs(
+        d, n=_MINHASH_N, num_hashes=_MINHASH_K, rows_per_band=_MINHASH_RPB
+    ).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
