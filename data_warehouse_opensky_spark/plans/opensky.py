@@ -161,3 +161,88 @@ def opensky_latest_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("origin_country")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.14 — geo math: per-aircraft trajectory length (haversine + lag)
+# --------------------------------------------------------------------------
+@query(
+    "opensky_trajectory_km",
+    tier="T2",
+    doc="Per-aircraft great-circle trajectory length across the crawl "
+    "series (T2.14 math fns + T2.9 lag): haversine over consecutive "
+    "positions. Segments are rounded to integer 1e-4 km BEFORE the sum "
+    "so the aggregate is order-independent integer math (catalog "
+    "determinism rule for continuous values feeding SUM).",
+    oracle=f"""
+    WITH c AS ({{clean}}),
+    pts AS (
+      SELECT icao24,
+             CAST(floor(epoch(last_contact)) AS BIGINT) AS ts_s,
+             longitude, latitude
+      FROM c
+      WHERE longitude IS NOT NULL AND latitude IS NOT NULL
+        AND last_contact IS NOT NULL
+    ),
+    seg AS (
+      SELECT icao24,
+             2 * 6371.0088 * asin(sqrt(
+               sin(radians(latitude - lag(latitude) OVER w) / 2)
+                 * sin(radians(latitude - lag(latitude) OVER w) / 2)
+               + cos(radians(lag(latitude) OVER w)) * cos(radians(latitude))
+                 * sin(radians(longitude - lag(longitude) OVER w) / 2)
+                 * sin(radians(longitude - lag(longitude) OVER w) / 2)
+             )) AS seg_km
+      FROM pts
+      WINDOW w AS (PARTITION BY icao24 ORDER BY ts_s, longitude, latitude)
+    )
+    SELECT icao24,
+           count(seg_km) AS n_segments,
+           CAST(sum(CAST(round(seg_km * 10000.0) AS BIGINT)) AS BIGINT) / 10000.0
+             AS total_km
+    FROM seg
+    WHERE seg_km IS NOT NULL
+    GROUP BY icao24
+    ORDER BY icao24
+    """.format(clean=_CLEAN_SQL),
+)
+def opensky_trajectory_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.geo import haversine_km
+
+    configure_runtime(spark)
+    raw = spark.read.csv(REFERENCE_GLOB, header=True, schema=RAW_SCHEMA)
+    c = clean_state_vectors(raw)
+    pts = c.filter(
+        F.col("longitude").isNotNull()
+        & F.col("latitude").isNotNull()
+        & F.col("last_contact").isNotNull()
+    ).select(
+        "icao24",
+        F.unix_timestamp("last_contact").cast("long").alias("ts_s"),
+        "longitude",
+        "latitude",
+    )
+    w = Window.partitionBy("icao24").orderBy("ts_s", "longitude", "latitude")
+    seg = pts.select(
+        "icao24",
+        haversine_km(
+            F.lag("latitude").over(w),
+            F.lag("longitude").over(w),
+            F.col("latitude"),
+            F.col("longitude"),
+        ).alias("seg_km"),
+    )
+    return (
+        seg.filter(F.col("seg_km").isNotNull())
+        .groupBy("icao24")
+        .agg(
+            F.count("seg_km").alias("n_segments"),
+            (
+                F.sum(F.round(F.col("seg_km") * 10000.0).cast("long")).cast("long")
+                / 10000.0
+            ).alias("total_km"),
+        )
+        .orderBy("icao24")
+    )

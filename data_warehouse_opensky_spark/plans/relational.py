@@ -766,3 +766,181 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), (F.sum("price_c") / 100.0).alias("sum_price"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.3 — right outer join
+# --------------------------------------------------------------------------
+@query(
+    "join_right_outer",
+    tier="T2",
+    doc="Right outer join (T2.3): order lines right-joined to orders so "
+    "orders keep a row even with no matching filtered line. Same "
+    "broadcast/shuffle shape as left outer with sides swapped — "
+    "Catalyst normalizes it to a left join internally.",
+    oracle="""
+    SELECT o.o_orderkey,
+           count(l.l_linenumber) AS n_big_lines,
+           coalesce(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             AS BIGINT), 0) / 100.0 AS big_line_revenue
+    FROM (SELECT * FROM lineitem WHERE l_quantity >= 30) l
+    RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "right")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_linenumber").alias("n_big_lines"),
+            (F.coalesce(F.sum(cents("l_extendedprice")), F.lit(0)) / 100.0).alias(
+                "big_line_revenue"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.3 — full outer join
+# --------------------------------------------------------------------------
+@query(
+    "join_full_outer",
+    tier="T2",
+    doc="Full outer join (T2.3): customer-count per nation vs supplier-"
+    "count per nation; nations with only one side keep a NULL-padded "
+    "row. Both inputs are pre-aggregated (tiny) — at 100 TB full outer "
+    "between facts shuffles both sides on the join key.",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+    s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+          FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(c.n_customers, 0) AS n_customers,
+           coalesce(s.n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling (reproducible splits for training pipelines)
+# --------------------------------------------------------------------------
+@query(
+    "sample_hash_5pct",
+    tier="T3",
+    doc="Deterministic ~5% sample via md5(key) mod 100 < 5 — the "
+    "reproducible-split pattern for train/eval partitioning at 100 TB "
+    "(row-level RNG sampling is not reproducible across engines or "
+    "re-runs; key-hash sampling is, and it is a pushdown-friendly "
+    "filter).",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 < 5
+    ORDER BY o_orderkey
+    """,
+)
+def sample_hash_5pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        o.filter(bucket < 5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.6 — exact discrete percentiles (manual, engine-portable)
+# --------------------------------------------------------------------------
+@query(
+    "percentile_disc_price",
+    tier="T2",
+    doc="Exact p50/p90 order price per priority, computed as the "
+    "ceil(p·n)-th row of the per-group sort (percentile_disc "
+    "semantics) via row_number — integer-exact and identical in any "
+    "engine, unlike interpolated percentile_cont whose float math is "
+    "implementation-defined. One shuffle on the group key.",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN rn = (n + 1) // 2 THEN price_c END) / 100.0 AS p50_price,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN price_c END) / 100.0
+             AS p90_price,
+           max(n) AS n_orders
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def percentile_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", cents("o_totalprice").alias("price_c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("price_c", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "price_c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            (
+                F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("price_c")))
+                / 100.0
+            ).alias("p50_price"),
+            (
+                F.max(
+                    F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("price_c"))
+                )
+                / 100.0
+            ).alias("p90_price"),
+            F.max("n").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

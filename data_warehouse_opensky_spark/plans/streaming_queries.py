@@ -1,0 +1,132 @@
+"""Catalog queries that exercise Structured Streaming END-TO-END
+(SURVEY T2.16) inside the driver's correctness gate.
+
+Each query starts a real stream over the parquet table (file source →
+event-time windowed agg → memory sink), drains it with
+`trigger(availableNow=True)`, and returns the sink contents as a batch
+DataFrame. Complete output mode means every window is emitted
+regardless of watermark progress, so the result equals the batch
+group-by — which is exactly what the DuckDB oracle computes. That
+equivalence (stream replay == batch query) is the correctness property
+Structured Streaming guarantees and the thing worth gating.
+
+Scale: the same plan on an unbounded source with the watermark keeps
+state bounded; `maxFilesPerTrigger` bounds per-micro-batch work.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cents
+from ..session import configure_runtime
+from .catalog import query
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the same ts normalization as
+    the batch path (ns → µs floor, sources/registry.py)."""
+    configure_runtime(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # File stream sources take a DIRECTORY; select just the events file
+    # out of the sf_dir with a glob filter.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run the streaming query to completion into a memory sink and
+    return the sink table. availableNow processes the whole source then
+    stops — bounded, checkpoint-free (fresh sink per call)."""
+    name = f"stream_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return windowed.sparkSession.table(name)
+
+
+@query(
+    "streaming_tumbling_counts",
+    tier="T2",
+    doc="Structured Streaming end-to-end (T2.16): file source → "
+    "watermarked 1-hour tumbling event-time window → memory sink, "
+    "drained with availableNow. Complete mode ⇒ result equals the "
+    "batch group-by (the replay-equivalence guarantee the oracle "
+    "checks).",
+    oracle="""
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_bucket,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _stream_events(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("sum_value"),
+        )
+    )
+    result = _drain_to_memory(windowed, mode="complete")
+    return result.select(
+        F.expr("unix_timestamp(w.start) div 3600").cast("long").alias("hour_bucket"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("hour_bucket", "event_type")
+
+
+@query(
+    "streaming_dedup_latest",
+    tier="T2",
+    doc="Streaming exactly-once dedup within the watermark horizon "
+    "(T1.6's keyed idempotent insert as a stream): dropDuplicates on "
+    "(user_id, event_id) over the replayed event stream, then a batch "
+    "count per user over the sink. Source has no true dups, so the "
+    "oracle is the plain per-user count — the gate proves the dedup "
+    "path loses nothing.",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _stream_events(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicates(
+        ["user_id", "event_id"]
+    )
+    sink = _drain_to_memory(deduped, mode="append")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )

@@ -218,3 +218,115 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cents("value") / 100.0).alias("purchase_value"),
         (F.col("last_click_value_c") / 100.0).alias("last_click_value"),
     ).orderBy("purchase_id")
+
+
+# --------------------------------------------------------------------------
+# T2.9 — ranking family: rank / dense_rank / ntile over ties
+# --------------------------------------------------------------------------
+@query(
+    "window_rank_dense_ntile",
+    tier="T2",
+    doc="rank vs dense_rank vs ntile(4) over a coarse price bucket with "
+    "real ties (T2.9 ranking functions). Single shuffle on the "
+    "partition key.",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(rank() OVER w AS INTEGER) AS price_rank,
+           CAST(dense_rank() OVER w AS INTEGER) AS price_dense_rank,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) // 1000000,
+                          o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # Bucket to 10k-dollar steps so rank/dense_rank diverge on real ties.
+    bucket = F.expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) div 1000000"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(bucket, F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).cast("int").alias("price_rank"),
+            F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
+            F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.16 — sessionization (session windows over event time, batch form)
+# --------------------------------------------------------------------------
+@query(
+    "session_window_stats",
+    tier="T2",
+    doc="Per-user sessionization with a 30-min inactivity gap via "
+    "session_window (T2.16) — the batch twin of the streaming session "
+    "query. Timestamps floored to whole seconds first so the gap rule "
+    "is engine-exact (parquet ns vs µs). Oracle reproduces Spark's "
+    "merge rule (new session iff gap ≥ 30 min — window end is "
+    "exclusive) with lag + a running sum.",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN ts_s - lag(ts_s) OVER (
+                    PARTITION BY user_id ORDER BY ts_s, event_id) >= 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts_s,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_no) AS BIGINT) AS n_sessions,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           CAST(max(cnt) AS BIGINT) AS max_session_events,
+           CAST(max(dur) AS BIGINT) AS max_session_dur_s
+    FROM (
+      SELECT user_id, session_no, count(*) AS cnt,
+             max(ts_s) - min(ts_s) AS dur
+      FROM sessions GROUP BY user_id, session_no
+    ) GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_floor"),
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    per_session = (
+        e.groupBy("user_id", F.session_window("ts_floor", "30 minutes"))
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.max("ts_s") - F.min("ts_s")).alias("dur"),
+        )
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.max("cnt").cast("long").alias("max_session_events"),
+            F.max("dur").cast("long").alias("max_session_dur_s"),
+        )
+        .orderBy("user_id")
+    )
