@@ -9,5 +9,6 @@ from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import opensky  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
+from . import udfs  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "get_queries", "get_oracles", "query"]

@@ -1,0 +1,221 @@
+"""T3.5 — the user-defined-function surface, plus JSON functions.
+
+One catalog query per UDF flavor, each with an exact DuckDB oracle:
+
+* scalar pandas UDF (Arrow-vectorized, the ONLY sanctioned Python
+  scalar path — row-at-a-time `udf()` is deliberately absent from this
+  codebase's hot paths);
+* grouped-aggregate pandas UDF (vectorized UDAF);
+* grouped-map `applyInPandas` (the reference's `transform_chunk`,
+  load_warehouse.py:62-91, is exactly this shape: pandas-function over
+  a partition of rows);
+* Spark 4 Python UDTF (table function, 1 row → N rows).
+
+Determinism: every UDF computes in EXACT integer arithmetic (numpy
+int64 / Python int) so results hash-match SQL engines bit-for-bit —
+the float-summation-order trap (catalog.py) applies doubly to numpy
+whose pairwise sums differ from any SQL engine's fold order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cents
+from ..sources import load_table
+from .catalog import query
+
+# NOTE: @pandas_udf decorators parse their DDL return type against the
+# ACTIVE SparkSession, so UDFs are defined lazily inside each query fn
+# (this module imports at package load, before any session exists).
+
+
+# --------------------------------------------------------------------------
+# JSON functions (T1.2 at rest: the API payload decode generalized)
+# --------------------------------------------------------------------------
+@query(
+    "json_extract_props",
+    tier="T2",
+    doc="JSON field extraction from the events.props column "
+    "(get_json_object — the at-rest twin of the API JSON decode "
+    "T1.2), aggregated per event_type. JSON parse stays JVM-side.",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# T3.5a — scalar pandas UDF (Arrow batches)
+# --------------------------------------------------------------------------
+@query(
+    "udf_scalar_token_count",
+    tier="T3",
+    doc="Scalar pandas UDF over Arrow batches (T3.5): vectorized "
+    "token count per document. Integer-exact, so it hash-matches the "
+    "pure-SQL twin — proving the Python path gives identical results "
+    "to the JVM path it would replace.",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def udf_scalar_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def ws_token_count(s: pd.Series) -> pd.Series:
+        # Vectorized pandas str ops (== size(split(text, ' ')))
+        return (s.str.count(" ") + 1).astype("int64")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# T3.5b — grouped-aggregate pandas UDF (vectorized UDAF)
+# --------------------------------------------------------------------------
+@query(
+    "udf_grouped_agg_spend",
+    tier="T3",
+    doc="Grouped-aggregate pandas UDF (T3.5 UDAF): per-customer spend "
+    "summed as int64 cents inside Python, exactly matching SQL SUM.",
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def udf_grouped_agg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sum_int64(v: pd.Series) -> int:
+        # Exact int64 sum — safe as a UDAF because integer addition is
+        # order-independent (float sums would NOT be).
+        return int(v.sum())
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", cents("o_totalprice").alias("price_c"))
+        .groupBy("o_custkey")
+        .agg((sum_int64("price_c") / 100.0).alias("total_spent"))
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# T3.5c — grouped-map applyInPandas (the reference transform_chunk shape)
+# --------------------------------------------------------------------------
+def _order_share(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per customer: each order's share of total spend in exact ppm.
+
+    Same shape as the reference's transform_chunk
+    (load_warehouse.py:62-91): DataFrame-in → DataFrame-out over a
+    group of rows, vectorized pandas inside.
+    """
+    total = int(pdf["price_c"].sum())
+    out = pdf[["o_custkey", "o_orderkey"]].copy()
+    # floor-div ppm — integer-exact, engine-reproducible
+    out["share_ppm"] = (pdf["price_c"].astype("int64") * 1_000_000) // total
+    return out
+
+
+@query(
+    "udf_grouped_map_share",
+    tier="T3",
+    doc="Grouped-map applyInPandas (T3.5): per-customer order-spend "
+    "share in exact ppm. The reference's transform_chunk "
+    "(load_warehouse.py:62-91) is exactly this operator shape.",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           (CAST(round(o_totalprice * 100) AS BIGINT) * 1000000)
+             // CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    OVER (PARTITION BY o_custkey) AS BIGINT) AS share_ppm
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def udf_grouped_map_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", cents("o_totalprice").alias("price_c")
+    )
+    return (
+        o.groupBy("o_custkey")
+        .applyInPandas(
+            _order_share, schema="o_custkey long, o_orderkey long, share_ppm long"
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# T3.5d — Python UDTF (Spark 4 table function, 1 row → N rows)
+# --------------------------------------------------------------------------
+@query(
+    "udtf_token_positions",
+    tier="T3",
+    doc="Python UDTF (T3.5, Spark 4): explode each document into "
+    "(position, token) rows via a lateral table-function call — the "
+    "Python twin of posexplode(split(...)).",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS pos,
+           string_split(text, ' ')[i] AS token
+    FROM documents,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+    WHERE doc_id < 100
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM __udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
