@@ -35,6 +35,7 @@ HEADLINE = [
     "asof_click_before_purchase",
     "rank_topn_per_group",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_brute_force_topk",
     "embedding_neardup_pairs",
@@ -42,6 +43,13 @@ HEADLINE = [
     "text_fingerprint",
     "multimodal_decode_meta",
     "topk_orders",
+    "session_window_stats",
+    "percentile_disc_price",
+    "json_extract_props",
+    "sample_hash_5pct",
+    "udf_grouped_map_share",
+    "streaming_tumbling_counts",
+    "streaming_stateful_running_agg",
 ]
 
 

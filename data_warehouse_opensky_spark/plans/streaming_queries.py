@@ -130,3 +130,47 @@ def streaming_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_stateful_running_agg",
+    tier="T2",
+    doc="Custom stateful streaming operator via applyInPandasWithState "
+    "(T2.16): per-user running count / max / last-event kept in "
+    "GroupState across micro-batches. Integer prep (cents, epoch "
+    "seconds) happens JVM-side before the Python operator. The drained "
+    "final state per key equals the batch aggregate — the oracle.",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           max(CAST(round(value * 100) AS BIGINT)) AS max_value_c,
+           max_by(event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id)
+             AS last_event_type
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_user_stats
+
+    stream = _stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        "event_type",
+        cents("value").alias("value_c"),
+    )
+    sink = _drain_to_memory(running_user_stats(stream), mode="append")
+    # One output row per key per micro-batch; the final row (max
+    # n_events — it grows monotonically) is the key's end state.
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value_c").alias("max_value_c"),
+            F.max_by("last_event_type", "n_events").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+    )

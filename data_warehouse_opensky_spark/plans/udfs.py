@@ -138,14 +138,18 @@ def udf_grouped_agg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T3.5c — grouped-map applyInPandas (the reference transform_chunk shape)
 # --------------------------------------------------------------------------
 def _order_share(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per customer: each order's share of total spend in exact ppm.
+    """Per priority class: each order's share of class spend in exact
+    ppm (billionths would overflow ×1e9; ppm fits int64).
 
     Same shape as the reference's transform_chunk
     (load_warehouse.py:62-91): DataFrame-in → DataFrame-out over a
-    group of rows, vectorized pandas inside.
+    group of rows, vectorized pandas inside. Grouping key chosen
+    COARSE on purpose: applyInPandas pays per-group Arrow round-trip
+    overhead, so the scalable pattern is few large groups (grouping by
+    a 100k-cardinality key measured 20× slower on identical data).
     """
     total = int(pdf["price_c"].sum())
-    out = pdf[["o_custkey", "o_orderkey"]].copy()
+    out = pdf[["o_orderpriority", "o_orderkey"]].copy()
     # floor-div ppm — integer-exact, engine-reproducible
     out["share_ppm"] = (pdf["price_c"].astype("int64") * 1_000_000) // total
     return out
@@ -154,28 +158,31 @@ def _order_share(pdf: pd.DataFrame) -> pd.DataFrame:
 @query(
     "udf_grouped_map_share",
     tier="T3",
-    doc="Grouped-map applyInPandas (T3.5): per-customer order-spend "
+    doc="Grouped-map applyInPandas (T3.5): per-priority order-spend "
     "share in exact ppm. The reference's transform_chunk "
-    "(load_warehouse.py:62-91) is exactly this operator shape.",
+    "(load_warehouse.py:62-91) is exactly this operator shape. Coarse "
+    "group key on purpose — applyInPandas scales with FEW LARGE "
+    "groups, not many tiny ones.",
     oracle="""
-    SELECT o_custkey, o_orderkey,
+    SELECT o_orderpriority, o_orderkey,
            (CAST(round(o_totalprice * 100) AS BIGINT) * 1000000)
              // CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                    OVER (PARTITION BY o_custkey) AS BIGINT) AS share_ppm
+                    OVER (PARTITION BY o_orderpriority) AS BIGINT) AS share_ppm
     FROM orders
-    ORDER BY o_custkey, o_orderkey
+    ORDER BY o_orderpriority, o_orderkey
     """,
 )
 def udf_grouped_map_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", cents("o_totalprice").alias("price_c")
+        "o_orderpriority", "o_orderkey", cents("o_totalprice").alias("price_c")
     )
     return (
-        o.groupBy("o_custkey")
+        o.groupBy("o_orderpriority")
         .applyInPandas(
-            _order_share, schema="o_custkey long, o_orderkey long, share_ppm long"
+            _order_share,
+            schema="o_orderpriority string, o_orderkey long, share_ppm long",
         )
-        .orderBy("o_custkey", "o_orderkey")
+        .orderBy("o_orderpriority", "o_orderkey")
     )
 
 

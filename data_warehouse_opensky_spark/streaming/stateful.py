@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY T2.16 "custom stateful operators").
+
+The operator keeps per-key running aggregates ACROSS micro-batches in
+GroupState — the thing windowed aggs can't express (no window bound:
+state lives for the key's lifetime). Used here for per-user running
+stats over the event stream; the same skeleton carries any per-key
+accumulator (fraud counters, rate limiters, trajectory trackers).
+
+Determinism contract: all state fields are exact integers or strings;
+"last" is defined by the total order (ts_s, event_id), never by row
+arrival order (pandas batch order is not deterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Output row per key per micro-batch: the running totals so far.
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, max_value_c long, last_event_type string"
+)
+#: Persisted per-key state between micro-batches.
+STATE_SCHEMA = "n long, max_c long, last_ts long, last_id long, last_type string"
+
+
+def _update_user_stats(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, max_c, last_ts, last_id, last_type = state.get
+    else:
+        n, max_c, last_ts, last_id, last_type = 0, None, -1, -1, None
+    for pdf in pdfs:
+        n += len(pdf)
+        batch_max = int(pdf["value_c"].max()) if len(pdf) else None
+        if batch_max is not None:
+            max_c = batch_max if max_c is None else max(max_c, batch_max)
+        # "last" by (ts_s, event_id) total order, not arrival order.
+        idx = (
+            pdf[["ts_s", "event_id"]]
+            .astype("int64")
+            .apply(tuple, axis=1)
+            .idxmax()
+        )
+        if (int(pdf.loc[idx, "ts_s"]), int(pdf.loc[idx, "event_id"])) > (
+            last_ts,
+            last_id,
+        ):
+            last_ts = int(pdf.loc[idx, "ts_s"])
+            last_id = int(pdf.loc[idx, "event_id"])
+            last_type = str(pdf.loc[idx, "event_type"])
+    state.update((n, max_c, last_ts, last_id, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "max_value_c": [max_c],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming per-user running stats. `events` needs columns
+    (user_id, event_id, ts_s, event_type, value_c) — the integer
+    prep (cents, epoch seconds) happens JVM-side BEFORE the Python
+    stateful operator, keeping it exact and Arrow-cheap."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

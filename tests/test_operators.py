@@ -100,3 +100,47 @@ def test_lsh_topk_is_subset_of_brute_force_universe(spark):
     for r in lsh:
         assert r.vec_id in bf
         assert abs(bf[r.vec_id] - r.cos_sim) < 1e-9
+
+
+def test_salted_join_equals_plain(spark):
+    """Salting must be invisible in results (inner and left)."""
+    from data_warehouse_opensky_spark.operators.skew import salted_join
+
+    l = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = l.join(o, "l_orderkey", "inner")
+    salted = salted_join(l, o, on="l_orderkey", spread_col="l_linenumber")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # left join keeps unmatched skewed-side rows (every salt matches)
+    o_half = o.filter(F.col("l_orderkey") % 2 == 0)
+    plain_l = l.join(o_half, "l_orderkey", "left")
+    salted_l = salted_join(l, o_half, on="l_orderkey", spread_col="l_linenumber", how="left")
+    assert sorted(map(tuple, plain_l.collect())) == sorted(map(tuple, salted_l.collect()))
+
+
+def test_salted_agg_equals_plain(spark):
+    from data_warehouse_opensky_spark.operators.skew import salted_agg
+    from data_warehouse_opensky_spark.functions import cents
+
+    l = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_orderkey", cents("l_quantity").alias("qty_c")
+    )
+    plain = {
+        (r.l_returnflag): (r.n, r.s, r.mx)
+        for r in l.groupBy("l_returnflag")
+        .agg(F.count("qty_c").alias("n"), F.sum("qty_c").alias("s"), F.max("qty_c").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (r.n, r.s, r.mx)
+        for r in salted_agg(
+            l, key="l_returnflag", spread_col="l_orderkey",
+            aggs=[("qty_c", "count", "n"), ("qty_c", "sum", "s"), ("qty_c", "max", "mx")],
+        ).collect()
+    }
+    assert plain == salted

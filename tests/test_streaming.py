@@ -103,3 +103,66 @@ def test_session_windows(spark, landing):
     assert len(by_ac["a1"]) == 1 and by_ac["a1"][0].n_pings == 2
     # c3's lone early ping is its own session
     assert len(by_ac["c3"]) == 1 and by_ac["c3"][0].n_pings == 1
+
+
+def test_stateful_running_agg_across_batches(spark, tmp_path):
+    """applyInPandasWithState must ACCUMULATE GroupState across
+    micro-batches: 3 single-file batches of events, final per-key state
+    equals the batch aggregate over all of them."""
+    import pandas as pd
+
+    from data_warehouse_opensky_spark.streaming.stateful import running_user_stats
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    rows = []
+    for i in range(30):
+        rows.append(
+            {"user_id": i % 3, "event_id": i, "ts_s": 1000 + i,
+             "event_type": f"t{i % 4}", "value_c": (i * 37) % 500}
+        )
+    for part in range(3):
+        pd.DataFrame(rows[part * 10 : (part + 1) * 10]).to_parquet(
+            src / f"part{part}.parquet"
+        )
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force 3 micro-batches
+        .parquet(str(src))
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_test_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.table("stateful_test_sink")
+    # 3 keys × 3 batches = 9 rows; n_events grows monotonically per key
+    assert sink.count() == 9
+    final = {
+        r.user_id: (r.n_events, r.max_value_c, r.last_event_type)
+        for r in sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value_c").alias("max_value_c"),
+            F.max_by("last_event_type", "n_events").alias("last_event_type"),
+        )
+        .collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.m, r.lt)
+        for r in spark.read.parquet(str(src))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("value_c").alias("m"),
+            F.max_by("event_type", F.col("ts_s") * 1000 + F.col("event_id")).alias("lt"),
+        )
+        .collect()
+    }
+    assert final == batch
