@@ -123,3 +123,107 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_W, RESIZE_H, RESIZE_C = 64, 64, 3
+FEATURE_DIM = 8
+AUDIO_BYTES_PER_MS = 16  # fake 16 bytes/ms ("128 kbit/s")
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
+    ]
+)
+
+
+def resize_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas: binary → binary transform (the resize batch shape).
+
+    Real body would be PIL `img.resize((W, H))`; the fake keeps the
+    contract honest — output is a NEW binary column of exactly
+    W·H·C bytes (payload truncated / zero-padded), so downstream
+    schema, memory sizing, and Arrow binary round-trip are all real.
+    """
+    target = RESIZE_W * RESIZE_H * RESIZE_C
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(p[:target]).ljust(target, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "resized": resized,
+                    "out_bytes": target,
+                    "out_width": RESIZE_W,
+                    "out_height": RESIZE_H,
+                }
+            ).astype({"out_bytes": "int64", "out_width": "int32", "out_height": "int32"})
+
+    return df.select(id_col, "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas: binary → fixed-dim feature vector (feature-extract
+    batch shape; real body = a vision/audio model forward pass).
+
+    Fake features are exact grid values (k/1000.0) so the SQL oracle
+    reproduces them bit-for-bit.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            feats = [
+                [((int(n) * (j + 13)) % 1000) / 1000.0 for j in range(FEATURE_DIM)]
+                for n in n_bytes
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "features": feats}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def decode_audio_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas: binary → audio metadata (duration, chunk count).
+
+    Real body = soundfile/librosa header parse — STUB; duration is
+    derived deterministically from payload length.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            duration = n_bytes // AUDIO_BYTES_PER_MS
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "duration_ms": duration.astype("int64"),
+                    "n_chunks": (duration // 1000 + 1).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, AUDIO_META_SCHEMA)

@@ -58,3 +58,85 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return M.frame_sample(M.attach_binary(d)).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_resize",
+    tier="T3",
+    doc="Binary→binary resize via mapInPandas (T3.3): output payload is "
+    "exactly W·H·C bytes (fake resize: truncate/pad — the real body is "
+    "a PIL resize; schema/Arrow-binary plumbing is what's gated). "
+    "Output checked by length + md5 prefix of the ORIGINAL bytes that "
+    "survive truncation.",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({M.RESIZE_W * M.RESIZE_H * M.RESIZE_C} AS BIGINT) AS out_bytes,
+           CAST(least(octet_length(encode(text)),
+                      {M.RESIZE_W * M.RESIZE_H * M.RESIZE_C}) AS BIGINT)
+             AS n_kept_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    r = M.resize_image(M.attach_binary(d))
+    # n_kept_bytes: length of the resized payload with zero-padding
+    # stripped — equals min(original length, target).
+    return r.select(
+        "doc_id",
+        "out_bytes",
+        F.length(F.expr("rtrim('\\u0000', CAST(resized AS STRING))")).cast(
+            "long"
+        ).alias("n_kept_bytes"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_features",
+    tier="T3",
+    doc="Feature extraction via mapInPandas (T3.3): binary → fixed-dim "
+    "double vector (fake: exact grid values standing in for a model "
+    "forward pass). Vector unnested so the oracle compares element-"
+    "wise.",
+    oracle=f"""
+    SELECT doc_id, j AS feat_idx,
+           CAST(((octet_length(encode(text)) * (j + 13)) % 1000) AS DOUBLE)
+             / 1000.0 AS feat
+    FROM documents, unnest(range({M.FEATURE_DIM})) AS t(j)
+    ORDER BY doc_id, feat_idx
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    f = M.extract_features(M.attach_binary(d))
+    return f.select(
+        "doc_id", F.posexplode("features").alias("feat_idx", "feat")
+    ).select(
+        "doc_id", F.col("feat_idx").cast("long").alias("feat_idx"), "feat"
+    ).orderBy("doc_id", "feat_idx")
+
+
+@query(
+    "multimodal_audio_meta",
+    tier="T3",
+    doc="Audio metadata decode via mapInPandas (T3.3 audio stub): "
+    "duration/chunks derived deterministically from payload bytes.",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT)
+             // {M.AUDIO_BYTES_PER_MS} AS duration_ms,
+           CAST(octet_length(encode(text)) AS BIGINT)
+             // {M.AUDIO_BYTES_PER_MS} // 1000 + 1 AS n_chunks
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return M.decode_audio_meta(M.attach_binary(d)).orderBy("doc_id")

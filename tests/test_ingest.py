@@ -137,3 +137,40 @@ def test_gold_marts(spark, tmp_path):
     dlh = latest.filter(F.col("icao24") == "3c4b31").first()
     assert dlh.velocity == 251.0  # the second crawl's (newer) state won
     assert out["trajectory_deltas"] == 3
+
+
+def test_cli_load_marts_and_sql(spark, tmp_path, capsys):
+    """The CLI wires EP2 + stages 5-6 + EP3 end-to-end."""
+    import json as _json
+
+    from data_warehouse_opensky_spark.__main__ import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    header = (
+        "icao24,callsign,origin_country,time_position,last_contact,longitude,"
+        "latitude,baro_altitude,on_ground,velocity,true_track,vertical_rate,"
+        "sensors,geo_altitude,squawk,spi,position_source"
+    )
+    (landing / "states_cli_20251113_090000.csv").write_text(
+        header
+        + "\nabc123,CS9     ,Germany,1700000000,1700000000,1.0,2.0,100.0,false,"
+        "10.0,0.0,0.0,,110.0,1000,false,0\n"
+    )
+    wh = tmp_path / "wh"
+    rc = main(["load", "--landing", str(landing), "--warehouse", str(wh)])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["files"] == {
+        "states_cli_20251113_090000.csv": "CLEAN_EXPORTED"
+    }
+
+    rc = main(["marts", "--warehouse", str(wh)])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["marts"]["latest_positions"] == 1
+
+    rc = main(
+        ["sql", "SELECT count(*) AS n FROM orders", "--sf-dir",
+         "/root/testdata/sf0.001"]
+    )
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n"] > 0

@@ -122,3 +122,31 @@ def test_scan_is_columnar_parquet(spark):
     df = load_table(spark, SF, "lineitem").select("l_orderkey")
     plan = explain_str(df)
     assert "Scan parquet" in plan
+
+
+def test_partition_pruning_on_silver(spark, tmp_path):
+    """The silver zone is partitioned by event_date; a date filter must
+    prune partitions at the scan (PartitionFilters), not post-filter."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_opensky_spark.schemas import RAW_SCHEMA
+    from data_warehouse_opensky_spark.transform import clean_state_vectors
+
+    raw = spark.read.csv(
+        "/root/reference/data/states_*.csv", header=True, schema=RAW_SCHEMA
+    )
+    silver = str(tmp_path / "silver")
+    clean_state_vectors(raw).withColumn(
+        "event_date", F.to_date(F.coalesce("last_contact", "load_timestamp"))
+    ).write.partitionBy("event_date").parquet(silver)
+
+    df = (
+        spark.read.parquet(silver)
+        .filter(F.col("event_date") == "2025-11-13")
+        .select("icao24", "velocity")
+    )
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    start = plan.index("PartitionFilters")
+    pf = plan[start : plan.index("\n", start)]
+    assert "event_date" in pf, pf
