@@ -330,3 +330,103 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.9 — analytic value functions: first/last/nth over frames, distribution
+# --------------------------------------------------------------------------
+@query(
+    "window_value_functions",
+    tier="T2",
+    doc="first_value / last_value / nth_value over a running frame plus "
+    "percent_rank and cume_dist (T2.9 analytic functions). Exact cents "
+    "for values; distribution ratios are exact rationals rounded to "
+    "6 dp.",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           first_value(CAST(round(value * 100) AS BIGINT)) OVER w AS first_c,
+           last_value(CAST(round(value * 100) AS BIGINT)) OVER w AS running_last_c,
+           nth_value(CAST(round(value * 100) AS BIGINT), 2) OVER w AS second_c,
+           round(percent_rank() OVER w2, 6) AS pct_rank,
+           round(cume_dist() OVER w2, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id
+                  ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+    ORDER BY event_id
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    value_c = cents("value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = Window.partitionBy("user_id").orderBy(value_c, "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first(value_c).over(w).alias("first_c"),
+        F.last(value_c).over(w).alias("running_last_c"),
+        F.nth_value(value_c, 2).over(w).alias("second_c"),
+        F.round(F.percent_rank().over(w2), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w2), 6).alias("cume"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# T2.13 — date spine: sequence + explode joined to facts (gap-free series)
+# --------------------------------------------------------------------------
+@query(
+    "date_spine_daily_orders",
+    tier="T2",
+    doc="Gap-free daily series via sequence()+explode left-joined to "
+    "per-day order counts (T2.13 date math — the mart-report spine "
+    "pattern; days with no orders appear with zeros).",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+             max(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_c
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(d.n, 0) AS n_orders,
+           coalesce(d.spend_c, 0) / 100.0 AS total_spend
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    ORDER BY day
+    """,
+)
+def date_spine_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), cents("o_totalprice").alias("price_c")
+    )
+    bounds = o.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = o.groupBy("day").agg(
+        F.count("*").alias("n"), F.sum("price_c").alias("spend_c")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            (F.coalesce("spend_c", F.lit(0)) / 100.0).alias("total_spend"),
+        )
+        .orderBy("day")
+    )
