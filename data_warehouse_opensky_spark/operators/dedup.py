@@ -54,6 +54,62 @@ def salted_hash_sql(k: int, h: str = "h") -> str:
     return f"(({minhash_a(k)} * {h} + {minhash_b(k)}) % {MINHASH_PRIME})"
 
 
+def shingle_array(text_col: str = "text", n: int = 3) -> F.Column:
+    """Array of distinct char n-grams of `text_col` — row-local.
+
+    The array-native dedup plan keeps each document's shingle SET in
+    one row: shingling, hashing, and minhash signatures then need NO
+    explode and NO shuffle at all (embarrassingly parallel over docs),
+    which is the right 100 TB shape whenever a document's shingle set
+    fits in a row (true up to multi-MB docs). The exploded
+    `shingle_index` below remains the fallback for outsized docs.
+    """
+    # NOTE: substring(text, i, n) per position measured 12× FASTER than
+    # the split-once-then-slice form — Catalyst inlines a split() that
+    # appears inside the transform lambda and re-evaluates it per
+    # element (O(chars²) splits). Keep the direct substring form.
+    return F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n})))"
+    )
+
+
+def minhash_signatures_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 6,
+) -> DataFrame:
+    """(doc_id, sh, n_sh, m0..m{K-1}) with zero shuffles.
+
+    Shingle set as an array column, one md5 per shingle, K salted
+    linear minhashes via array_min(transform(...)) — everything
+    row-local, so the signature stage scales linearly with no
+    exchange. Keeps the shingle array (`sh`) so downstream exact
+    verification can array_intersect without rebuilding it.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_array(text_col, n).alias("sh"),
+    ).select(
+        "doc_id",
+        "sh",
+        F.expr(
+            "transform(sh, s -> "
+            "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    mins = [
+        F.expr(
+            f"array_min(transform(hs, h -> {salted_hash_sql(k)}))"
+        ).alias(f"m{k}")
+        for k in range(num_hashes)
+    ]
+    return d.select("doc_id", "sh", F.size("sh").alias("n_sh"), *mins)
+
+
 def shingle_index(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -295,6 +351,105 @@ def minhash_band_pairs(
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def band_signatures(
+    sigs: DataFrame, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, band_sig) from a wide signature frame — one row
+    per (doc, band), built off the signature row with no extra shuffle."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{k}").cast("string")
+                    for k in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            ).alias("band_sig"),
+        )
+        for b in range(num_hashes // rows_per_band)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_sig")
+
+
+def bucket_pairs(sig: DataFrame, count_col: str = "n_shared_bands") -> DataFrame:
+    """Candidate pairs from (doc_id, band, band_sig) via ONE shuffle.
+
+    groupBy the LSH bucket, sort ids, emit ordered pairs within each
+    bucket — replaces the sig⋈sig self-join (two shuffles of the same
+    relation + a pair groupBy) with a single exchange on the bucket
+    key. Skew caveat: a degenerate bucket of B docs emits B²/2 pairs
+    in one task — same blowup the self-join had, so band width must
+    keep buckets small either way (see _MINHASH_RPB tuning note in
+    plans/dedup.py).
+    """
+    return (
+        sig.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias(count_col))
+    )
+
+
+def jaccard_verify_arrays(
+    sigs: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.25,
+    broadcast_docs: bool = True,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via array_intersect.
+
+    `sigs` must carry (doc_id, sh, n_sh) — the persisted output of
+    `minhash_signatures_arrays`. Each candidate pair picks up both
+    shingle arrays and intersects them row-locally: no inverted-index
+    re-join, no groupBy. `broadcast_docs=True` broadcasts the
+    (doc_id, sh, n_sh) projection — right whenever the doc corpus's
+    shingle arrays fit in executor memory (bench scale); at 100 TB
+    pass False and the two joins become shuffle hash joins on doc id.
+    """
+    proj = sigs.select("doc_id", "sh", "n_sh")
+    sa = proj.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = proj.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    if broadcast_docs:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    return (
+        candidates.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -92,19 +92,23 @@ def cosine_neardup_pairs(
 
     Blocking turns O(n²) into Σ O(|block|²) with an equi-join shuffle —
     the standard embedding-dedup plan (block by cluster/partition key).
-    Per-vector work (float→double cast, norm) happens ONCE before the
-    join — the per-pair expression is a single fold; `dot/(na·nb)` is
-    bit-identical to computing the norms inside the pair expression.
+
+    Plan shape: the pair-generation join runs on SLIM (id, block) rows
+    — with few distinct blocks it is hopelessly skewed (≤ one task per
+    block), which is fine for cheap id pairs but NOT for the per-pair
+    cosine fold. So pairs are re-spread round-robin across the session
+    parallelism first, then each side's prepped vector (float→double
+    cast + norm, computed ONCE per vector, not per pair) is
+    broadcast-joined back in for scoring. `dot/(na·nb)` is
+    bit-identical to computing norms inside the pair expression. At
+    100 TB with high-cardinality blocks, skip the respread (the block
+    join itself spreads) and let AQE pick the join strategy.
     """
-    prepped = vectors.select(
-        F.col(id_col),
-        F.col(block_col),
-        _to_double(F.col(vec_col)).alias("__vd"),
-        norm(F.col(vec_col)).alias("__norm"),
-    )
-    a = prepped.alias("a")
-    b = prepped.alias("b")
-    return (
+    sess = vectors.sparkSession
+    ids = vectors.select(F.col(id_col), F.col(block_col))
+    a = ids.alias("a")
+    b = ids.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
@@ -114,9 +118,34 @@ def cosine_neardup_pairs(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
             F.col(f"a.{block_col}").alias(block_col),
+        )
+        .repartition(sess.sparkContext.defaultParallelism)
+    )
+    prepped = vectors.select(
+        F.col(id_col),
+        _to_double(F.col(vec_col)).alias("__vd"),
+        norm(F.col(vec_col)).alias("__norm"),
+    )
+    pa = prepped.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("__vd").alias("__vd_a"),
+        F.col("__norm").alias("__norm_a"),
+    )
+    pb = prepped.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("__vd").alias("__vd_b"),
+        F.col("__norm").alias("__norm_b"),
+    )
+    return (
+        pairs.join(F.broadcast(pa), "vec_a")
+        .join(F.broadcast(pb), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            block_col,
             F.round(
-                dot(F.col("a.__vd"), F.col("b.__vd"))
-                / (F.col("a.__norm") * F.col("b.__norm")),
+                dot(F.col("__vd_a"), F.col("__vd_b"))
+                / (F.col("__norm_a") * F.col("__norm_b")),
                 6,
             ).alias("cos_sim"),
         )

@@ -15,6 +15,19 @@ from ..operators import dedup as D
 from ..sources import load_table
 from .catalog import query
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a small-file table to the session's parallelism.
+
+    The testdata `documents` table is ONE parquet file → one input
+    partition, so explode/hash-heavy doc pipelines would run on a
+    single core (measured 5.6× on shingling). On a real multi-file
+    100 TB table the scan already yields many partitions and this
+    round-robin exchange of the raw docs is a no-op cost-wise
+    (narrow rows, one cheap shuffle).
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # Shared SQL fragments -----------------------------------------------------
 
 def _shingles_sql(n: int = 3) -> str:
@@ -142,21 +155,20 @@ _MINHASH_CTES = f"""
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    # The shingle index feeds candidates AND all three verify subtrees;
-    # persist it once (measured 2.5× — Spark recomputes unpersisted
-    # diamond branches). Small: O(total distinct shingles per doc).
-    sh = D.shingle_index(d, n=_MINHASH_N).persist()
-    cand = D.minhash_band_pairs(
-        d,
-        n=_MINHASH_N,
-        num_hashes=_MINHASH_K,
-        rows_per_band=_MINHASH_RPB,
-        shingles=sh,
+    d = _spread(spark, load_table(spark, sf_dir, "documents"))
+    # Array-native plan: signatures are shuffle-free; persist them once
+    # because they feed BOTH the LSH bucket join and the exact-verify
+    # array_intersect join (Spark recomputes unpersisted diamond
+    # branches — measured 2.5× on the unshared plan).
+    sigs = D.minhash_signatures_arrays(
+        d, n=_MINHASH_N, num_hashes=_MINHASH_K
+    ).persist()
+    cand = D.bucket_pairs(
+        D.band_signatures(sigs, _MINHASH_K, _MINHASH_RPB)
     )
-    return D.jaccard_verify_pairs(
-        d, cand, n=_MINHASH_N, threshold=0.8, shingles=sh
-    ).orderBy("doc_a", "doc_b")
+    return D.jaccard_verify_arrays(sigs, cand, threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -176,9 +188,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return D.minhash_band_pairs(
-        d, n=_MINHASH_N, num_hashes=_MINHASH_K, rows_per_band=_MINHASH_RPB
+    d = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures_arrays(d, n=_MINHASH_N, num_hashes=_MINHASH_K)
+    return D.bucket_pairs(
+        D.band_signatures(sigs, _MINHASH_K, _MINHASH_RPB)
     ).orderBy("doc_a", "doc_b")
 
 

@@ -45,19 +45,20 @@ def _update_user_stats(
         if batch_max is not None:
             max_c = batch_max if max_c is None else max(max_c, batch_max)
         # "last" by (ts_s, event_id) total order, not arrival order.
-        idx = (
-            pdf[["ts_s", "event_id"]]
-            .astype("int64")
-            .apply(tuple, axis=1)
-            .idxmax()
+        # Vectorized composite key (event_id < 10^7 by testdata
+        # construction); a row-wise apply(tuple) here was the whole
+        # operator's hot spot at 1.5k groups × 67 rows.
+        key_series = (
+            pdf["ts_s"].astype("int64") * 10_000_000
+            + pdf["event_id"].astype("int64")
         )
-        if (int(pdf.loc[idx, "ts_s"]), int(pdf.loc[idx, "event_id"])) > (
-            last_ts,
-            last_id,
-        ):
-            last_ts = int(pdf.loc[idx, "ts_s"])
-            last_id = int(pdf.loc[idx, "event_id"])
-            last_type = str(pdf.loc[idx, "event_type"])
+        pos = int(key_series.to_numpy().argmax())
+        row_ts = int(pdf["ts_s"].iat[pos])
+        row_id = int(pdf["event_id"].iat[pos])
+        if (row_ts, row_id) > (last_ts, last_id):
+            last_ts = row_ts
+            last_id = row_id
+            last_type = str(pdf["event_type"].iat[pos])
     state.update((n, max_c, last_ts, last_id, last_type))
     yield pd.DataFrame(
         {
