@@ -10,5 +10,6 @@ from . import multimodal  # noqa: E402,F401
 from . import opensky  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
+from . import extended  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "get_queries", "get_oracles", "query"]

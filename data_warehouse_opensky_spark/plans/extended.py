@@ -1,0 +1,258 @@
+"""Extended relational surface: pivot/unpivot, subquery forms, and
+sliding event-time windows.
+
+These round out the mart-report shapes the reference's diagram stages
+5–6 imply (SURVEY §2 T2.6–T2.9 "Create aggregate script" / DataMart
+pane: cross-tab reports, metric melts) and the subquery surface the
+reference's delegated-SQL model gets from Postgres for free (SURVEY §0:
+its "query engine" IS Postgres; e.g. scalar config lookups
+extract_script.py:66-68 are subqueries when inlined into a report).
+
+The three subquery queries run ONE SQL string through BOTH engines —
+Spark's Catalyst rewrites the correlated scalars into aggregate + outer
+join (visible in .explain as a rewritten join, no per-row re-execution),
+DuckDB runs the identical text natively. That shared-text property is
+itself the portability test.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cents
+from ..sources import load_table
+from .catalog import query
+
+
+def _sql_over_views(
+    spark: SparkSession, sf_dir: str, sql: str, tables: list[str]
+) -> DataFrame:
+    """Run one SQL text over temp views of the parquet tables.
+
+    View names are suffixed per-call so concurrent catalog queries
+    never collide, then substituted into the SQL via {table} slots.
+    """
+    tag = uuid.uuid4().hex[:8]
+    names = {}
+    for t in tables:
+        name = f"{t}_{tag}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names[t] = name
+    return spark.sql(sql.format(**names))
+
+
+# --------------------------------------------------------------------------
+# T2.6/T2.8 — pivot: order-status cross-tab per priority (mart report)
+# --------------------------------------------------------------------------
+@query(
+    "pivot_status_by_priority",
+    tier="T2",
+    doc="Pivot (cross-tab): order counts and exact-cents spend per "
+    "priority × status, statuses as columns (the diagram's DataMart "
+    "report shape). Spark groupBy().pivot() with an explicit value "
+    "list — one hash aggregate, no extra shuffle vs the flat groupBy.",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+           coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O'), 0) / 100.0
+             AS open_spend
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_c", cents("o_totalprice")
+    )
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_c").alias("spend_c"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_filled"),
+        F.coalesce("P_n", F.lit(0)).alias("n_partial"),
+        (F.coalesce("O_spend_c", F.lit(0)) / 100.0).alias("open_spend"),
+    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# T2.8 — unpivot (melt): wide per-nation metrics → long (metric, value)
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_nation_metrics",
+    tier="T2",
+    doc="Unpivot/melt: wide per-nation customer metrics (count, exact "
+    "acctbal cents) to long (nation, metric, value) via DataFrame."
+    "unpivot — the inverse mart shape, row-local (no extra shuffle "
+    "after the aggregate).",
+    oracle="""
+    WITH w AS (
+      SELECT n.n_name,
+             count(*) AS n_customers,
+             sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_c
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM w
+    UNION ALL
+    SELECT n_name, 'acctbal_c' AS metric, acctbal_c AS value FROM w
+    ORDER BY n_name, metric
+    """,
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(cents("c_acctbal")).alias("acctbal_c"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_customers", "acctbal_c"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("n_name", "metric")
+
+
+# --------------------------------------------------------------------------
+# Subqueries — ONE SQL text for Spark and DuckDB
+# --------------------------------------------------------------------------
+_SCALAR_SUBQ = """
+    SELECT p_brand,
+           count(*) AS n_above,
+           max(CAST(round(p_retailprice * 100) AS BIGINT))
+             / CAST(100 AS DOUBLE) AS max_price
+    FROM {part}
+    WHERE CAST(round(p_retailprice * 100) AS BIGINT)
+          * (SELECT count(*) FROM {part})
+          > (SELECT sum(CAST(round(p_retailprice * 100) AS BIGINT))
+             FROM {part})
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+@query(
+    "subquery_scalar_above_avg",
+    tier="T2",
+    doc="Uncorrelated scalar subqueries: parts priced above the global "
+    "mean, compared in exact integer cross-multiplication (p·n > Σp — "
+    "no float average). Catalyst plans the scalars as broadcast "
+    "one-row joins; identical SQL text runs on DuckDB.",
+    oracle=_SCALAR_SUBQ.format(part="part"),
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_over_views(spark, sf_dir, _SCALAR_SUBQ, ["part"])
+
+
+_CORR_SUBQ = """
+    SELECT o.o_orderpriority,
+           count(*) AS n_above
+    FROM {orders} o
+    WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+          * (SELECT count(*) FROM {orders} i
+             WHERE i.o_custkey = o.o_custkey)
+          > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+             FROM {orders} i
+             WHERE i.o_custkey = o.o_custkey)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@query(
+    "subquery_correlated_above_cust_avg",
+    tier="T2",
+    doc="Correlated scalar subqueries: orders above their own "
+    "customer's mean order value (exact integer cross-multiply). "
+    "Catalyst de-correlates into per-customer aggregates + joins — "
+    "no per-row re-execution; same text runs on DuckDB.",
+    oracle=_CORR_SUBQ.format(orders="orders"),
+)
+def subquery_correlated_above_cust_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _sql_over_views(spark, sf_dir, _CORR_SUBQ, ["orders"])
+
+
+_EXISTS_SUBQ = """
+    SELECT c.c_mktsegment,
+           count(*) AS n_customers
+    FROM {customer} c
+    WHERE EXISTS (SELECT 1 FROM {orders} o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+
+
+@query(
+    "subquery_exists_urgent",
+    tier="T2",
+    doc="EXISTS correlated subquery (T2.4's semi-join via its SQL "
+    "surface form): customers with ≥1 urgent order, counted per "
+    "segment. Catalyst plans EXISTS as a left-semi hash join.",
+    oracle=_EXISTS_SUBQ.format(customer="customer", orders="orders"),
+)
+def subquery_exists_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_over_views(spark, sf_dir, _EXISTS_SUBQ, ["customer", "orders"])
+
+
+# --------------------------------------------------------------------------
+# T2.16 — sliding (hopping) event-time window, batch form
+# --------------------------------------------------------------------------
+@query(
+    "window_sliding_2h",
+    tier="T2",
+    doc="Sliding event-time window (2-hour width, 1-hour hop) over "
+    "events: each event lands in two windows (F.window with slide). "
+    "Oracle replicates via a 2-element hop join. Exact cents sums; "
+    "window keyed by its start hour.",
+    oracle="""
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 - hop AS window_hour,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM events, (SELECT unnest([0, 1]) AS hop)
+    GROUP BY window_hour
+    ORDER BY window_hour
+    """,
+)
+def window_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(cents("value")) / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.expr("unix_timestamp(w.start) div 3600")
+            .cast("long")
+            .alias("window_hour"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+        .orderBy("window_hour")
+    )
