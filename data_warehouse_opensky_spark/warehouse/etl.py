@@ -161,3 +161,30 @@ def build_gold_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dic
     deltas.write.mode("overwrite").parquet(f"{gold_dir}/trajectory_deltas")
     out["trajectory_deltas"] = deltas.count()
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write a table bucketed (and optionally sorted) on its join key.
+
+    The 100 TB co-location primitive: two tables bucketed on the same
+    key with the same bucket count join WITHOUT any shuffle — each task
+    zips bucket i with bucket i (tests/test_plans.py pins the no-
+    Exchange plan). This is how repeated fact↔fact joins (e.g.
+    state-vectors ↔ per-aircraft dims rebuilt hourly) amortize their
+    shuffle: pay one bucketed write, skip the exchange on every later
+    join. Sorting within buckets additionally drops the per-join sort
+    for sort-merge.
+    """
+    w = df.write.mode("overwrite").option("path", path).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
