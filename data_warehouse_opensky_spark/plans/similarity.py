@@ -192,3 +192,110 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "ann_lsh_recall",
+    tier="T3",
+    doc="ANN quality gate: recall@10 of the LSH bucket probe vs exact "
+    "brute force, for 5 query vectors in one pass (the metric that "
+    "decides if a bucketing config ships). Ranks use round-6 cosine "
+    "with vec_id tiebreak so both engines rank identically.",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_planes_sql('embedding', 8)} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
+          FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.bucket, q.qbucket,
+             round({_cos_sql('e.embedding', 'q.qvec')}, 6) AS cos_sim
+      FROM b e, q
+      WHERE e.vec_id != q.qid
+    ),
+    exact_topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ),
+    probe_topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored WHERE bucket = qbucket
+      ) WHERE rn <= 10
+    )
+    SELECT e.qid AS query_id,
+           (SELECT count(*) FROM probe_topk p WHERE p.qid = e.qid)
+             AS n_probe,
+           round(count(p.vec_id) / CAST(10 AS DOUBLE), 6) AS recall_at_10
+    FROM exact_topk e
+    LEFT JOIN probe_topk p ON p.qid = e.qid AND p.vec_id = e.vec_id
+    GROUP BY e.qid
+    ORDER BY query_id
+    """,
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.withColumn("bucket", S.hyperplane_bits("embedding", 8))
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qvec"),
+        F.col("bucket").alias("__qbucket"),
+    )
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "bucket",
+            "__qbucket",
+            F.round(S.cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    exact_topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    probe_topk = (
+        scored.filter(F.col("bucket") == F.col("__qbucket"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    n_probe = probe_topk.groupBy("qid").agg(F.count("*").alias("n_probe"))
+    overlap = exact_topk.join(probe_topk, ["qid", "vec_id"], "left_semi")
+    return (
+        exact_topk.groupBy("qid")
+        .agg(F.count("*").alias("__n_exact"))
+        .join(F.broadcast(n_probe), "qid", "left")
+        .join(
+            F.broadcast(
+                overlap.groupBy("qid").agg(F.count("*").alias("__n_hit"))
+            ),
+            "qid",
+            "left",
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce("n_probe", F.lit(0)).alias("n_probe"),
+            F.round(
+                F.coalesce("__n_hit", F.lit(0)) / F.lit(10.0), 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

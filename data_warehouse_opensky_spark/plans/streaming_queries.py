@@ -174,3 +174,69 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_session_windows",
+    tier="T2",
+    doc="Streaming sessionization (T2.16): watermarked session_window "
+    "with a 30-min inactivity gap, per-user session stats over the "
+    "drained stream. Complete mode ⇒ equals the batch sessionization "
+    "(same oracle as session_window_stats — the replay-equivalence "
+    "property, now for MERGING windows whose bounds depend on data).",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN ts_s - lag(ts_s) OVER (
+                    PARTITION BY user_id ORDER BY ts_s, event_id) >= 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts_s,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_no) AS BIGINT) AS n_sessions,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           CAST(max(dur) AS BIGINT) AS max_session_dur_s
+    FROM (
+      SELECT user_id, session_no, count(*) AS cnt,
+             max(ts_s) - min(ts_s) AS dur
+      FROM sessions GROUP BY user_id, session_no
+    ) GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _stream_events(spark, sf_dir).select(
+        "user_id",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_floor"),
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    per_session = (
+        stream.withWatermark("ts_floor", "2 hours")
+        .groupBy("user_id", F.session_window("ts_floor", "30 minutes"))
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.max("ts_s") - F.min("ts_s")).alias("dur"),
+        )
+    )
+    sink = _drain_to_memory(per_session, mode="complete")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.max("dur").cast("long").alias("max_session_dur_s"),
+        )
+        .orderBy("user_id")
+    )

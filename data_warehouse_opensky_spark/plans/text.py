@@ -120,3 +120,75 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return X.fingerprint(d).orderBy("doc_id")
+
+
+@query(
+    "text_tfidf_topk",
+    tier="T3",
+    doc="TF-IDF top-3 salient terms per document (T3.4). tf/df are "
+    "exact integers; idf = ln((N+1)/(df+1)) is continuous so the "
+    "score rounds at 6 dp, and ranking uses the rounded score with a "
+    "term tiebreak so both engines rank identically. Scale: tf is one "
+    "token-explode shuffle, df is a broadcast-back vocabulary agg, "
+    "top-3 rides WindowGroupLimit.",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term != '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)),
+                   6) AS tfidf
+      FROM tf, df, n WHERE df.term = tf.term
+    )
+    SELECT doc_id, term, tf, tfidf FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY doc_id, rn
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + 1)
+                    / (F.col("df") + 1).cast("double")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
