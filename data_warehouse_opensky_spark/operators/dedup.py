@@ -421,7 +421,16 @@ def jaccard_verify_arrays(
     (doc_id, sh, n_sh) projection — right whenever the doc corpus's
     shingle arrays fit in executor memory (bench scale); at 100 TB
     pass False and the two joins become shuffle hash joins on doc id.
+
+    The candidate frame is re-spread round-robin first: candidates are
+    BYTES-tiny (two ids) so AQE coalesces their shuffle to ~1
+    partition, but each row then costs an O(|sh_a|+|sh_b|) hash-set
+    intersection — without the respread all of that compute lands on
+    one core (measured 4×).
     """
+    candidates = candidates.repartition(
+        candidates.sparkSession.sparkContext.defaultParallelism
+    )
     proj = sigs.select("doc_id", "sh", "n_sh")
     sa = proj.select(
         F.col("doc_id").alias("doc_a"),

@@ -44,6 +44,10 @@ RUNTIME_CONFS: dict[str, str] = {
 BUILDER_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": "16g",
+    # A catalog-wide run compiles 50+ generated-code plans in one JVM;
+    # the JVM's default 240 MB code cache fills, the JIT stops
+    # compiling, and later queries run interpreted with 5-10x tails.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "snappy",
