@@ -256,3 +256,45 @@ def window_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_hour")
     )
+
+
+# --------------------------------------------------------------------------
+# Map functions: JSON props → typed MapType, map ops JVM-side
+# --------------------------------------------------------------------------
+@query(
+    "map_funcs",
+    tier="T2",
+    doc="MapType surface: from_json(props) → map<string,bigint>, then "
+    "map_keys / element_at / map_contains_key aggregated per event "
+    "type — the typed-map twin of the string-path JSON extraction "
+    "(json_extract_props). Everything stays in codegen; no map is "
+    "output raw (map ordering is engine-specific).",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(len(json_keys(props))) AS BIGINT) AS n_entries,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) FILTER (
+             WHERE json_extract_string(props, '$.k') IS NOT NULL
+           ) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.select(
+            "event_type",
+            F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+            F.element_at(m, "k").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_keys").alias("n_entries"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )

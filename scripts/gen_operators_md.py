@@ -93,6 +93,11 @@ SURVEY_MATRIX: list[tuple[str, str, str]] = [
      "`text_lang_id`, `text_quality_score`, `text_token_count`, `text_fingerprint`, `text_tfidf_topk`"),
     ("T3.5", "UDF/UDAF/UDTF surface",
      "`udf_scalar_token_count`, `udf_grouped_agg_spend`, `udf_grouped_map_share`, `udtf_token_positions`"),
+    ("—", "Beyond-survey additions (SURVEY §2 'add only if needed' list, "
+     "added because mart/report shapes use them)",
+     "`subquery_scalar_above_avg`, `subquery_correlated_above_cust_avg`, "
+     "`pivot_status_by_priority`, `unpivot_nation_metrics`, `json_extract_props`, "
+     "`map_funcs`, `sample_hash_5pct`, `percentile_disc_price`, `point_lookup`"),
 ]
 
 HEADER = """\
