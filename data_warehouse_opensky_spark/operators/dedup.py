@@ -462,6 +462,61 @@ def jaccard_verify_arrays(
     )
 
 
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(doc_id, component) via min-label propagation to fixpoint.
+
+    The dedup-clustering step: near-dup PAIRS (doc_a, doc_b) become
+    CLUSTERS so one canonical doc per cluster survives. Iterative
+    (driver-coordinated rounds — the genuinely non-SQL-expressible
+    class SURVEY §5 anticipates): each round every node takes the min
+    label among itself and its neighbors; converges in O(cluster
+    diameter) rounds, and dup clusters are shallow (near-clique), so
+    2-4 rounds in practice. Per round: one join + one min-groupBy, a
+    `localCheckpoint` truncating lineage so plans don't grow with
+    iteration count (the standard Spark iterative-algorithm guard).
+    The component id IS the cluster's min doc_id at convergence.
+    """
+    und = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        edges.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        prop = und.join(
+            labels.select(
+                F.col("doc_id").alias("src"), "component"
+            ),
+            "src",
+        ).select(F.col("dst").alias("doc_id"), "component")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

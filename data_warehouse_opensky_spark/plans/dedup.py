@@ -196,6 +196,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# T3.1/T3.2 — dedup clustering: connected components over LSH pairs
+# --------------------------------------------------------------------------
+@query(
+    "dedup_components_canonical",
+    tier="T3",
+    doc="Near-dup CLUSTERS from LSH candidate pairs via iterative "
+    "min-label propagation (connected components) — the step that "
+    "turns pairs into one-canonical-per-cluster keep lists. Spark "
+    "side is driver-coordinated rounds (join + min-groupBy + "
+    "localCheckpoint per round, O(diameter) rounds); the oracle is a "
+    "recursive CTE computing the same transitive closure.",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN und e ON e.src = r.dst
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT component AS canonical_doc_id,
+           count(*) AS n_docs,
+           max(doc_id) AS max_doc_id
+    FROM comp
+    GROUP BY component
+    ORDER BY canonical_doc_id
+    """,
+)
+def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures_arrays(d, n=_MINHASH_N, num_hashes=_MINHASH_K)
+    edges = D.bucket_pairs(D.band_signatures(sigs, _MINHASH_K, _MINHASH_RPB))
+    comp = D.connected_components(edges)
+    return (
+        comp.groupBy(F.col("component").alias("canonical_doc_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # T3.2 — SimHash signatures + hamming pairs
 # --------------------------------------------------------------------------
 def _simhash_sql(bits: int = 32) -> str:

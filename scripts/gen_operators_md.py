@@ -81,7 +81,7 @@ SURVEY_MATRIX: list[tuple[str, str, str]] = [
     ("T2.16", "Streaming (windows, watermark, state)",
      "`streaming_tumbling_counts`, `window_sliding_2h`, `streaming_session_windows`, "
      "`streaming_dedup_latest`, `streaming_stateful_running_agg`, `session_window_stats`"),
-    ("T3.1", "Exact dedup", "`dedup_exact`"),
+    ("T3.1", "Exact dedup", "`dedup_exact`, `dedup_components_canonical` (cluster → canonical keep-list)"),
     ("T3.2", "Near-dup / similarity",
      "`dedup_minhash_lsh`, `dedup_ngram_jaccard`, `dedup_simhash`, `dedup_simhash_pairs`, "
      "`embedding_neardup_pairs`, `ann_brute_force_topk`, `ann_lsh_buckets`, `ann_lsh_topk`, "
