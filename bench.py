@@ -50,6 +50,13 @@ HEADLINE = [
     "udf_grouped_map_share",
     "streaming_tumbling_counts",
     "streaming_stateful_running_agg",
+    "subquery_correlated_above_cust_avg",
+    "window_sliding_2h",
+    "text_tfidf_topk",
+    "pivot_status_by_priority",
+    "ann_lsh_recall",
+    "dedup_components_canonical",
+    "streaming_session_windows",
 ]
 
 
