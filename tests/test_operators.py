@@ -144,3 +144,28 @@ def test_salted_agg_equals_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain collapses to its min id,
+    two islands stay separate, and nodes with no edges don't appear
+    (singletons are by-definition already canonical)."""
+    from data_warehouse_opensky_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 10-11-12-13 (diameter 3 → exercises >1 round),
+        # island {20, 21}, island {30, 31} joined transitively via 32.
+        [(11, 10), (11, 12), (12, 13), (20, 21), (30, 32), (31, 32)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+        (30, 30), (31, 30), (32, 30),
+    }
