@@ -55,6 +55,25 @@ def query(name: str, *, oracle: str | None, tier: str, doc: str = ""):
     return deco
 
 
+def reorder(front: list[str]) -> None:
+    """Move `front` queries (in the given order) to the head of the registry.
+
+    dicts preserve insertion order, and the external driver checks only
+    the first N queries of `get_queries()` — rotating the front cycles
+    driver verification across the catalog round by round. Names not in
+    `front` keep their relative registration order after it. Unknown
+    names are an error (catches typos when the catalog evolves).
+    """
+    unknown = [n for n in front if n not in QUERIES]
+    if unknown:
+        raise ValueError(f"reorder: unknown query names: {unknown}")
+    rest = {n: q for n, q in QUERIES.items() if n not in set(front)}
+    ordered = {n: QUERIES[n] for n in front}
+    ordered.update(rest)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
 def get_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in QUERIES.items()}
 

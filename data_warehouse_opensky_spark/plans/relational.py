@@ -474,16 +474,39 @@ def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "approx_count_distinct_users",
     tier="T2",
-    doc="approx_count_distinct / HLL (T2.7). No oracle — HLL estimates "
-    "are engine-specific; driver rows-only check. At 100 TB this is the "
-    "operator you actually run (single pass, bounded memory).",
-    oracle=None,
+    doc="approx_count_distinct / HLL (T2.7). HLL estimates are "
+    "engine-specific, so the raw estimate can never hash-match an "
+    "oracle; instead (ann_lsh_recall gate pattern) emit the exact "
+    "count plus a within_tolerance boolean (|approx-exact|/exact < "
+    "0.05) that the oracle predicts exactly. At 100 TB the approx "
+    "path is the operator you actually run (single pass, bounded "
+    "memory); this query gates its quality.",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_tolerance
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
 )
 def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                < 0.05
+            ).alias("within_tolerance"),
+        )
         .orderBy("event_type")
     )
 
@@ -707,7 +730,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(*) AS n_rows,
            count(disc_bp) AS n_discounted,
-           sum(CASE WHEN disc_bp IS NULL THEN 1 ELSE 0 END) AS n_free,
+           CAST(sum(CASE WHEN disc_bp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_free,
            CAST(sum(coalesce(disc_bp, 0)) AS BIGINT) AS total_disc_bp
     FROM x
     GROUP BY l_returnflag
