@@ -24,7 +24,7 @@ any SQL engine reproduces them exactly — no engine-specific hash().
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -492,27 +492,45 @@ def connected_components(
         .select("doc_id", F.col("doc_id").alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         prop = und.join(
             labels.select(
                 F.col("doc_id").alias("src"), "component"
             ),
             "src",
-        ).select(F.col("dst").alias("doc_id"), "component")
+        ).select(
+            F.col("dst").alias("doc_id"),
+            "component",
+            F.lit(False).alias("is_self"),
+        )
+        # Convergence detection rides the round's single job: the old
+        # label is carried through the min-groupBy (min over is_self
+        # rows == previous component, since labels only decrease) and
+        # the changed-count is an observe() metric collected by the
+        # eager localCheckpoint — no separate join+count job per round.
+        merged = labels.select(
+            "doc_id", "component", F.lit(True).alias("is_self")
+        ).union(prop)
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
-            labels.union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
+            merged.groupBy("doc_id")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_self"), F.col("component"))).alias(
+                    "_old"
+                ),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("component") != F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("doc_id", "component")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     return labels
 

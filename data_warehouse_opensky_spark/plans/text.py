@@ -168,8 +168,19 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
+    # Vocabulary (distinct-term) broadcast is the fast path; a web-scale
+    # corpus can exceed the broadcast threshold, so the hint is gated by
+    # config: set spark.data_warehouse.tfidf.broadcastVocab=false to
+    # fall back to a shuffle join on `term` (tf is already partitioned
+    # by (doc_id, term) from its groupBy; the df agg reuses the same
+    # exchange on term). SCALE.md §text documents the crossover.
+    bcast = (
+        spark.conf.get("spark.data_warehouse.tfidf.broadcastVocab", "true")
+        == "true"
+    )
+    df_side = F.broadcast(df) if bcast else df
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df_side, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

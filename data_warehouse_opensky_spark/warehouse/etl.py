@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import latest_per_key
@@ -76,10 +76,14 @@ def stage_files(
             ).write.mode("append").partitionBy("ingest_date").parquet(bronze_dir)
 
             clean = clean_state_vectors(raw, file_source=F.lit(name))
-            n = clean.count()
-            clean.withColumn(
+            # Row count rides along the write via observe() — one scan
+            # per file, not a count() pass plus a write pass (the
+            # double-compute doubles ETL cost at 100× file counts).
+            obs = Observation(f"stage:{name}")
+            clean.observe(obs, F.count(F.lit(1)).alias("n")).withColumn(
                 "event_date", F.to_date(F.coalesce("last_contact", "load_timestamp"))
             ).write.mode("append").partitionBy("event_date").parquet(silver_dir)
+            n = obs.get["n"]
 
             file_log.record(name, "CLEAN_EXPORTED", row_count=n)
             results[name] = "CLEAN_EXPORTED"
@@ -117,6 +121,16 @@ def build_gold_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dic
     s = spark.read.parquet(silver_dir)
     out: dict[str, int] = {}
 
+    def write_mart(df: DataFrame, name: str) -> None:
+        # Mart row counts ride along the write via observe() — each
+        # cube/window computes exactly once (a trailing .count() on the
+        # unwritten plan would re-run the whole aggregation).
+        obs = Observation(f"mart:{name}")
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(f"{gold_dir}/{name}")
+        out[name] = obs.get["n"]
+
     cube = (
         s.withColumn("hour", F.date_trunc("hour", "last_contact"))
         .cube("origin_country", "hour", "on_ground")
@@ -127,14 +141,13 @@ def build_gold_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dic
             F.avg("baro_altitude").alias("avg_baro_altitude"),
         )
     )
-    cube.write.mode("overwrite").parquet(f"{gold_dir}/country_hour_cube")
-    out["country_hour_cube"] = cube.count()
+    write_mart(cube, "country_hour_cube")
 
     latest = latest_per_key(
         s, "icao24", ["last_contact", "time_position", "file_source"]
     )
-    latest.write.mode("overwrite").parquet(f"{gold_dir}/latest_positions")
-    out["latest_positions"] = latest.count()
+    write_mart(latest, "latest_positions")
+    latest = spark.read.parquet(f"{gold_dir}/latest_positions")
 
     w = Window.partitionBy("origin_country").orderBy(F.desc_nulls_last("velocity"))
     top = (
@@ -142,8 +155,7 @@ def build_gold_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dic
         .filter(F.col("rank") <= 5)
         .select("origin_country", "rank", "icao24", "callsign", "velocity")
     )
-    top.write.mode("overwrite").parquet(f"{gold_dir}/country_toplists")
-    out["country_toplists"] = top.count()
+    write_mart(top, "country_toplists")
 
     tw = Window.partitionBy("icao24").orderBy("last_contact", "file_source")
     deltas = s.select(
@@ -158,8 +170,7 @@ def build_gold_marts(spark: SparkSession, silver_dir: str, gold_dir: str) -> dic
             - F.lag(F.unix_timestamp("last_contact")).over(tw)
         ).alias("gap_s"),
     )
-    deltas.write.mode("overwrite").parquet(f"{gold_dir}/trajectory_deltas")
-    out["trajectory_deltas"] = deltas.count()
+    write_mart(deltas, "trajectory_deltas")
     return out
 
 

@@ -192,3 +192,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_tfidf_vocab_join_strategies(spark):
+    """TF-IDF's tf⨝df join: broadcast by default, shuffle join on
+    `term` when spark.data_warehouse.tfidf.broadcastVocab=false (the
+    web-scale-vocabulary fallback, SCALE.md §7). Both shapes must
+    compile; the fallback must NOT broadcast the vocabulary."""
+    plan_b = plan_of(spark, "text_tfidf_topk")
+    assert "BroadcastHashJoin" in plan_b or "BroadcastExchange" in plan_b
+
+    spark.conf.set("spark.data_warehouse.tfidf.broadcastVocab", "false")
+    try:
+        # Build the DataFrame first (load_table's configure_runtime
+        # resets autoBroadcastJoinThreshold to 64MB), THEN disable
+        # size-based broadcast before the plan is lazily compiled, so
+        # the assertion is about OUR hint gate, not sf0.001 sizes.
+        df = QUERIES["text_tfidf_topk"].fn(spark, SF)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_s = explain_str(df)
+        assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s, plan_s
+    finally:
+        spark.conf.unset("spark.data_warehouse.tfidf.broadcastVocab")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
