@@ -16,6 +16,7 @@ NEW → PROCESSING → CLEAN_EXPORTED | FAILED.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from datetime import datetime, timezone
 
@@ -32,7 +33,13 @@ FILE_LOG_SCHEMA = T.StructType(
         T.StructField("row_count", T.LongType()),
         T.StructField("error_message", T.StringType()),
         T.StructField("last_updated", T.TimestampType()),
-        T.StructField("seq", T.LongType()),  # monotonic per-process tiebreak
+        # Globally monotonic tiebreak: epoch-nanos at event creation
+        # (guarded strictly increasing within a process). Two processes
+        # writing the same file's status inside the same last_updated
+        # microsecond still order correctly at ns granularity — a
+        # per-process 0-based counter would not (latest-wins could pick
+        # the wrong writer's event).
+        T.StructField("seq", T.LongType()),
     ]
 )
 
@@ -54,7 +61,7 @@ class FileLog:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self._seq = 0
+        self._seq = 0  # last issued epoch-ns; guards strict monotonicity
 
     def _read_events(self) -> DataFrame:
         if not os.path.isdir(self.path) or not os.listdir(self.path):
@@ -78,7 +85,7 @@ class FileLog:
     ) -> None:
         """Append one status event. Error messages clipped to 500 chars
         (T1.21, extract_script.py:184)."""
-        self._seq += 1
+        self._seq = max(self._seq + 1, time.time_ns())
         msg = error_message[:500] if error_message else None
         row = [
             (

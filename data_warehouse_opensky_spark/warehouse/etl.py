@@ -26,8 +26,10 @@ from pyspark.sql import functions as F
 from ..operators.asof import latest_per_key
 from ..schemas import RAW_SCHEMA
 from ..session import configure_runtime
+from ..sources.config import DbConfig
 from ..transform import clean_state_vectors
 from .control import FileLog
+from .export import export_clean_csv, write_staging_jdbc
 
 
 def discover_new_files(spark: SparkSession, landing_dir: str, file_log: FileLog) -> list[str]:
@@ -55,12 +57,17 @@ def stage_files(
     bronze_dir: str,
     silver_dir: str,
     file_log: FileLog,
+    clean_csv_dir: str | None = None,
+    jdbc: "DbConfig | None" = None,
 ) -> dict[str, str]:
     """EP2 core loop with per-file fault isolation (T1.22).
 
     Returns {file_name: final_status}. Each file: raw read (explicit
     schema, no inference) → bronze append → §1.3 clean transform →
-    silver append partitioned by event date."""
+    silver append partitioned by event date. Optional reference-
+    contract sinks: `clean_csv_dir` emits DataStaging-style
+    clean_<name>.csv per file (T1.18), `jdbc` appends the raw frame to
+    a relational staging table (T1.17) — see warehouse/export.py."""
     configure_runtime(spark)
     results: dict[str, str] = {}
     for path in paths:
@@ -74,8 +81,12 @@ def stage_files(
             bronze.withColumn(
                 "ingest_date", F.to_date("load_timestamp")
             ).write.mode("append").partitionBy("ingest_date").parquet(bronze_dir)
+            if jdbc is not None:
+                write_staging_jdbc(bronze, jdbc)
 
             clean = clean_state_vectors(raw, file_source=F.lit(name))
+            if clean_csv_dir is not None:
+                export_clean_csv(clean, clean_csv_dir, name)
             # Row count rides along the write via observe() — one scan
             # per file, not a count() pass plus a write pass (the
             # double-compute doubles ETL cost at 100× file counts).

@@ -1,0 +1,168 @@
+"""Reference-contract sinks: INI config (T1.24), clean CSV export
+(T1.18), JDBC staging options (T1.17).
+
+The clean-CSV golden check replays the reference stager's semantics
+(load_warehouse.py:62-91 transform_chunk + :131-161 process_single_file)
+in pandas inside the test and compares our Spark-written
+clean_<name>.csv cell-by-cell (exact for strings/ints/bools/times,
+float-parse for the coerced telemetry doubles — 'byte-level modulo
+float repr')."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_opensky_spark.schemas import CLEAN_COLUMNS, RAW_SCHEMA
+from data_warehouse_opensky_spark.sources.config import (
+    ConfigError,
+    DbConfig,
+    load_ini_db_config,
+)
+from data_warehouse_opensky_spark.transform import clean_state_vectors
+from data_warehouse_opensky_spark.warehouse.export import (
+    export_clean_csv,
+    staging_jdbc_options,
+)
+
+REF_DATA = "/root/reference/data"
+
+INI_TEXT = """[database]
+host = localhost
+port = 5432
+user = postgres
+password = 123
+"""
+
+
+def test_ini_parse_happy_path(tmp_path):
+    p = tmp_path / "config.ini"
+    p.write_text(INI_TEXT)
+    raw = load_ini_db_config(str(p))
+    assert raw == {
+        "host": "localhost",
+        "port": "5432",
+        "user": "postgres",
+        "password": "123",
+    }
+    db = DbConfig.from_ini(str(p), dbname="db_staging")
+    assert db.jdbc_url() == "jdbc:postgresql://localhost:5432/db_staging"
+    assert db.with_dbname("db_control").jdbc_url().endswith("/db_control")
+
+
+def test_ini_missing_file_fails_fast(tmp_path):
+    with pytest.raises(ConfigError, match="not found"):
+        load_ini_db_config(str(tmp_path / "nope.ini"))
+
+
+def test_ini_missing_database_section_fails_fast(tmp_path):
+    p = tmp_path / "config.ini"
+    p.write_text("[other]\nx = 1\n")
+    with pytest.raises(ConfigError, match="database"):
+        load_ini_db_config(str(p))
+
+
+def test_jdbc_staging_options():
+    db = DbConfig("h", "5432", "u", "pw", "db_staging")
+    opts = staging_jdbc_options(db)
+    assert opts["url"] == "jdbc:postgresql://h:5432/db_staging"
+    assert opts["dbtable"] == "raw_flight_states"  # load_warehouse.py:151
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["user"] == "u" and opts["password"] == "pw"
+    assert opts["batchsize"] == "10000"
+
+
+def _reference_clean_pandas(path: str, load_ts: datetime) -> pd.DataFrame:
+    """transform_chunk replayed in pandas (load_warehouse.py:62-91):
+    coerce 7 telemetry cols to float, position_source to Int64, epoch
+    cols to datetime, strict-lowercase bool map, column order
+    `final_columns` (:77-85) with load_timestamp/file_source derived
+    (:148-149)."""
+    df = pd.read_csv(path, dtype=str)
+    df["load_timestamp"] = load_ts
+    df["file_source"] = os.path.basename(path)
+    for c in (
+        "longitude", "latitude", "baro_altitude", "velocity",
+        "true_track", "vertical_rate", "geo_altitude",
+    ):
+        df[c] = pd.to_numeric(df[c], errors="coerce")
+    df["position_source"] = pd.to_numeric(
+        df["position_source"], errors="coerce"
+    ).astype("Int64")
+    for c in ("time_position", "last_contact"):
+        df[c] = pd.to_datetime(
+            pd.to_numeric(df[c], errors="coerce"), unit="s", errors="coerce"
+        )
+    for c in ("on_ground", "spi"):
+        df[c] = df[c].astype(str).str.lower().map({"true": True, "false": False})
+    return df[list(CLEAN_COLUMNS)]
+
+
+def test_clean_csv_export_matches_reference_contract(spark, tmp_path):
+    src = sorted(glob.glob(f"{REF_DATA}/states_*.csv"))[0]
+    name = os.path.basename(src)
+    load_ts = datetime(2025, 11, 13, 10, 30, 0)
+
+    raw = spark.read.csv(src, header=True, schema=RAW_SCHEMA)
+    clean = clean_state_vectors(
+        raw,
+        file_source=F.lit(name),
+        load_timestamp=F.lit(load_ts),
+    )
+    out = export_clean_csv(clean, str(tmp_path), name)
+
+    # Contract: DataStaging-style name, single header line.
+    assert os.path.basename(out) == f"clean_{name}"
+    lines = open(out).read().splitlines()
+    assert lines[0].split(",")[:2] == ["load_timestamp", "file_source"]
+    assert sum(1 for ln in lines if ln.startswith("load_timestamp")) == 1
+
+    oracle = _reference_clean_pandas(src, load_ts)
+    oracle_csv = tmp_path / "oracle.csv"
+    oracle.to_csv(oracle_csv, index=False)
+
+    ours = list(csv.reader(open(out)))
+    theirs = list(csv.reader(open(oracle_csv)))
+    assert ours[0] == theirs[0]  # identical header, identical order
+    assert len(ours) == len(theirs)
+    float_cols = {
+        ours[0].index(c)
+        for c in (
+            "longitude", "latitude", "baro_altitude", "velocity",
+            "true_track", "vertical_rate", "geo_altitude",
+        )
+    }
+    for ln, (a, b) in enumerate(zip(ours[1:], theirs[1:]), start=2):
+        for i, (va, vb) in enumerate(zip(a, b)):
+            if i in float_cols and va and vb:
+                assert float(va) == float(vb), (ln, ours[0][i], va, vb)
+            else:
+                assert va == vb, (ln, ours[0][i], va, vb)
+
+
+def test_stage_files_emits_clean_csv(spark, tmp_path):
+    """stage_files with clean_csv_dir set writes one clean_<name>.csv
+    per staged file alongside the silver parquet append."""
+    from data_warehouse_opensky_spark.warehouse.control import FileLog
+    from data_warehouse_opensky_spark.warehouse.etl import stage_files
+
+    src = sorted(glob.glob(f"{REF_DATA}/states_*.csv"))[:2]
+    log = FileLog(spark, str(tmp_path / "control"))
+    csv_dir = str(tmp_path / "DataStaging")
+    res = stage_files(
+        spark,
+        src,
+        str(tmp_path / "bronze"),
+        str(tmp_path / "silver"),
+        log,
+        clean_csv_dir=csv_dir,
+    )
+    assert all(v == "CLEAN_EXPORTED" for v in res.values())
+    for p in src:
+        assert os.path.exists(f"{csv_dir}/clean_{os.path.basename(p)}")
