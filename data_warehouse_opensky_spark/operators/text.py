@@ -151,3 +151,184 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             .alias("is_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators (north-star training-data pipeline)
+# ---------------------------------------------------------------------------
+
+#: Per-language per-mille sampling rates for the stratified corpus
+#: sample (keep md5-bucket < rate). Inline so the SQL oracle embeds the
+#: identical VALUES list. The shape mirrors real pretraining mixes:
+#: down-sample over-represented languages, keep the tail.
+STRATA_RATES: tuple[tuple[str, int], ...] = (
+    ("en", 80),
+    ("de", 200),
+    ("es", 300),
+    ("fr", 500),
+    ("zh", 900),
+)
+
+#: Email-ish and digit-run patterns for PII scrubbing. Both are RE2- and
+#: java.util.regex-portable (no backrefs, no lookaround).
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+PII_DIGITS_RE = "[0-9]+"
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    size: int = 120,
+    stride: int = 90,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size overlapping character chunks.
+
+    The LLM-context-window prep step: chunk starts are 1, 1+stride,
+    1+2·stride, … while start ≤ length(text); each chunk is
+    `substring(text, start, size)` (the last chunk may be short).
+
+    Scale: entirely row-local — `sequence` + `explode` generate chunk
+    rows inside the scan task with zero shuffles; output partitioning
+    inherits the input's. At 100 TB this is the shape you want: chunking
+    is a flat-map, never an aggregation.
+    """
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(stride)
+    )
+    chunk = F.expr(f"substring({text_col}, start, {size})")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start_pos"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, exact-integer.
+
+    Per document: token count, distinct-token count, most-frequent-token
+    count, bigram count, distinct-bigram count, most-frequent-bigram
+    count, plus ppm ratios (duplicate-token fraction, top-bigram
+    fraction) — the signals used to drop template/boilerplate docs from
+    training corpora.
+
+    Scale: ONE explode of a tagged (kind, entry) array — tokens and
+    bigrams ride the same shuffle — then two hash aggregations
+    ((doc_id, kind, entry) → doc_id), both map-side combinable. No
+    joins, no row-local O(n²) distinct scans.
+    """
+    toks = tokens(text_col)
+    bigrams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - 1, 0)),"
+        f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
+        f"            element_at(split({text_col}, ' '), i + 1)))"
+    )
+    tagged = F.concat(
+        F.transform(toks, lambda t: F.struct(F.lit("T").alias("kind"), t.alias("entry"))),
+        F.transform(
+            bigrams, lambda b: F.struct(F.lit("B").alias("kind"), b.alias("entry"))
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tagged).alias("e")
+    ).select("doc_id", F.col("e.kind").alias("kind"), F.col("e.entry").alias("entry"))
+    per_entry = exploded.groupBy("doc_id", "kind", "entry").agg(
+        F.count("*").alias("c")
+    )
+    is_t = F.col("kind") == "T"
+    agg = per_entry.groupBy("doc_id").agg(
+        F.sum(F.when(is_t, F.col("c"))).cast("long").alias("n_tokens"),
+        F.count(F.when(is_t, 1)).cast("long").alias("n_distinct_tokens"),
+        F.max(F.when(is_t, F.col("c"))).cast("long").alias("max_token_freq"),
+        F.coalesce(F.sum(F.when(~is_t, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.count(F.when(~is_t, 1)).cast("long").alias("n_distinct_bigrams"),
+        F.coalesce(F.max(F.when(~is_t, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("max_bigram_freq"),
+    )
+    return agg.select(
+        "*",
+        F.expr(
+            "(n_tokens - n_distinct_tokens) * 1000000 div greatest(n_tokens, 1)"
+        ).alias("dup_token_ratio_e6"),
+        F.expr("max_bigram_freq * 1000000 div greatest(n_bigrams, 1)").alias(
+            "top_bigram_ratio_e6"
+        ),
+    )
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Regex PII scrub: count and redact email-ish tokens and digit runs.
+
+    Redaction order matters (emails contain digits): emails → <EMAIL>
+    first, then digit runs → <NUM>. Everything is JVM-side regexp —
+    row-local, zero shuffles, pushdown-friendly.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+        PII_DIGITS_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PII_DIGITS_RE))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: tuple[tuple[str, int], ...] = STRATA_RATES,
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-stratum hash sample: keep a row iff
+    md5(id) mod 1000 < rate(stratum).
+
+    Reproducible across engines and re-runs (unlike RNG sampling), and
+    the per-stratum rate lives in a broadcast dimension — the standard
+    corpus-mixing shape (down-weight over-represented languages). At
+    100 TB the md5-bucket filter runs inside the scan and the rate
+    lookup is a broadcast hash join — no shuffle of the fact side.
+    """
+    spark = docs.sparkSession
+    rates_df = spark.createDataFrame(list(rates), [stratum_col, "keep_per_mille"])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        docs.join(F.broadcast(rates_df), stratum_col)
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("keep_per_mille"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+    )

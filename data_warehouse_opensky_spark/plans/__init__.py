@@ -11,6 +11,7 @@ from . import opensky  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
@@ -53,8 +54,11 @@ DRIVER_WINDOW_PRIORITY = [
     # -- non-green in r1, fixed this round ---------------------------
     "null_handling",
     "approx_count_distinct_users",
-    # -- new this round (registered in extended/...) -----------------
-    # (names appended below as they are implemented)
+    # -- new this round (registered in corpus/extended/...) ----------
+    "corpus_chunking",
+    "corpus_repetition_signals",
+    "corpus_pii_redact",
+    "corpus_stratified_sample",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)
