@@ -12,6 +12,7 @@ from . import streaming_queries  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
+from . import marts  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
@@ -59,6 +60,12 @@ DRIVER_WINDOW_PRIORITY = [
     "corpus_repetition_signals",
     "corpus_pii_redact",
     "corpus_stratified_sample",
+    "range_join_price_bands",
+    "rollup_time_grains",
+    "scd2_intervals",
+    "agg_minmax_by",
+    "approx_percentile_gate",
+    "hof_array_funcs",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

@@ -1,0 +1,345 @@
+"""Warehouse/mart shapes beyond the basic relational surface
+(SURVEY §2 T2 — the delegated-Postgres capabilities the reference's
+diagram stages 4–6 imply): band range joins, multi-grain rollup chains,
+SCD2 interval builds, arg-min/max aggregates, sketch-vs-exact quality
+gates, and higher-order array functions.
+
+Cross-engine determinism follows the catalog doctrine (plans/catalog.py
+module docstring): exact integer fixed-point for money, round(…, 6) for
+continuous values, epoch seconds for timestamps, unique-key tiebreaks
+under every window ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cents
+from ..sources import load_table
+from .catalog import query
+
+#: Order-price bands in exact cents: (band_id, name, lo_c, hi_c-exclusive).
+#: Non-uniform widths — the realistic shape for a banding dimension.
+PRICE_BANDS: tuple[tuple[int, str, int, int], ...] = (
+    (1, "micro", 0, 5_000_000),
+    (2, "small", 5_000_000, 10_000_000),
+    (3, "mid", 10_000_000, 20_000_000),
+    (4, "large", 20_000_000, 40_000_000),
+    (5, "jumbo", 40_000_000, 1_000_000_000),
+)
+
+_BANDS_SQL = ", ".join(f"({i}, '{n}', {lo}, {hi})" for i, n, lo, hi in PRICE_BANDS)
+
+
+# --------------------------------------------------------------------------
+# T2.3 — range (interval) join: fact rows into a banding dimension
+# --------------------------------------------------------------------------
+@query(
+    "range_join_price_bands",
+    tier="T2",
+    doc="Range/interval join: orders matched to a non-uniform price-band "
+    "dimension on lo ≤ price < hi (the banding-report mart shape; no "
+    "equi-key exists). Spark plans the broadcast side as a nested-loop "
+    "over 5 rows — at 100 TB the fact side streams through the "
+    "broadcast unchanged (no shuffle); for large band tables switch to "
+    "binned equi-join (bucket by floor(price/width), then refine).",
+    oracle=f"""
+    WITH bands(band_id, band_name, lo_c, hi_c) AS (VALUES {_BANDS_SQL})
+    SELECT band_id, band_name, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS spend
+    FROM orders
+    JOIN bands ON CAST(round(o_totalprice * 100) AS BIGINT) >= lo_c
+              AND CAST(round(o_totalprice * 100) AS BIGINT) < hi_c
+    GROUP BY band_id, band_name
+    ORDER BY band_id
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        list(PRICE_BANDS), "band_id INT, band_name STRING, lo_c BIGINT, hi_c BIGINT"
+    )
+    o = load_table(spark, sf_dir, "orders").select(cents("o_totalprice").alias("price_c"))
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("price_c") >= F.col("lo_c")) & (F.col("price_c") < F.col("hi_c")),
+        )
+        .groupBy("band_id", "band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("price_c") / 100.0).alias("spend"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.6/T2.13 — multi-grain rollup chain (hour → day → month)
+# --------------------------------------------------------------------------
+@query(
+    "rollup_time_grains",
+    tier="T2",
+    doc="Multi-grain rollup chain: hourly aggregate → daily FROM hourly "
+    "→ monthly FROM daily (the incremental-rollup pattern — each grain "
+    "re-aggregates the previous, never the raw facts). The oracle "
+    "aggregates raw events directly per month, so the gate proves the "
+    "chain is exactly re-aggregable (counts and cent-sums are "
+    "decomposable aggregates). At 100 TB only the hourly agg touches "
+    "the fact table; day/month roll up thousandfold-smaller inputs.",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("v_c")
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "h").alias("d")).agg(
+        F.sum("n").alias("n"), F.sum("v_c").alias("v_c")
+    )
+    return (
+        daily.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("v_c") / 100.0).alias("sum_value"),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------------
+# T1.7/T2.5 — SCD2 interval build from an event log
+# --------------------------------------------------------------------------
+@query(
+    "scd2_intervals",
+    tier="T2",
+    doc="SCD type-2 interval build: each user's event log becomes "
+    "validity intervals [valid_from, valid_to) via lead() over "
+    "(ts, event_id) — the keyed-UPDATE history the reference's "
+    "file_log state machine (load_warehouse.py:97,191) keeps only the "
+    "tip of. Single shuffle on user_id; timestamps emitted as epoch "
+    "seconds with the catalog's unique-key tiebreak.",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) / 100.0 AS value_at,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+           lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+           ) AS valid_to_s,
+           CASE WHEN lead(1) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+           ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    ORDER BY user_id, valid_from_s, event_id
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (cents("value") / 100.0).alias("value_at"),
+        F.unix_timestamp("ts").cast("long").alias("valid_from_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from_s", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value_at",
+        "valid_from_s",
+        F.lead("valid_from_s").over(w).alias("valid_to_s"),
+        F.when(F.lead(F.lit(1)).over(w).isNull(), 1).otherwise(0).alias("is_current"),
+    ).orderBy("user_id", "valid_from_s", "event_id")
+
+
+# --------------------------------------------------------------------------
+# T2.6 — arg-min/arg-max aggregates (min_by / max_by)
+# --------------------------------------------------------------------------
+@query(
+    "agg_minmax_by",
+    tier="T2",
+    doc="Arg-extremum aggregates: per event type, WHO had the cheapest/"
+    "priciest event (min_by/max_by). The ordering key is the exact "
+    "composite cents·10^7 + event_id, so the extremum is unique and "
+    "both engines pick the identical row (bare min_by on a tied value "
+    "column is engine-nondeterministic). One map-side-combinable "
+    "shuffle.",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           min(CAST(round(value * 100) AS BIGINT)) / 100.0 AS min_value,
+           max(CAST(round(value * 100) AS BIGINT)) / 100.0 AS max_value,
+           arg_min(user_id, CAST(round(value * 100) AS BIGINT) * 10000000
+                            + event_id) AS min_user,
+           arg_max(user_id, CAST(round(value * 100) AS BIGINT) * 10000000
+                            + event_id) AS max_user,
+           arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 10000000
+                             + event_id) AS min_event,
+           arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 10000000
+                             + event_id) AS max_event
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = (cents("value") * 10_000_000 + F.col("event_id")).alias("k")
+    prepped = e.select("event_type", "user_id", "event_id", cents("value").alias("v_c"), k)
+    return (
+        prepped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min("v_c") / 100.0).alias("min_value"),
+            (F.max("v_c") / 100.0).alias("max_value"),
+            F.min_by("user_id", "k").alias("min_user"),
+            F.max_by("user_id", "k").alias("max_user"),
+            F.min_by("event_id", "k").alias("min_event"),
+            F.max_by("event_id", "k").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.7 — approx percentile with an exact tolerance gate
+# --------------------------------------------------------------------------
+@query(
+    "approx_percentile_gate",
+    tier="T2",
+    doc="Sketch-vs-exact quality gate for approx_percentile (the "
+    "single-pass bounded-memory percentile you actually run at "
+    "100 TB): per return flag, the exact discrete p50 plus a boolean "
+    "within_tolerance (|approx−exact| ≤ 2%·exact). The oracle "
+    "predicts (exact, true) — same pattern as the HLL and ANN-recall "
+    "gates. KLL/GK rank error at accuracy 10000 is ≤ n/10000 ranks, "
+    "far inside 2% of a continuous price distribution.",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                        l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           max(CASE WHEN rn = (n + 1) // 2 THEN price_c END) / 100.0
+             AS exact_p50,
+           TRUE AS within_tolerance
+    FROM ranked
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        cents("l_extendedprice").alias("price_c"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "price_c", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    exact = (
+        li.select(
+            "l_returnflag",
+            "price_c",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("price_c"))
+            ).alias("exact_p50_c"),
+        )
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("price_c", 0.5, 10000).alias("approx_p50_c")
+    )
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (F.col("exact_p50_c") / 100.0).alias("exact_p50"),
+            (
+                F.abs(F.col("approx_p50_c") - F.col("exact_p50_c")) * 50
+                <= F.col("exact_p50_c")
+            ).alias("within_tolerance"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.14/T3.2 — higher-order array functions over embeddings
+# --------------------------------------------------------------------------
+@query(
+    "hof_array_funcs",
+    tier="T3",
+    doc="Higher-order array functions over the embedding column — "
+    "transform/filter/aggregate/zip_with/array_max all stay inside "
+    "JVM codegen (zero Python, zero shuffles, row-local): component "
+    "sum, positive-component count, max component, and the "
+    "self-reversed dot product, each rounded at 6 dp (continuous "
+    "values — the unit norm itself is excluded: it sits exactly on a "
+    "rounding boundary by construction).",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS dbl
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(len(dbl) AS BIGINT) AS dim,
+           CAST(len(list_filter(dbl, v -> v > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(dbl), 6) AS comp_sum,
+           round(list_max(dbl), 6) AS comp_max,
+           round(list_sum(list_transform(range(1, len(dbl) + 1),
+                 i -> dbl[CAST(i AS INT)] * dbl[CAST(len(dbl) - i + 1 AS INT)])), 6)
+             AS dot_rev
+    FROM x
+    ORDER BY vec_id
+    """,
+)
+def hof_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda v: v.cast("double"))
+    prepped = emb.select("vec_id", "label", dbl.alias("dbl"))
+    return prepped.select(
+        "vec_id",
+        "label",
+        F.size("dbl").cast("long").alias("dim"),
+        F.size(F.filter("dbl", lambda v: v > 0)).cast("long").alias("n_pos"),
+        F.round(F.aggregate("dbl", F.lit(0.0), lambda a, v: a + v), 6).alias(
+            "comp_sum"
+        ),
+        F.round(F.array_max("dbl"), 6).alias("comp_max"),
+        F.round(
+            F.aggregate(
+                F.zip_with("dbl", F.reverse("dbl"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            6,
+        ).alias("dot_rev"),
+    ).orderBy("vec_id")
