@@ -66,6 +66,7 @@ DRIVER_WINDOW_PRIORITY = [
     "agg_minmax_by",
     "approx_percentile_gate",
     "hof_array_funcs",
+    "streaming_stream_stream_join",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

@@ -240,3 +240,66 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    tier="T2",
+    doc="Stream-stream inner join (T2.16): clicks joined to the same "
+    "user's purchases within the following hour, both sides "
+    "watermarked so Spark can bound join state (the time-range "
+    "predicate is what lets the state store evict — without it the "
+    "join buffers forever). availableNow drain emits every match; "
+    "the oracle is the identical batch self-join.",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS delta_s
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY 1, 2, 3
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _stream_events(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND p_ts >= click_ts"
+            " AND p_ts <= click_ts + interval 1 hour"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("p_ts").cast("long")
+            - F.unix_timestamp("click_ts").cast("long")
+        ).alias("delta_s"),
+    )
+    sink = _drain_to_memory(joined, mode="append")
+    return sink.orderBy("user_id", "click_id", "purchase_id")
