@@ -215,3 +215,82 @@ def test_tfidf_vocab_join_strategies(spark):
     finally:
         spark.conf.unset("spark.data_warehouse.tfidf.broadcastVocab")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: corpus prep, mart shapes, HOFs
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunking is a row-local flat-map: sequence+explode inside the
+    scan stage, zero exchanges before the (presentation-only) sort."""
+    import re
+
+    plan = plan_of(spark, "corpus_chunking")
+    body = plan.split("== Physical Plan ==")[-1]
+    # Only the final orderBy's range exchange is allowed.
+    n_hash = len(re.findall(r"hashpartitioning", body))
+    assert n_hash == 0, plan
+    assert "Generate" in plan  # the explode
+
+
+def test_repetition_signals_two_aggs_no_join(spark):
+    """Tokens and bigrams ride ONE tagged explode; the per-entry and
+    per-doc aggregations are hash aggregates with no join anywhere."""
+    plan = plan_of(spark, "corpus_repetition_signals")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    """The per-stratum rate lookup must be a broadcast join — the
+    documents side never shuffles."""
+    plan = plan_of(spark, "corpus_stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_broadcasts_bands(spark):
+    """The band dimension must broadcast (nested-loop over 5 rows);
+    orders must not be exchanged for the join."""
+    plan = plan_of(spark, "range_join_price_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_chain_reaggregates_not_rescans(spark):
+    """The hour→day→month chain must scan events exactly once — the
+    day and month grains aggregate the previous grain's output."""
+    import re
+
+    plan = plan_of(spark, "rollup_time_grains")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_scans == 1, plan
+
+
+def test_scd2_single_shuffle(spark):
+    """The SCD2 lead() window shuffles once on user_id (plus the final
+    presentation sort's range exchange)."""
+    import re
+
+    plan = plan_of(spark, "scd2_intervals")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 2, plan
+
+
+def test_minmax_by_partial_agg(spark):
+    """min_by/max_by must map-side combine like any decomposable agg."""
+    plan = plan_of(spark, "agg_minmax_by")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_hof_array_funcs_stay_jvm_side(spark):
+    """Higher-order array functions must not fall back to Python: no
+    Arrow/Python eval nodes, no shuffles before the presentation sort."""
+    import re
+
+    plan = plan_of(spark, "hof_array_funcs")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"hashpartitioning", body)) == 0, plan
