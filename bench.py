@@ -57,6 +57,14 @@ HEADLINE = [
     "ann_lsh_recall",
     "dedup_components_canonical",
     "streaming_session_windows",
+    "corpus_chunking",
+    "corpus_repetition_signals",
+    "corpus_stratified_sample",
+    "scd2_intervals",
+    "rollup_time_grains",
+    "hof_array_funcs",
+    "range_join_price_bands",
+    "streaming_stream_stream_join",
 ]
 
 
