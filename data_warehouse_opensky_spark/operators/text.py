@@ -230,21 +230,29 @@ def repetition_signals(
     ((doc_id, kind, entry) → doc_id), both map-side combinable. No
     joins, no row-local O(n²) distinct scans.
     """
-    toks = tokens(text_col)
+    # Tokenize ONCE into a column — referencing split() inside the
+    # bigram lambda would re-split the text per element (O(n²) chars).
+    toked = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    # Bigrams as zip_with of the array against its own 1-shift; slice
+    # length size-1 is 0 for single-token docs → empty array, no
+    # out-of-range element_at.
     bigrams = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - 1, 0)),"
-        f" i -> concat(element_at(split({text_col}, ' '), i), ' ',"
-        f"            element_at(split({text_col}, ' '), i + 1)))"
+        "zip_with(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
     )
     tagged = F.concat(
-        F.transform(toks, lambda t: F.struct(F.lit("T").alias("kind"), t.alias("entry"))),
+        F.transform(
+            F.col("toks"),
+            lambda t: F.struct(F.lit("T").alias("kind"), t.alias("entry")),
+        ),
         F.transform(
             bigrams, lambda b: F.struct(F.lit("B").alias("kind"), b.alias("entry"))
         ),
     )
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tagged).alias("e")
-    ).select("doc_id", F.col("e.kind").alias("kind"), F.col("e.entry").alias("entry"))
+    exploded = toked.select("doc_id", F.explode(tagged).alias("e")).select(
+        "doc_id", F.col("e.kind").alias("kind"), F.col("e.entry").alias("entry")
+    )
     per_entry = exploded.groupBy("doc_id", "kind", "entry").agg(
         F.count("*").alias("c")
     )

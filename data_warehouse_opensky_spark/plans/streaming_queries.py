@@ -47,17 +47,31 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _drain_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
     """Run the streaming query to completion into a memory sink and
     return the sink table. availableNow processes the whole source then
-    stops — bounded, checkpoint-free (fresh sink per call)."""
+    stops — bounded, checkpoint-free (fresh sink per call).
+
+    Stateful operators allocate one state-store instance per shuffle
+    partition, and each instance pays fixed per-batch snapshot cost —
+    at gate scale that fixed cost dominates, so the drain runs with 8
+    state partitions instead of the session's 32 (captured from the
+    session conf at stream start; results are partition-count
+    invariant). A production deployment sizes this to live-key volume.
+    """
     name = f"stream_sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return windowed.sparkSession.table(name)
+    spark = windowed.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @query(
