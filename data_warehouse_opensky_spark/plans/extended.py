@@ -102,7 +102,8 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT n.n_name,
              count(*) AS n_customers,
-             sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_c
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_c
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name
     )
@@ -272,7 +273,8 @@ def window_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(sum(len(json_keys(props))) AS BIGINT) AS n_entries,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            count(*) FILTER (
              WHERE json_extract_string(props, '$.k') IS NOT NULL
            ) AS n_with_k

@@ -61,8 +61,9 @@ _CLEAN_SQL = f"""
            count(*) - count(geo_altitude) AS nulls_geo_altitude,
            count(*) - count(squawk) AS nulls_squawk,
            count(*) - count(sensors) AS nulls_sensors,
-           sum(CASE WHEN on_ground THEN 1 ELSE 0 END) AS n_on_ground,
-           sum(CASE WHEN spi THEN 1 ELSE 0 END) AS n_spi,
+           CAST(sum(CASE WHEN on_ground THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_on_ground,
+           CAST(sum(CASE WHEN spi THEN 1 ELSE 0 END) AS BIGINT) AS n_spi,
            CAST(sum(CAST(round(velocity * 100) AS BIGINT)) AS BIGINT) / 100.0
              AS sum_velocity,
            CAST(min(epoch(last_contact)) AS BIGINT) AS min_last_contact_s,
@@ -119,7 +120,8 @@ def opensky_clean_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT origin_country,
            count(*) AS n_aircraft,
-           sum(CASE WHEN on_ground THEN 1 ELSE 0 END) AS n_on_ground,
+           CAST(sum(CASE WHEN on_ground THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_on_ground,
            CAST(sum(CAST(round(velocity * 100) AS BIGINT)) AS BIGINT) / 100.0
              AS sum_velocity,
            CAST(max(round(baro_altitude * 100)) AS BIGINT) / 100.0

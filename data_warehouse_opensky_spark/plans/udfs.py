@@ -45,7 +45,8 @@ from .catalog import query
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
              AS n_distinct_k
     FROM events

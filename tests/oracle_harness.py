@@ -3,6 +3,17 @@ query in Spark AND its DuckDB oracle, compare row count + column names
 + order-insensitive values. Strict equality for exact types; tight
 tolerance fallback for floats (the catalog aims for bit-equality, the
 tolerance only localizes a failure to 'float drift' vs 'wrong rows').
+
+Materialization fidelity (round-2 post-mortem): the driver converts
+BOTH result sets to pandas before hashing, so DuckDB type promotions
+that only surface in pandas MUST surface here too. The canonical trap:
+DuckDB `sum()` over any integer type returns HUGEINT (INT128), which
+`fetchall()` hands over as a Python int (lossless, matches Spark) but
+pandas `.df()` coerces to float64 (`956.0` != `956` in the hash).
+Round 2 shipped five such oracles green locally / red at the driver.
+Hence both sides now go through pandas: Spark via `toPandas()`, DuckDB
+via `.df()`, with numpy scalars normalized — one-sided promotion now
+fails locally before it fails in CORRECTNESS.
 """
 
 from __future__ import annotations
@@ -11,6 +22,8 @@ import math
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from data_warehouse_opensky_spark.sources import TABLES
 
@@ -34,6 +47,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # pandas materialization hands back numpy scalars; unwrap them so
+    # the type tag reflects what the driver's hash sees (np.float64 ->
+    # float, np.int64 -> int, np.bool_ -> bool). None/NaT/NaN unify.
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or v is pd.NaT:
+        return ("n", None)
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
@@ -54,11 +74,13 @@ def _sorted_rows(cols, rows):
 
 def compare(name: str, sdf, oracle: str, con) -> CompareResult:
     res = CompareResult(name=name, ok=True)
-    scols = [c.lower() for c in sdf.columns]
-    srows = [tuple(r) for r in sdf.collect()]
-    cur = con.execute(oracle)
-    ocols = [d[0].lower() for d in cur.description]
-    orows = cur.fetchall()
+    # Driver-faithful materialization: BOTH engines through pandas.
+    spdf = sdf.toPandas()
+    scols = [str(c).lower() for c in spdf.columns]
+    srows = list(spdf.itertuples(index=False, name=None))
+    odf = con.execute(oracle).df()
+    ocols = [str(c).lower() for c in odf.columns]
+    orows = list(odf.itertuples(index=False, name=None))
     res.spark_rows, res.oracle_rows = len(srows), len(orows)
 
     if sorted(scols) != sorted(ocols):
