@@ -44,10 +44,19 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
+def drain_with_state_metrics(
+    windowed: DataFrame, mode: str = "complete"
+) -> tuple[DataFrame, list[dict]]:
     """Run the streaming query to completion into a memory sink and
-    return the sink table. availableNow processes the whole source then
-    stops — bounded, checkpoint-free (fresh sink per call).
+    return (sink table, per-micro-batch state-operator metrics).
+    availableNow processes the whole source then stops — bounded,
+    checkpoint-free (fresh sink per call).
+
+    The metrics are the drained query's `recentProgress[*]
+    .stateOperators` (numRowsTotal / numRowsRemoved /
+    numRowsDroppedByWatermark per batch) — the observable proof that
+    watermarks actually evict state, which tests assert on instead of
+    trusting the plan shape (VERDICT r2 directive #7).
 
     Stateful operators allocate one state-store instance per shuffle
     partition, and each instance pays fixed per-batch snapshot cost —
@@ -69,9 +78,31 @@ def _drain_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        metrics = [
+            {
+                "batchId": p.batchId,
+                "numInputRows": p.numInputRows,
+                "stateOperators": [
+                    {
+                        "operatorName": so.operatorName,
+                        "numRowsTotal": so.numRowsTotal,
+                        "numRowsUpdated": so.numRowsUpdated,
+                        "numRowsRemoved": so.numRowsRemoved,
+                        "numRowsDroppedByWatermark": so.numRowsDroppedByWatermark,
+                    }
+                    for so in p.stateOperators
+                ],
+            }
+            for p in q.recentProgress
+        ]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return spark.table(name), metrics
+
+
+def _drain_to_memory(windowed: DataFrame, mode: str = "complete") -> DataFrame:
+    table, _ = drain_with_state_metrics(windowed, mode)
+    return table
 
 
 @query(
@@ -282,6 +313,17 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _stream_events(spark, sf_dir)
+    joined = click_purchase_join(stream)
+    sink = _drain_to_memory(joined, mode="append")
+    return sink.orderBy("user_id", "click_id", "purchase_id")
+
+
+def click_purchase_join(stream: DataFrame) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks to purchases within
+    one hour, both sides bounded by a 2-hour watermark. The time-range
+    predicate + two-sided watermark is exactly the condition that lets
+    the join's state store evict buffered rows (asserted on real
+    stateOperators metrics in tests/test_streaming.py)."""
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(
@@ -315,5 +357,4 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_timestamp("click_ts").cast("long")
         ).alias("delta_s"),
     )
-    sink = _drain_to_memory(joined, mode="append")
-    return sink.orderBy("user_id", "click_id", "purchase_id")
+    return joined

@@ -1,5 +1,5 @@
 """foreachBatch upsert sink: latest-wins keyed MERGE into a parquet
-target, one transaction per micro-batch.
+target, one transaction per micro-batch, partition-scoped rewrite.
 
 The reference's staging load is an append plus a keyed ON CONFLICT
 update on its ledger (load_warehouse.py:110-125); in Structured
@@ -9,15 +9,30 @@ arbitrary writers) applied to each micro-batch, with the streaming
 checkpoint guaranteeing each batch is applied exactly once per
 batch_id.
 
-Scale: each micro-batch merge is
-  target ∪ batch → row_number over (key ORDER BY version desc) → keep 1
-i.e. one shuffle on the key per micro-batch, sized by |target ∪ batch|.
-At 100 TB you partition the target (e.g. by key range or date) and
-rewrite only the partitions the batch touches — the merge plan is the
-same, the rewrite set shrinks. The swap is atomic at the directory
-level (write to `_staging_v{batch_id}`, then rename over `current`),
-so readers never observe a half-written target — the parquet twin of
-the reference's per-file transaction (T1.23).
+Scale: the target is hash-partitioned on the merge key into
+`current/bucket=N/` directories (N = pmod(xxhash64(key), num_buckets),
+persisted in a `_buckets` marker so restarts keep the layout). Each
+micro-batch:
+
+  1. computes the bucket of every incoming row,
+  2. reads ONLY the touched `bucket=N` slices of the target,
+  3. merges latest-wins (union → row_number over key ORDER BY version
+     desc, incoming batch wins ties) — one key-shuffle sized by
+     |touched slices ∪ batch|, NOT |target|,
+  4. rewrites only the touched buckets, with an atomic per-bucket
+     directory rename.
+
+Because the bucket is a pure function of the key, rows that could
+merge always live in the same bucket, so untouched buckets are
+byte-identical after the batch — at 100 TB the rewrite cost is
+O(|batch| + |touched slices|), independent of target size. The swap
+is atomic at the bucket-directory level (write to `_staging_v{id}`,
+rename over `current/bucket=N`), so readers never observe a
+half-written bucket — the parquet twin of the reference's per-file
+transaction (T1.23). Cross-bucket visibility is eventually-atomic
+per batch (buckets swap one rename apart); readers needing a fully
+consistent multi-bucket snapshot read latest-wins per key, which is
+idempotent under replay anyway.
 """
 
 from __future__ import annotations
@@ -31,6 +46,14 @@ from pyspark.sql.streaming import StreamingQuery
 
 #: Subdirectory of the sink root holding the current merged snapshot.
 CURRENT = "current"
+#: Marker file persisting the bucket count chosen at sink creation.
+BUCKETS_MARKER = "_buckets"
+#: Hive partition column name used for the bucket directories.
+BUCKET_COL = "bucket"
+
+
+def _bucket_expr(key_cols: list[str], num_buckets: int):
+    return F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
 
 
 def _merge_latest(
@@ -54,6 +77,20 @@ def _merge_latest(
     )
 
 
+def _load_num_buckets(sink_dir: str, requested: int) -> int:
+    """The first batch pins the layout; later batches (and restarts with
+    a different `num_buckets` argument) follow the persisted value, so
+    bucket membership never drifts from what's on disk."""
+    marker = os.path.join(sink_dir, BUCKETS_MARKER)
+    if os.path.exists(marker):
+        with open(marker, encoding="ascii") as f:
+            return int(f.read().strip())
+    os.makedirs(sink_dir, exist_ok=True)
+    with open(marker, "w", encoding="ascii") as f:
+        f.write(str(requested))
+    return requested
+
+
 def upsert_parquet_sink(
     stream: DataFrame,
     sink_dir: str,
@@ -61,26 +98,62 @@ def upsert_parquet_sink(
     key_cols: list[str],
     order_col: str,
     checkpoint_dir: str,
+    num_buckets: int = 16,
 ) -> StreamingQuery:
     """Start a foreachBatch streaming query that upserts each
-    micro-batch into `sink_dir/current` (latest-wins per key)."""
+    micro-batch into `sink_dir/current` (latest-wins per key),
+    rewriting only the `bucket=N` partitions the batch touches."""
     spark = stream.sparkSession
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        n_buckets = _load_num_buckets(sink_dir, num_buckets)
         cur_path = os.path.join(sink_dir, CURRENT)
+
+        batch = batch.withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
+        # Control-plane only: ≤ num_buckets small ints, not data rows.
+        touched = sorted(
+            r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return
+
+        existing = [
+            os.path.join(cur_path, f"{BUCKET_COL}={b}")
+            for b in touched
+            if os.path.exists(os.path.join(cur_path, f"{BUCKET_COL}={b}"))
+        ]
         target = None
-        if os.path.exists(cur_path):
-            target = spark.read.parquet(cur_path)
-        merged = _merge_latest(target, batch, key_cols, order_col)
+        if existing:
+            # basePath keeps the hive partition column; we drop it and
+            # recompute after the merge so batch/target schemas align.
+            target = (
+                spark.read.option("basePath", cur_path)
+                .parquet(*existing)
+                .drop(BUCKET_COL)
+            )
+
+        merged = _merge_latest(target, batch.drop(BUCKET_COL), key_cols, order_col)
+        merged = merged.withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
+
         staged = os.path.join(sink_dir, f"_staging_v{batch_id}")
-        merged.write.mode("overwrite").parquet(staged)
-        # Atomic swap: the reader either sees the old snapshot or the
-        # new one, never a partial write.
-        old = os.path.join(sink_dir, f"_old_v{batch_id}")
-        if os.path.exists(cur_path):
-            os.rename(cur_path, old)
-        os.rename(staged, cur_path)
-        shutil.rmtree(old, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged)
+
+        # Atomic swap PER BUCKET: a reader of any bucket sees the old
+        # slice or the new one, never a partial write. Untouched
+        # buckets are not opened, not rewritten, not renamed.
+        os.makedirs(cur_path, exist_ok=True)
+        for b in touched:
+            part = f"{BUCKET_COL}={b}"
+            new_part = os.path.join(staged, part)
+            if not os.path.exists(new_part):
+                continue  # all rows of b were superseded duplicates
+            cur_part = os.path.join(cur_path, part)
+            old_part = os.path.join(sink_dir, f"_old_v{batch_id}_{b}")
+            if os.path.exists(cur_part):
+                os.rename(cur_part, old_part)
+            os.rename(new_part, cur_part)
+            shutil.rmtree(old_part, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -224,3 +224,147 @@ def test_foreachbatch_upsert_sink(spark, tmp_path):
         for r in spark.read.parquet(str(sink_dir / "current")).collect()
     }
     assert again == got
+
+
+def test_upsert_sink_partition_scoped_rewrite(spark, tmp_path):
+    """Scale contract of the upsert sink (VERDICT r2 #3): the target is
+    hash-bucketed on the key, and a micro-batch touching one bucket
+    rewrites ONLY that bucket — every other bucket directory's files
+    are bit-for-bit untouched (same inodes). At 100 TB this is what
+    makes the merge O(|batch|), not O(|target|)."""
+    import os
+
+    from data_warehouse_opensky_spark.streaming.sink import (
+        BUCKET_COL,
+        upsert_parquet_sink,
+    )
+
+    cols = ["key", "version", "payload"]
+
+    def run(src_name, ckpt_name, rows):
+        src = tmp_path / src_name
+        src.mkdir()
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(src / "f"))
+        schema = spark.read.parquet(str(src / "f")).schema
+        q = upsert_parquet_sink(
+            spark.readStream.schema(schema).parquet(str(src / "*")),
+            str(tmp_path / "sink"),
+            key_cols=["key"],
+            order_col="version",
+            checkpoint_dir=str(tmp_path / ckpt_name),
+            num_buckets=8,
+        )
+        q.awaitTermination()
+
+    def bucket_files():
+        cur = tmp_path / "sink" / "current"
+        out = {}
+        for d in os.listdir(cur):
+            if d.startswith(f"{BUCKET_COL}="):
+                full = cur / d
+                out[d] = {
+                    (f, os.stat(full / f).st_ino) for f in os.listdir(full)
+                }
+        return out
+
+    run("src1", "ckpt1", [(k, 10, f"p{k}") for k in range(1, 21)])
+    before = bucket_files()
+    assert len(before) > 1, "seed batch should populate multiple buckets"
+
+    run("src2", "ckpt2", [(1, 99, "updated")])
+    after = bucket_files()
+
+    changed = {
+        d
+        for d in set(before) | set(after)
+        if before.get(d) != after.get(d)
+    }
+    assert len(changed) == 1, f"exactly one bucket should be rewritten: {changed}"
+
+    got = {
+        (r.key, r.version, r.payload)
+        for r in spark.read.parquet(str(tmp_path / "sink" / "current")).collect()
+    }
+    expect = {(k, 10, f"p{k}") for k in range(2, 21)} | {(1, 99, "updated")}
+    assert got == expect
+
+
+def test_stream_stream_join_state_evicts(spark, tmp_path):
+    """The stream-stream join's evict-ability is measured, not assumed:
+    across ≥2 micro-batches with advancing event time, the join's
+    stateOperators must report rows REMOVED once the watermark passes
+    the 1-hour join range + 2-hour delay, and final buffered state must
+    stay below the total rows ever buffered (bounded state)."""
+    from datetime import datetime, timedelta
+
+    from data_warehouse_opensky_spark.plans.streaming_queries import (
+        click_purchase_join,
+        drain_with_state_metrics,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    cols = ["user_id", "event_id", "event_type", "ts"]
+
+    # Three time-slabs 6 h apart: by the time slab N+1 is processed the
+    # watermark (max_ts - 2 h) is far past slab N's rows + the 1-hour
+    # join range, so slab N's buffered state is evictable.
+    def slab(file_no, base, n=40):
+        rows = []
+        for i in range(n):
+            ts = base + timedelta(minutes=i)
+            rows.append((i % 5, file_no * 1000 + i, "click", ts))
+            rows.append((i % 5, file_no * 1000 + 500 + i, "purchase",
+                         ts + timedelta(minutes=30)))
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            str(src / f"slab{file_no}")
+        )
+
+    for fno, hours in ((0, 0), (1, 6), (2, 12)):
+        slab(fno, t0 + timedelta(hours=hours))
+
+    schema = spark.read.parquet(str(src / "slab0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink, metrics = drain_with_state_metrics(click_purchase_join(stream), "append")
+
+    with_state = [m for m in metrics if m["stateOperators"]]
+    assert len(with_state) >= 2, f"need >=2 stateful micro-batches: {metrics}"
+
+    removed = sum(
+        so["numRowsRemoved"] for m in with_state for so in m["stateOperators"]
+    )
+    assert removed > 0, f"watermark never evicted join state: {with_state}"
+
+    updated = sum(
+        so["numRowsUpdated"] for m in with_state for so in m["stateOperators"]
+    )
+    final_total = sum(
+        so["numRowsTotal"] for so in with_state[-1]["stateOperators"]
+    )
+    assert final_total < updated, (
+        f"state not bounded: final={final_total} ever-buffered={updated}"
+    )
+
+    # Output sanity: the streamed join emits exactly the batch join's
+    # matches (stream replay == batch query, the T2.16 property).
+    ev = spark.read.parquet(str(src / "*"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    expected = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour")),
+    ).count()
+    assert sink.count() == expected
