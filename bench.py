@@ -89,23 +89,27 @@ def main() -> None:
     # queries aren't taxed by cache eviction churn.
     spark.catalog.clearCache()
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name].fn
-        # Steady-state methodology: best of 2 — a single local[32] JVM
-        # shares its 32 hardware threads with GC and the C2 compiler,
-        # so any one run can eat a multi-second stop-the-world tail
-        # that says nothing about the plan being measured.
-        best = float("inf")
-        for _ in range(2):
+    # Steady-state methodology: best of 3, sampled ROUND-ROBIN (pass 1
+    # over every query, then pass 2, then pass 3) — a single local[32]
+    # JVM shares its 32 hardware threads with GC and the C2 compiler,
+    # so a stop-the-world tail or a slow compile patch can last whole
+    # seconds. Consecutive samples of one query all land inside such a
+    # patch and the min still lies (observed: join_star_revenue 3.6 s
+    # on all 3 consecutive samples, 0.86 s a process later on identical
+    # code — the round-2 "regressions" were this, not plan drift).
+    # Spreading the samples decorrelates them from any one JVM episode.
+    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best[name] = min(best[name], time.perf_counter() - t0)
             spark.catalog.clearCache()
-        dt = round(best, 3)
-        per_query[name] = dt
-        total += dt
+
+    per_query = {name: round(v, 3) for name, v in best.items()}
+    total = sum(per_query.values())
 
     print(
         json.dumps(

@@ -61,14 +61,53 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """Real decode — STUB (no image libs in this container).
+try:  # optional extra: the real decoder exists only when Pillow does
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - container ships no image libs
+    _PILImage = None
 
-    The production body is `PIL.Image.open(io.BytesIO(payload))`;
-    plumbing around it (batching, schema, null handling) is what this
-    module actually exercises.
+HAS_PIL = _PILImage is not None
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real decode via Pillow when installed (extras dependency), else
+    NotImplementedError. The deterministic fake (`decode_image_meta`)
+    stays the driver-gated oracle path either way — correctness of the
+    pipeline contract never depends on an optional native lib.
     """
-    raise NotImplementedError("image decode requires PIL/opencv — not shipped here")
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decode requires Pillow (pip install pillow); the "
+            "deterministic fake decode_image_meta is the gated path"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        width, height = img.size
+        channels = len(img.getbands())
+    return width, height, channels
+
+
+def decode_image_meta_pil(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas twin of `decode_image_meta` over the REAL decoder —
+    identical output schema and batch shape, so swapping fake→real is a
+    one-symbol change for a deployment that ships Pillow. Tested only
+    when Pillow is importable (tests/test_operators.py)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode_image_real(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "channels": pd.Series([d[2] for d in dims], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, MEDIA_META_SCHEMA)
 
 
 def _fake_dims(n_bytes: int) -> tuple[int, int, int]:

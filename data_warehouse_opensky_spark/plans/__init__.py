@@ -26,6 +26,8 @@ from . import marts  # noqa: E402,F401
 # Queries displaced past slot 50 stay covered by tests/test_oracle.py,
 # which runs ALL of them vs DuckDB at sf0.001.
 DRIVER_WINDOW_PRIORITY = [
+    # -- new this round -----------------------------------------------
+    "opensky_per_file_profile",
     # -- red in r2, oracle CAST fixed this round ---------------------
     "opensky_clean_parity",
     "opensky_latest_position",

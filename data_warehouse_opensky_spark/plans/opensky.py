@@ -248,3 +248,73 @@ def opensky_trajectory_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("icao24")
     )
+
+
+@query(
+    "opensky_per_file_profile",
+    tier="T1",
+    doc="Per-crawl-file ingest profile (T1.4/T1.22's unit of work, "
+    "T1.11-T1.15's typed contract): row count, aircraft count, null "
+    "profile and fixed-point velocity sum per file_source — the "
+    "second independent driver gate on the clean transform, grouped "
+    "by the same input_file_name lineage the warehouse load stamps "
+    "on every row (load_warehouse.py:149).",
+    oracle=f"""
+    WITH c AS (
+      SELECT parse_filename(filename) AS file_source,
+             try_cast(velocity AS DOUBLE) AS velocity,
+             try_cast(geo_altitude AS DOUBLE) AS geo_altitude,
+             CASE WHEN lower(on_ground) = 'true' THEN true
+                  WHEN lower(on_ground) = 'false' THEN false
+             END AS on_ground,
+             to_timestamp(try_cast(last_contact AS BIGINT)) AS last_contact,
+             icao24, callsign, squawk
+      FROM read_csv('{REFERENCE_GLOB}', header = true,
+                    all_varchar = true, filename = true)
+    )
+    SELECT file_source,
+           count(*) AS n_rows,
+           count(DISTINCT icao24) AS n_aircraft,
+           count(*) - count(callsign) AS nulls_callsign,
+           count(*) - count(velocity) AS nulls_velocity,
+           count(*) - count(geo_altitude) AS nulls_geo_altitude,
+           count(*) - count(squawk) AS nulls_squawk,
+           CAST(sum(CASE WHEN on_ground THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_on_ground,
+           CAST(sum(CAST(round(velocity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_velocity_c,
+           CAST(min(epoch(last_contact)) AS BIGINT) AS min_last_contact_s,
+           CAST(max(epoch(last_contact)) AS BIGINT) AS max_last_contact_s
+    FROM c
+    GROUP BY file_source
+    ORDER BY file_source
+    """,
+)
+def opensky_per_file_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    raw = spark.read.csv(REFERENCE_GLOB, header=True, schema=RAW_SCHEMA)
+    c = clean_state_vectors(raw)
+    return (
+        c.groupBy("file_source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("icao24").alias("n_aircraft"),
+            (F.count("*") - F.count("callsign")).alias("nulls_callsign"),
+            (F.count("*") - F.count("velocity")).alias("nulls_velocity"),
+            (F.count("*") - F.count("geo_altitude")).alias("nulls_geo_altitude"),
+            (F.count("*") - F.count("squawk")).alias("nulls_squawk"),
+            F.sum(F.when(F.col("on_ground"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_on_ground"),
+            F.sum(F.round(F.col("velocity") * 100).cast("long")).alias(
+                "sum_velocity_c"
+            ),
+            F.min(F.unix_timestamp("last_contact"))
+            .cast("long")
+            .alias("min_last_contact_s"),
+            F.max(F.unix_timestamp("last_contact"))
+            .cast("long")
+            .alias("max_last_contact_s"),
+        )
+        .orderBy("file_source")
+    )
