@@ -64,6 +64,8 @@ HEADLINE = [
     "rollup_time_grains",
     "hof_array_funcs",
     "range_join_price_bands",
+    "corpus_decontaminate",
+    "corpus_pack_sequences",
     "streaming_stream_stream_join",
 ]
 

@@ -9,7 +9,7 @@ across engines, unlike float division + round on grid-valued ratios.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword lexicon for the heuristic language-ID.
@@ -338,5 +338,199 @@ def stratified_sample(
             F.col(id_col).alias("doc_id"),
             F.col(stratum_col).alias("stratum"),
             F.col("bucket").cast("long").alias("bucket"),
+        )
+    )
+
+
+# -- decontamination (training data vs eval benchmark) ---------------------
+
+DECON_NGRAM = 8  # token n-gram width (13 in GPT-3-scale pipelines)
+
+
+ROLL_M = 2147483647  # 2^31 - 1: keeps acc*37 + h < 2^36, ANSI-safe
+
+
+def _with_gram_hashes(
+    df: DataFrame, n: int, text_col: str, out_col: str
+) -> DataFrame:
+    """Add a column of 62-bit hashes of all token n-grams.
+
+    Cost shape: per-token 31-bit hashes are computed ONCE into an
+    intermediate array column (two independent xxhash64 seeds), then
+    each gram hash is a rolling polynomial over n element_at lookups —
+    integer ops only, no per-offset array slicing or gram-string
+    materialization (the slice/join forms allocate O(tokens x n) per
+    doc and measured 2-20x slower). The two 31-bit polynomials pack
+    into one BIGINT, so gram identity is a 62-bit key: ~7M grams give
+    ~1e-5 expected collisions (birthday bound) — negligible, and any
+    collision only perturbs a count by 1.
+
+    Docs shorter than n tokens get an EMPTY array (Spark's
+    sequence(0, -1) would descend, so the short case is guarded).
+    Materialized as TWO projections (token hashes, then grams) —
+    inlining the token-hash transform into the gram lambda would
+    recompute it per element.
+    """
+    M = ROLL_M
+    tk = (
+        f"transform(split({text_col}, ' '), t -> named_struct("
+        f"'a', pmod(xxhash64(t), {M}), 'b', pmod(xxhash64(t, 7), {M})))"
+    )
+    grams = f"""
+      CASE WHEN size(_tk) >= {n} THEN
+        transform(
+          sequence(0, size(_tk) - {n}),
+          i -> aggregate(
+                 sequence(i + 1, i + {n}),
+                 named_struct('a', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT)),
+                 (acc, j) -> named_struct(
+                    'a', (acc.a * 31 + element_at(_tk, j).a) % {M},
+                    'b', (acc.b * 37 + element_at(_tk, j).b) % {M}),
+                 acc -> acc.a * {M + 1} + acc.b))
+      ELSE CAST(array() AS ARRAY<BIGINT>) END
+    """
+    return (
+        df.withColumn("_tk", F.expr(tk))
+        .withColumn(out_col, F.expr(grams))
+        .drop("_tk")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = DECON_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training docs sharing any token n-gram with a benchmark set
+    (eval-set decontamination — the step that keeps test questions out
+    of the training corpus).
+
+    Shape: the benchmark is small by nature (an eval set), so its
+    distinct n-grams BROADCAST; the training side explodes its own
+    distinct n-grams once, hash-joins against the broadcast, and
+    re-aggregates per doc — one map-side-combinable groupBy on doc_id,
+    no shuffle of full text, no all-pairs comparison. At 100 TB the
+    broadcast side can be swapped for a bloom filter of gram hashes
+    with identical plumbing (the join becomes might-contain + exact
+    verify on the survivors).
+    """
+    # Two deliberate asymmetries: (1) grams exist only as 62-bit
+    # rolling hashes (_with_gram_hashes) — no gram string is ever
+    # materialized or shuffled; (2) the training side is NOT
+    # pre-deduplicated: the broadcast join is shuffle-free and filters
+    # 99%+ of gram rows in the scan stage, so the only shuffle is
+    # countDistinct over the tiny hit set — pre-distincting all
+    # training grams would hash-aggregate the full gram stream for
+    # nothing.
+    # explode_OUTER, not explode: InferFiltersFromGenerate turns a
+    # plain explode into a pushed-down `size(grams) > 0` Filter whose
+    # predicate textually inlines the ENTIRE gram pipeline below the
+    # token-hash projection — recomputing the token transform per gram
+    # element (measured 30x slower). The outer variant is exempt from
+    # that rule; the null rows it adds are dropped by a cheap post-
+    # Generate IS NOT NULL filter instead.
+    bench_grams = (
+        _with_gram_hashes(benchmark, n, text_col, "grams")
+        .select(F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    doc_grams = (
+        _with_gram_hashes(train, n, text_col, "grams")
+        .select(F.col(id_col).alias("doc_id"), F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("long").alias("n_shared_grams"))
+    )
+    return (
+        train.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        )
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias(
+                "n_shared_grams"
+            ),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# -- sequence packing (concat-and-chunk) -----------------------------------
+
+SEQ_LEN = 256  # tokens per training sequence
+PACK_SHARDS = 4  # packing parallelism unit
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    seq_len: int = SEQ_LEN,
+    shards: int = PACK_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: concatenate documents in
+    deterministic (shard, doc_id) order and split the token stream into
+    fixed `seq_len` windows; emit one row per (shard, sequence) with
+    how many docs and tokens landed in it.
+
+    The cumulative-token window is PARTITIONED BY SHARD — packing is
+    embarrassingly parallel across shards, which is how a real pipeline
+    scales it (pack per output shard/file); a single global ordering
+    would serialize the cumsum into one partition at 100 TB. Within a
+    shard: one window cumsum (single shuffle on shard), a row-local
+    explode of each doc's [first_seq..last_seq] span, and a map-side
+    combinable re-aggregation.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % shards).cast("long").alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        d.withColumn("end_tok", F.sum("n_tokens").over(w))
+        .withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
+        .withColumn(
+            "first_seq", F.floor(F.col("start_tok") / seq_len).cast("long")
+        )
+        .withColumn(
+            "last_seq", F.floor((F.col("end_tok") - 1) / seq_len).cast("long")
+        )
+    )
+    spans = d.select(
+        "shard",
+        "doc_id",
+        "start_tok",
+        "end_tok",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    overlap = F.least(F.col("end_tok"), seq_start + seq_len) - F.greatest(
+        F.col("start_tok"), seq_start
+    )
+    return (
+        spans.withColumn("n_tok_in_seq", overlap)
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok_in_seq").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
         )
     )

@@ -21,13 +21,16 @@ from . import marts  # noqa: E402,F401
 # all one bug class, DuckDB integer sum() → HUGEINT → pandas float64;
 # oracles now CAST(sum(...) AS BIGINT) on the OUTSIDE — plus the 37
 # queries whose only green driver row is round 1 (rotated out of the
-# r2 window; code unchanged since). 42 of 50 slots; after this round
-# every catalog query has a green row within the last two rounds.
+# r2 window; code unchanged since) — plus the three queries new this
+# round. 45 of 50 slots; after this round every catalog query has a
+# green row within the last two rounds.
 # Queries displaced past slot 50 stay covered by tests/test_oracle.py,
 # which runs ALL of them vs DuckDB at sf0.001.
 DRIVER_WINDOW_PRIORITY = [
     # -- new this round -----------------------------------------------
     "opensky_per_file_profile",
+    "corpus_decontaminate",
+    "corpus_pack_sequences",
     # -- red in r2, oracle CAST fixed this round ---------------------
     "opensky_clean_parity",
     "opensky_latest_position",

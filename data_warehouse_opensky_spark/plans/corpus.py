@@ -153,3 +153,95 @@ def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return X.stratified_sample(d).orderBy("doc_id")
+
+
+@query(
+    "corpus_decontaminate",
+    tier="T3",
+    doc="Eval-set decontamination: flag training docs sharing any "
+    "8-token n-gram with the benchmark subset (doc_id % 50 == 0 "
+    "stands in for the eval set). Benchmark grams BROADCAST (eval "
+    "sets are small by nature); train side is one explode+distinct, "
+    "a broadcast hash join, and a map-side-combinable per-doc count "
+    "— no all-pairs work, no shuffle of full text. At 100 TB the "
+    "broadcast swaps for a bloom filter of gram hashes with the same "
+    "plumbing.",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+      FROM tok, unnest(range(1, len(t) - 6)) AS u(i)
+      WHERE doc_id % 50 = 0
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+      FROM tok, unnest(range(1, len(t) - 6)) AS u(i)
+      WHERE doc_id % 50 <> 0
+    ),
+    hits AS (
+      SELECT doc_id, count(*) AS n
+      FROM dg JOIN bg USING (gram) GROUP BY doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_grams,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM tok LEFT JOIN hits h ON tok.doc_id = h.doc_id
+    WHERE tok.doc_id % 50 <> 0
+    ORDER BY tok.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return X.decontaminate(train, bench).orderBy("doc_id")
+
+
+@query(
+    "corpus_pack_sequences",
+    tier="T3",
+    doc="Concat-and-chunk sequence packing: concatenate docs in "
+    "(shard, doc_id) order, split the token stream into 256-token "
+    "training sequences, report docs/tokens per sequence. The cumsum "
+    "window is PARTITIONED BY SHARD (doc_id % 4) so packing is "
+    "embarrassingly parallel — a global ordering would serialize the "
+    "window into one partition at 100 TB; per-shard packing is how "
+    "real pipelines shard their output files. Invariant the gate "
+    "checks: every sequence holds exactly 256 tokens except each "
+    "shard's tail.",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 4 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+      FROM d
+    ),
+    s AS (
+      SELECT shard, doc_id, end_tok - n_tokens AS start_tok, end_tok,
+             unnest(range((end_tok - n_tokens) // 256,
+                          (end_tok - 1) // 256 + 1)) AS seq_id
+      FROM c
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(least(end_tok, (seq_id + 1) * 256)
+                    - greatest(start_tok, seq_id * 256)) AS BIGINT)
+             AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM s
+    GROUP BY shard, seq_id
+    ORDER BY shard, seq_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.pack_sequences(d).orderBy("shard", "seq_id")

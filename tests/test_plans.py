@@ -294,3 +294,25 @@ def test_hof_array_funcs_stay_jvm_side(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     body = plan.split("== Physical Plan ==")[-1]
     assert len(re.findall(r"hashpartitioning", body)) == 0, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must BROADCAST (eval sets are small); the
+    training side must never sort-merge against it. The per-doc hit
+    count and the final doc join are hash aggregates/joins on doc_id."""
+    plan = plan_of(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_single_shard_window(spark):
+    """Packing's cumsum window is partitioned by shard — the plan must
+    hash-partition on shard (parallel across shards), and the span
+    explode (Generate) must be row-local between window and re-agg."""
+    import re
+
+    plan = plan_of(spark, "corpus_pack_sequences")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert re.search(r"hashpartitioning\(shard", body), plan
+    assert "Generate" in plan
+    assert "Join" not in plan, plan
