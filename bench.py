@@ -66,6 +66,7 @@ HEADLINE = [
     "range_join_price_bands",
     "corpus_decontaminate",
     "corpus_pack_sequences",
+    "corpus_contiguous_ids",
     "streaming_stream_stream_join",
 ]
 

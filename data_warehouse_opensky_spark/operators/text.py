@@ -534,3 +534,53 @@ def pack_sequences(
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+# -- contiguous global IDs (order-preserving, no global window) ------------
+
+ID_BUCKET_WIDTH = 1000  # order-key units per bucket
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    *,
+    order_col: str = "doc_id",
+    bucket_width: int = ID_BUCKET_WIDTH,
+) -> DataFrame:
+    """Assign dense 0..N-1 IDs in `order_col` order — scalably.
+
+    The naive `row_number() OVER (ORDER BY key)` is the canonical
+    scale trap: a global ordering collapses into ONE partition and one
+    task sorts the world. This is the standard two-pass fix:
+
+      1. bucket rows by `order_col div bucket_width` (deterministic,
+         order-preserving — no sampled range boundaries to drift
+         between passes) and count rows per bucket: one map-side-
+         combinable aggregation, collecting only #buckets control rows;
+      2. prefix-sum those counts driver-side into per-bucket offsets,
+         broadcast them back, and window WITHIN each bucket:
+         id = bucket_offset + (bucket-local row_number) - 1.
+
+    Both shuffles key on the bucket, every partition sorts only its
+    slice, and the driver holds #buckets integers — at 100 TB that is
+    the difference between a 10-minute job and a task that never
+    finishes.
+    """
+    spark = df.sparkSession
+    bucket = (F.col(order_col) / bucket_width).cast("long")
+    d = df.withColumn("_bkt", bucket)
+    counts = sorted(
+        (r["_bkt"], r["cnt"])
+        for r in d.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for bkt, cnt in counts:
+        offsets.append((bkt, acc))
+        acc += cnt
+    offs = spark.createDataFrame(offsets, "_bkt long, _off long")
+    w = Window.partitionBy("_bkt").orderBy(order_col)
+    return (
+        d.join(F.broadcast(offs), "_bkt")
+        .withColumn("new_id", F.col("_off") + F.row_number().over(w) - 1)
+        .drop("_bkt", "_off")
+    )

@@ -31,6 +31,9 @@ DRIVER_WINDOW_PRIORITY = [
     "opensky_per_file_profile",
     "corpus_decontaminate",
     "corpus_pack_sequences",
+    "corpus_contiguous_ids",
+    "agg_salted_hot_keys",
+    "join_salted_skew",
     # -- red in r2, oracle CAST fixed this round ---------------------
     "opensky_clean_parity",
     "opensky_latest_position",

@@ -245,3 +245,31 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return X.pack_sequences(d).orderBy("shard", "seq_id")
+
+
+@query(
+    "corpus_contiguous_ids",
+    tier="T3",
+    doc="Dense 0..N-1 doc IDs in doc_id order WITHOUT the global-"
+    "window scale trap (row_number over a global ORDER BY collapses "
+    "to one partition): deterministic order-preserving bucketing, a "
+    "per-bucket count pass whose prefix sums broadcast back as "
+    "offsets, then a bucket-local window. Driver state is #buckets "
+    "integers; every sort is partition-local. The renumbering step "
+    "of corpus compaction after filtering/dedup.",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             AS new_id,
+           n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def corpus_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        X.assign_contiguous_ids(d.select("doc_id", "n_chars"))
+        .select("doc_id", "new_id", "n_chars")
+        .orderBy("doc_id")
+    )

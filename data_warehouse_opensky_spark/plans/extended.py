@@ -300,3 +300,94 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew mitigation: salted two-phase aggregation under hot keys
+# --------------------------------------------------------------------------
+@query(
+    "agg_salted_hot_keys",
+    tier="T2",
+    doc="Salted two-phase aggregation over a genuinely hot key "
+    "(events.event_type has ~5 distinct values, so every key is a "
+    "hot key): partials on (key, salt-of-event_id), finals on key "
+    "(operators/skew.py). The gate proves the salted decomposition "
+    "is EXACT for algebraic aggs — identical to the plain GROUP BY "
+    "the oracle runs. The explicit form covers what AQE skew "
+    "handling can't: reducer-side hot spots in the aggregation "
+    "itself at 100 TB.",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_value_c,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_value_c
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", cents("value").alias("value_c")
+    )
+    return salted_agg(
+        e,
+        key="event_type",
+        spread_col="event_id",
+        aggs=[
+            ("value_c", "count", "n_events"),
+            ("value_c", "sum", "sum_value_c"),
+            ("value_c", "min", "min_value_c"),
+            ("value_c", "max", "max_value_c"),
+        ],
+    ).orderBy("event_type")
+
+
+@query(
+    "join_salted_skew",
+    tier="T2",
+    doc="Salted equi-join (operators/skew.py): events (skewed side, "
+    "salted on event_id) joined to customer replicated across 8 "
+    "salts, then rolled up per market segment. The shape for a hot "
+    "join key when the other side is too big to broadcast — one hot "
+    "key spreads over num_salts reducers. Gate proves the salted "
+    "join is row-for-row identical to the plain join the oracle "
+    "runs. Forced non-broadcast so the salted path is what actually "
+    "executes.",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", cents("value").alias("value_c")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, on="user_id", spread_col="event_id", num_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("value_c").cast("long").alias("sum_value_c"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -316,3 +316,26 @@ def test_pack_sequences_single_shard_window(spark):
     assert re.search(r"hashpartitioning\(shard", body), plan
     assert "Generate" in plan
     assert "Join" not in plan, plan
+
+
+def test_contiguous_ids_no_global_window(spark):
+    """ID assignment must never serialize into a single-partition
+    global sort (THE scale trap it exists to avoid): no Exchange
+    SinglePartition anywhere; the window keys on the bucket."""
+    plan = plan_of(spark, "corpus_contiguous_ids")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SinglePartition" not in body, plan
+    assert "hashpartitioning(_bkt" in body, plan
+
+
+def test_salted_agg_two_phase(spark):
+    """The salted agg must show BOTH phases: a partial exchange on
+    (key, salt) that spreads the hot key, then a final exchange on the
+    key alone (tiny: one row per key x salt)."""
+    import re
+
+    plan = plan_of(spark, "agg_salted_hot_keys")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert re.search(r"hashpartitioning\(event_type[^)]*__salt", body), plan
+    assert re.search(r"hashpartitioning\(event_type#\d+, 32\)", body) or \
+        re.search(r"hashpartitioning\(event_type#\d+L?, \d+\)", body), plan
