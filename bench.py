@@ -67,6 +67,8 @@ HEADLINE = [
     "corpus_decontaminate",
     "corpus_pack_sequences",
     "corpus_contiguous_ids",
+    "corpus_domain_cap",
+    "corpus_quality_funnel",
     "streaming_stream_stream_join",
 ]
 

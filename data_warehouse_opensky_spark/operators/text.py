@@ -584,3 +584,149 @@ def assign_contiguous_ids(
         .withColumn("new_id", F.col("_off") + F.row_number().over(w) - 1)
         .drop("_bkt", "_off")
     )
+
+
+# -- per-domain cap (pretrain corpus balancing) ----------------------------
+
+DOMAIN_CAP_K = 10  # max docs kept per domain
+
+
+def domain_cap(
+    docs: DataFrame,
+    k: int = DOMAIN_CAP_K,
+    *,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Keep at most `k` documents per domain, best-first — the
+    per-domain cap every crawl pipeline applies so one giant site
+    cannot dominate the corpus (reference analogue: the clean-zone
+    transform has no balancing step; this is the T3.4 extension).
+
+    Ranking is deterministic: longest document first, `doc_id` as the
+    total-order tiebreak. The rank<=k filter compiles to Spark's
+    WindowGroupLimit physical rewrite (pinned in tests/test_plans.py):
+    each map task pre-truncates its partition to its local top-k
+    BEFORE the shuffle, so the exchange carries O(k * partitions) rows
+    per domain, not the domain's full row count — that rewrite is what
+    makes the operator survive a 100 TB crawl with million-page hot
+    domains.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.length("text").desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("rank_in_domain", F.row_number().over(w))
+        .filter(F.col("rank_in_domain") <= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.col("rank_in_domain").cast("long").alias("rank_in_domain"),
+        )
+    )
+
+
+# -- token-length buckets (batch-packing efficiency) -----------------------
+
+
+def length_buckets(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Histogram documents into power-of-two token-length buckets and
+    measure the padding a bucketed batcher would waste.
+
+    bucket `bits` = bit-length of the token count (n in
+    [2^(b-1), 2^b - 1] -> b), capacity = 2^bits - 1; `pad` =
+    capacity - n_tokens is the per-doc padding if batches are padded
+    to bucket capacity. The whole thing is one scan + one tiny
+    aggregation keyed on ~7 distinct buckets — map-side combine
+    reduces it to #buckets rows per task, so at 100 TB the shuffle
+    moves kilobytes. Integer bit tricks only (no float log2) so the
+    oracle is bit-exact.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    d = docs.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
+    d = d.withColumn("bits", F.length(F.bin("n_tokens")).cast("long"))
+    cap = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bits AS INT)) - 1")
+    d = d.withColumn("capacity", cap).withColumn(
+        "pad", F.col("capacity") - F.col("n_tokens")
+    )
+    return d.groupBy("bits", "capacity").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("pad").cast("long").alias("sum_pad"),
+        F.expr(
+            "CAST(sum(pad) * 1000000 AS BIGINT)"
+            " div greatest(CAST(sum(n_tokens + pad) AS BIGINT), 1)"
+        ).alias("pad_ratio_e6"),
+    )
+
+
+# -- staged quality filter funnel (C4/Gopher-style) ------------------------
+
+FUNNEL_MIN_CHARS = 150
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 80
+FUNNEL_MIN_ALPHA_E6 = 820_000
+FUNNEL_MIN_STOP_E6 = 40_000
+
+
+def quality_funnel(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Staged document-quality filter funnel with per-stage survivor
+    counts — the C4/Gopher cleaning report (how many docs each rule
+    removes), produced in ONE scan.
+
+    Stages are cumulative:
+      s1 length  >= FUNNEL_MIN_CHARS chars
+      s2 tokens  in [FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS]
+      s3 alpha   ratio >= FUNNEL_MIN_ALPHA_E6 ppm
+      s4 stopword ratio >= FUNNEL_MIN_STOP_E6 ppm (gibberish filter)
+
+    Every stage is a conditional SUM over the same scan — no joins, no
+    per-stage passes; partial aggregation collapses each task to one
+    row, so the funnel costs exactly one read of the corpus at any
+    scale. Contrast with running four filter jobs: 4x the I/O for the
+    same report.
+    """
+    n_chars = F.length(text_col).cast("long")
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", "")).cast("long")
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(
+        f"CAST(size(filter(split({text_col}, ' '),"
+        f" x -> array_contains(array({stop_arr}), x))) AS BIGINT)"
+    )
+    d = docs.select(
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    ).select(
+        "n_chars",
+        "n_tokens",
+        (F.col("n_chars") >= FUNNEL_MIN_CHARS).alias("p1"),
+        F.col("n_tokens").between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS).alias("p2"),
+        (
+            F.expr("n_alpha * 1000000 div greatest(n_chars, 1)")
+            >= FUNNEL_MIN_ALPHA_E6
+        ).alias("p3"),
+        (
+            F.expr("n_stop * 1000000 div greatest(n_tokens, 1)")
+            >= FUNNEL_MIN_STOP_E6
+        ).alias("p4"),
+    )
+    stage = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    s1 = F.col("p1")
+    s2 = s1 & F.col("p2")
+    s3 = s2 & F.col("p3")
+    s4 = s3 & F.col("p4")
+    return d.agg(
+        F.count("*").cast("long").alias("n_total"),
+        stage(s1).alias("after_min_len"),
+        stage(s2).alias("after_token_range"),
+        stage(s3).alias("after_alpha_ratio"),
+        stage(s4).alias("after_stopword_ratio"),
+    )

@@ -28,6 +28,12 @@ from . import marts  # noqa: E402,F401
 # which runs ALL of them vs DuckDB at sf0.001.
 DRIVER_WINDOW_PRIORITY = [
     # -- new this round -----------------------------------------------
+    # (corpus_length_buckets, also new, is NOT in the front: the window
+    # is exactly 50 and the r2 verdict's 5-fixed + 37-r1-only rotation
+    # takes precedence; it is oracle-gated by tests/test_oracle.py and
+    # rotates into the r4 window.)
+    "corpus_domain_cap",
+    "corpus_quality_funnel",
     "opensky_per_file_profile",
     "corpus_decontaminate",
     "corpus_pack_sequences",

@@ -20,6 +20,7 @@ from ..sources import load_table
 from .catalog import query
 
 _RATES_SQL = ", ".join(f"('{s}', {r})" for s, r in X.STRATA_RATES)
+_STOP_SQL = ", ".join(f"'{w}'" for w in X.STOPWORDS)
 
 
 @query(
@@ -273,3 +274,107 @@ def corpus_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "new_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_domain_cap",
+    tier="T3",
+    doc="Per-domain document cap: keep the 10 best (longest, doc_id "
+    "tiebreak) docs per source — corpus balancing so hot domains "
+    "can't dominate. rank<=k compiles to WindowGroupLimit: map tasks "
+    "pre-truncate to local top-k before the shuffle (plan-pinned).",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(rn AS BIGINT) AS rank_in_domain
+    FROM (
+      SELECT doc_id, source, text, row_number() OVER (
+               PARTITION BY source ORDER BY length(text) DESC, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {X.DOMAIN_CAP_K}
+    ORDER BY source, rank_in_domain
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.domain_cap(d).orderBy("source", "rank_in_domain")
+
+
+@query(
+    "corpus_length_buckets",
+    tier="T3",
+    doc="Power-of-two token-length bucket histogram + padding-waste "
+    "ratio a bucketed batcher would pay — the batch-shape report "
+    "before sequence packing. One scan, agg keyed on ~7 buckets, "
+    "map-side combined; integer bit tricks (no float log2) keep the "
+    "oracle bit-exact.",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tokens,
+             CAST(length(bin(n_tokens)) AS BIGINT) AS bits,
+             (CAST(1 AS BIGINT) << length(bin(n_tokens))) - 1 AS capacity
+      FROM d
+    )
+    SELECT bits, capacity,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(capacity - n_tokens) AS BIGINT) AS sum_pad,
+           CAST(sum(capacity - n_tokens) * 1000000
+                // greatest(sum(capacity), 1) AS BIGINT) AS pad_ratio_e6
+    FROM b
+    GROUP BY bits, capacity
+    ORDER BY bits
+    """,
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.length_buckets(d).orderBy("bits")
+
+
+@query(
+    "corpus_quality_funnel",
+    tier="T3",
+    doc="C4/Gopher-style staged cleaning report: survivor counts after "
+    "each cumulative filter stage (min length, token range, alpha "
+    "ratio, stopword ratio) in ONE scan — conditional sums with "
+    "map-side combine, vs 4x the I/O for four filter jobs.",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+               AS n_alpha,
+             CAST(len([t for t in string_split(text, ' ')
+                       if list_contains([{_STOP_SQL}], t)]) AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    p AS (
+      SELECT n_chars >= {X.FUNNEL_MIN_CHARS} AS p1,
+             n_tokens BETWEEN {X.FUNNEL_MIN_TOKENS} AND {X.FUNNEL_MAX_TOKENS}
+               AS p2,
+             (n_alpha * 1000000) // greatest(n_chars, 1)
+               >= {X.FUNNEL_MIN_ALPHA_E6} AS p3,
+             (n_stop * 1000000) // greatest(n_tokens, 1)
+               >= {X.FUNNEL_MIN_STOP_E6} AS p4
+      FROM x
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS after_min_len,
+           CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS after_token_range,
+           CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS after_alpha_ratio,
+           CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS after_stopword_ratio
+    FROM p
+    """,
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.quality_funnel(d)

@@ -39,8 +39,14 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet → NTZ, which
+        # withWatermark rejects; session tz is pinned UTC so the cast is
+        # wall-clock identity (same normalization as sources/registry.py).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -39,12 +39,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Single choke point for all physical-layout choices."""
     configure_runtime(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # parquet TIMESTAMP(NANOS) read as long ns (nanosAsLong conf) —
-        # floor to µs, exactly what DuckDB sees for the same file.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # parquet TIMESTAMP(NANOS) read as long ns (nanosAsLong conf)
+            # — floor to µs, exactly what DuckDB sees for the same file.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — NTZ.
+            # Session tz is pinned UTC (session.py), so this cast is the
+            # identity on the wall-clock value while giving the LTZ type
+            # event-time operators (withWatermark) require.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -339,3 +339,36 @@ def test_salted_agg_two_phase(spark):
     assert re.search(r"hashpartitioning\(event_type[^)]*__salt", body), plan
     assert re.search(r"hashpartitioning\(event_type#\d+, 32\)", body) or \
         re.search(r"hashpartitioning\(event_type#\d+L?, \d+\)", body), plan
+
+
+def test_domain_cap_window_group_limit(spark):
+    """rank<=k must compile to Spark's WindowGroupLimit rewrite: map
+    tasks pre-truncate each partition to its local top-k BEFORE the
+    shuffle, so the exchange carries O(k·partitions) rows per domain
+    instead of a hot domain's full row count."""
+    plan = plan_of(spark, "corpus_domain_cap")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "WindowGroupLimit" in body, plan
+    assert "Join" not in body, plan
+
+
+def test_length_buckets_single_scan_partial_agg(spark):
+    """One scan + one agg keyed on ~7 buckets: partial HashAggregate
+    before the exchange (map-side combine → #buckets rows per task),
+    no joins, no windows."""
+    plan = plan_of(spark, "corpus_length_buckets")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("HashAggregate") >= 2, plan
+    assert "Join" not in body, plan
+    assert "Window" not in body, plan
+
+
+def test_quality_funnel_one_scan_no_shuffle_keys(spark):
+    """The staged funnel is ONE scan with conditional sums: a single
+    global aggregate (partial → final), no joins, no generate/explode
+    blowup of the text column."""
+    plan = plan_of(spark, "corpus_quality_funnel")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("HashAggregate") >= 2, plan
+    assert "Join" not in body, plan
+    assert "Generate" not in body, plan
