@@ -69,6 +69,7 @@ HEADLINE = [
     "corpus_contiguous_ids",
     "corpus_domain_cap",
     "corpus_quality_funnel",
+    "mart_incremental_merge",
     "streaming_stream_stream_join",
 ]
 

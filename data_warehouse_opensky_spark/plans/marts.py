@@ -343,3 +343,52 @@ def hof_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dot_rev"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# T2.6 — incremental aggregate maintenance (partial-merge mart refresh)
+# --------------------------------------------------------------------------
+@query(
+    "mart_incremental_merge",
+    tier="T2",
+    doc="Incremental mart maintenance: the Spark side builds per-(day, "
+    "event_type) PARTIAL aggregates (what a daily pipeline stores) and "
+    "re-aggregates them to the event_type mart; the oracle recomputes "
+    "flat over raw events. Equality proves the partials are mergeable "
+    "— a new day refreshes the mart by touching one partial partition, "
+    "never rescanning history. count/sum/min/max merge exactly; "
+    "non-mergeable stats (count distinct) need sketches instead.",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value,
+           CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+           min(strftime(ts, '%Y-%m-%d')) AS first_day,
+           max(strftime(ts, '%Y-%m-%d')) AS last_day
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def mart_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    partials = (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents("value")).cast("long").alias("value_c"),
+        )
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            (F.sum("value_c").cast("long") / 100.0).alias("total_value"),
+            F.count("*").cast("long").alias("n_days"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,145 @@
+"""Warehouse maintenance: incremental mart refresh and small-file
+compaction.
+
+Reference analogue: `load_warehouse.py` rebuilds its warehouse tables
+from scratch on every run (truncate + reload) — affordable at 511-LoC
+scale, impossible at 100 TB. These are the two maintenance operators a
+big warehouse runs instead:
+
+* **Incremental mart refresh** — store per-(partition-key, grain)
+  PARTIAL aggregates partitioned on the partition key; when a new
+  day's data lands, recompute ONLY that day's partial (Spark's dynamic
+  partition overwrite rewrites just the touched directory) and rebuild
+  the serving mart by re-aggregating partials. History is never
+  rescanned; the mart rebuild reads #days × #grains tiny rows. The
+  catalog query `mart_incremental_merge` (plans/marts.py) gates the
+  algebra (merge == recompute) against DuckDB; the test here gates the
+  refresh mechanics (untouched partitions bit-identical on disk).
+* **Small-file compaction** — streaming sinks and per-day incremental
+  loads accrete many small files; scans then pay per-file open cost
+  and lose row-group locality. Compaction rewrites a directory into
+  ceil(rows / target)-sized files. At 100 TB this runs per-partition
+  (compact yesterday's directory, atomic swap) — the same
+  write-to-staging + rename discipline as streaming/sink.py.
+
+Only count/sum/min/max partials are stored — the exactly-mergeable
+algebra. COUNT(DISTINCT) does not merge; use sketches
+(approx_count_distinct) or keep keys till the final grain.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cents
+from ..session import configure_runtime
+
+#: Partition column of the partials table (also the refresh unit).
+DAY_COL = "day"
+
+
+def event_day_partials(events: DataFrame) -> DataFrame:
+    """Per-(day, event_type) mergeable partial aggregates."""
+    return (
+        events.withColumn(DAY_COL, F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy(DAY_COL, "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents("value")).cast("long").alias("value_c"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+        )
+    )
+
+
+def refresh_partials(
+    events: DataFrame, partials_dir: str, days: list[str] | None = None
+) -> None:
+    """Write/refresh the partials table, partitioned by day.
+
+    With `days`, only those days' events are aggregated and — via
+    dynamic partition overwrite — only those `day=...` directories are
+    rewritten; every other partition's files are untouched on disk
+    (asserted by inode in tests/test_maintenance.py). That is the
+    incremental path: the daily refresh costs O(|new day|) regardless
+    of history size.
+    """
+    spark = events.sparkSession
+    configure_runtime(spark)
+    part = event_day_partials(events)
+    if days is not None:
+        part = part.filter(F.col(DAY_COL).isin(days))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        part.write.mode("overwrite").partitionBy(DAY_COL).parquet(partials_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_mart(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Rebuild the event_type serving mart from stored partials.
+
+    Reads #days × #event_types tiny rows — never the raw events. Must
+    equal the flat recompute (`mart_incremental_merge`'s oracle) for
+    any refresh history; tests drive a day-at-a-time replay.
+    """
+    configure_runtime(spark)
+    # Partition-column type inference reads `day=2024-01-01` back as
+    # DATE; normalize to the yyyy-MM-dd string grain the partials wrote.
+    p = spark.read.parquet(partials_dir).withColumn(
+        DAY_COL, F.date_format(DAY_COL, "yyyy-MM-dd")
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            (F.sum("value_c").cast("long") / 100.0).alias("total_value"),
+            F.count("*").cast("long").alias("n_days"),
+            F.min(DAY_COL).alias("first_day"),
+            F.max(DAY_COL).alias("last_day"),
+            F.min("min_user").cast("long").alias("min_user"),
+            F.max("max_user").cast("long").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def compact_directory(
+    spark: SparkSession, data_dir: str, target_rows_per_file: int
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~ceil(rows/target) files.
+
+    Returns (files_before, files_after). Write goes to a staging dir
+    then swaps in atomically (rename), so readers never see a partial
+    rewrite — same discipline as the streaming sink's bucket swap.
+    The repartition count is computed from an exact count: at scale
+    you'd size by bytes (`spark.sql.files.maxRecordsPerFile` /
+    target file size) per partition directory instead of globally.
+    """
+    configure_runtime(spark)
+
+    def _n_files(d: str) -> int:
+        return sum(
+            1
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+
+    before = _n_files(data_dir)
+    df = spark.read.parquet(data_dir)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    staging = f"{data_dir}_compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    old = f"{data_dir}_old_{uuid.uuid4().hex[:8]}"
+    os.rename(data_dir, old)
+    os.rename(staging, data_dir)
+    shutil.rmtree(old)
+    return before, _n_files(data_dir)

@@ -1,0 +1,132 @@
+"""Incremental mart refresh + compaction mechanics
+(warehouse/maintenance.py).
+
+The catalog query `mart_incremental_merge` gates the partial-merge
+ALGEBRA against DuckDB; these tests gate the refresh MECHANICS: a new
+day's refresh rewrites only its own partition directory (asserted by
+inode — the 100 TB property), a day-at-a-time replay converges to the
+flat recompute, and compaction changes file layout but not content.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_opensky_spark.sources import load_table
+from data_warehouse_opensky_spark.warehouse.maintenance import (
+    DAY_COL,
+    compact_directory,
+    event_day_partials,
+    merge_mart,
+    refresh_partials,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _inodes(partials_dir: str, day: str) -> dict[str, int]:
+    d = f"{partials_dir}/{DAY_COL}={day}"
+    return {
+        f: os.stat(os.path.join(d, f)).st_ino
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+
+
+def _flat_recompute(events):
+    return (
+        events.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("long") / 100.0
+             ).alias("total_value"),
+            F.countDistinct("d").cast("long").alias("n_days"),
+            F.min("d").alias("first_day"),
+            F.max("d").alias("last_day"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@pytest.fixture()
+def events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_incremental_refresh_touches_only_new_day(spark, events, tmp_path):
+    pdir = str(tmp_path / "partials")
+    days = sorted(
+        r[0]
+        for r in events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d")
+        ).distinct().collect()
+    )
+    assert len(days) >= 3, "need several days of events for the scenario"
+    last = days[-1]
+    history = events.filter(F.date_format("ts", "yyyy-MM-dd") != last)
+
+    # Day 0..N-1 already loaded.
+    refresh_partials(history, pdir)
+    frozen = {d: _inodes(pdir, d) for d in days[:-1]}
+
+    # The new day lands: refresh ONLY that day.
+    refresh_partials(events, pdir, days=[last])
+
+    # Mechanics: every prior day's partition files are bit-the-same
+    # inodes — dynamic partition overwrite never rewrote them.
+    for d in days[:-1]:
+        assert _inodes(pdir, d) == frozen[d], f"partition {d} was rewritten"
+    assert os.path.isdir(f"{pdir}/{DAY_COL}={last}")
+
+    # Algebra: mart from partials == flat recompute over raw events.
+    got = merge_mart(spark, pdir).collect()
+    want = _flat_recompute(events).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_refresh_day_replay_converges(spark, events, tmp_path):
+    """Loading day-by-day (the steady-state pipeline) ends at the same
+    mart as loading everything at once."""
+    pdir = str(tmp_path / "partials")
+    days = sorted(
+        r[0]
+        for r in events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d")
+        ).distinct().collect()
+    )
+    first = True
+    for d in days:
+        if first:
+            # bootstrap write must create the table even for one day
+            refresh_partials(
+                events.filter(F.date_format("ts", "yyyy-MM-dd") == d), pdir
+            )
+            first = False
+        else:
+            refresh_partials(events, pdir, days=[d])
+    got = merge_mart(spark, pdir).collect()
+    want = _flat_recompute(events).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_compact_directory_preserves_content(spark, events, tmp_path):
+    ddir = str(tmp_path / "scattered")
+    events.repartition(16).write.parquet(ddir)
+    n = events.count()
+
+    before, after = compact_directory(spark, ddir, target_rows_per_file=(n + 1) // 2)
+    assert before == 16
+    assert after == 2
+
+    back = spark.read.parquet(ddir)
+    assert back.count() == n
+    # content identical (order-insensitive): same per-type counts + sums
+    a = sorted(map(tuple, event_day_partials(back).collect()))
+    b = sorted(map(tuple, event_day_partials(events).collect()))
+    assert a == b
