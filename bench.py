@@ -71,6 +71,11 @@ HEADLINE = [
     "corpus_quality_funnel",
     "mart_incremental_merge",
     "streaming_stream_stream_join",
+    "corpus_duplicated_spans",
+    "corpus_mixture_weights",
+    "approx_distinct_hll_mart",
+    "cdc_snapshot_diff",
+    "streaming_static_enrich",
 ]
 
 

@@ -730,3 +730,126 @@ def quality_funnel(
         stage(s3).alias("after_alpha_ratio"),
         stage(s4).alias("after_stopword_ratio"),
     )
+
+
+# -- cross-document duplicated-span mining ---------------------------------
+
+SPAN_NGRAM = 8  # token span width
+SPAN_MIN_DOCS = 3  # report spans appearing in >= this many docs
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    *,
+    n: int = SPAN_NGRAM,
+    min_docs: int = SPAN_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mine token n-gram spans duplicated ACROSS documents — the
+    boilerplate/template detector (headers, footers, license blurbs)
+    that complements within-doc repetition (repetition_signals) and
+    eval-overlap (decontaminate).
+
+    Unlike decontaminate, the span TEXT is the product (a human reviews
+    the top boilerplate), so grams are materialized as strings rather
+    than rolling hashes. Per-doc dedup happens row-locally
+    (array_distinct before the explode), so the shuffled gram stream
+    carries at most one row per (doc, span); the groupBy is map-side
+    combinable and `min_docs` prunes the long unique tail before the
+    final sort. At 100 TB this is one explode + one count shuffle —
+    the same shape as a term-frequency job — and the dominant cost,
+    shuffling the distinct (doc, span) pairs, is irreducible for an
+    exact answer (the approximate path swaps in a count-min sketch).
+
+    Returns (span, n_docs, min_doc, max_doc) for spans in >= min_docs
+    documents, deterministically ordered (n_docs DESC, span).
+    """
+    grams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"array_distinct(transform("
+        f"  sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+        f"  i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("span")
+    ).filter(F.col("span").isNotNull())
+    return (
+        pairs.groupBy("span")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+# -- corpus mixture weights (target language distribution) -----------------
+
+#: Target corpus mixture in parts-per-million; a lang absent from the
+#: table gets weight 0 (dropped). Deliberately != the observed
+#: distribution so every row exercises a non-trivial weight.
+MIXTURE_TARGETS_PPM: tuple[tuple[str, int], ...] = (
+    ("en", 500_000),
+    ("de", 150_000),
+    ("fr", 150_000),
+    ("es", 120_000),
+    ("zh", 80_000),
+)
+
+MIXTURE_MAX_WEIGHT_E6 = 3_000_000  # cap upsampling at 3x
+
+
+def mixture_weights(
+    docs: DataFrame,
+    targets: tuple[tuple[str, int], ...] = MIXTURE_TARGETS_PPM,
+    *,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum sampling weights that reshape the observed corpus
+    mix toward a target distribution — the step that PRODUCES the
+    rates stratified_sample consumes (weight > 1e6 = upsample,
+    < 1e6 = downsample, capped at MIXTURE_MAX_WEIGHT_E6).
+
+    weight_e6 = min(target_ppm * 1e6 // actual_ppm, cap), all integer
+    floor arithmetic so both engines agree bit-for-bit.
+
+    Shape: ONE map-side-combined count per stratum (the only pass over
+    the corpus), then the total and weights are computed on the
+    #strata-row aggregate — the single-partition window there is
+    deliberate and scale-safe because stratum cardinality is a
+    dimension, not data volume. Targets join in as a broadcast left
+    join; unknown strata weight 0 (dropped from the corpus).
+    """
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(list(targets), "stratum STRING, target_ppm BIGINT")
+    counts = (
+        docs.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        counts.withColumn("n_total", F.sum("n_docs").over(w_all).cast("long"))
+        .join(F.broadcast(tgt), "stratum", "left")
+        .select(
+            "stratum",
+            "n_docs",
+            "n_total",
+            F.expr("n_docs * 1000000 div n_total").alias("actual_ppm"),
+            F.coalesce("target_ppm", F.lit(0)).cast("long").alias("target_ppm"),
+            F.least(
+                F.expr(
+                    "coalesce(target_ppm, 0) * 1000000"
+                    " div greatest(n_docs * 1000000 div n_total, 1)"
+                ),
+                F.lit(MIXTURE_MAX_WEIGHT_E6),
+            )
+            .cast("long")
+            .alias("weight_e6"),
+        )
+        .withColumn(
+            "expected_docs", F.expr("n_docs * weight_e6 div 1000000").cast("long")
+        )
+    )

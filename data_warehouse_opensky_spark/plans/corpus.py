@@ -14,6 +14,7 @@ All exact-integer or md5-valued so the DuckDB oracles are bit-exact.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import text as X
 from ..sources import load_table
@@ -378,3 +379,79 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return X.quality_funnel(d)
+
+
+@query(
+    "corpus_duplicated_spans",
+    tier="T3",
+    doc="Cross-document duplicated token 8-gram spans (boilerplate/"
+    "template mining — headers, footers, license blurbs). Per-doc "
+    "dedup is row-local (array_distinct before the explode) so the "
+    "shuffle carries one row per (doc, span); one map-side-combined "
+    "count, min_docs prunes the unique tail. Complements "
+    "corpus_repetition_signals (within-doc) and corpus_decontaminate "
+    "(vs eval set).",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dg AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+{X.SPAN_NGRAM - 1}], ' ')
+               AS span
+      FROM tok, unnest(range(1, len(t) - {X.SPAN_NGRAM - 2})) AS u(i)
+      WHERE len(t) >= {X.SPAN_NGRAM}
+    )
+    SELECT span,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM dg
+    GROUP BY span
+    HAVING count(*) >= {X.SPAN_MIN_DOCS}
+    ORDER BY n_docs DESC, span
+    """,
+)
+def corpus_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.duplicated_spans(d).orderBy(F.desc("n_docs"), "span")
+
+
+_TARGETS_SQL = ", ".join(f"('{s}', {p})" for s, p in X.MIXTURE_TARGETS_PPM)
+
+
+@query(
+    "corpus_mixture_weights",
+    tier="T3",
+    doc="Per-language sampling weights reshaping the observed corpus "
+    "mix toward a target distribution (capped at 3x upsample) — the "
+    "step that PRODUCES the rates corpus_stratified_sample consumes. "
+    "One map-side-combined count per stratum is the only corpus pass; "
+    "weights are integer floor arithmetic on the #strata-row "
+    "aggregate with the targets broadcast.",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT s AS stratum, CAST(p AS BIGINT) AS target_ppm
+      FROM (VALUES {_TARGETS_SQL}) v(s, p)
+    ),
+    counts AS (
+      SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    c AS (
+      SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS n_total FROM counts
+    )
+    SELECT c.stratum, c.n_docs, c.n_total,
+           c.n_docs * 1000000 // c.n_total AS actual_ppm,
+           CAST(coalesce(t.target_ppm, 0) AS BIGINT) AS target_ppm,
+           CAST(least(coalesce(t.target_ppm, 0) * 1000000
+                  // greatest(c.n_docs * 1000000 // c.n_total, 1),
+                {X.MIXTURE_MAX_WEIGHT_E6}) AS BIGINT) AS weight_e6,
+           CAST(c.n_docs * least(coalesce(t.target_ppm, 0) * 1000000
+                  // greatest(c.n_docs * 1000000 // c.n_total, 1),
+                {X.MIXTURE_MAX_WEIGHT_E6}) // 1000000 AS BIGINT)
+             AS expected_docs
+    FROM c LEFT JOIN tgt t ON c.stratum = t.stratum
+    ORDER BY c.stratum
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.mixture_weights(d).orderBy("stratum")

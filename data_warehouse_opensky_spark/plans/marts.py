@@ -392,3 +392,150 @@ def mart_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.7 — mergeable HLL sketch mart (per-day sketches → rollup by union)
+# --------------------------------------------------------------------------
+@query(
+    "approx_distinct_hll_mart",
+    tier="T2",
+    doc="Mergeable-sketch distinct-count mart: per-day Datasketches HLL "
+    "sketches of user_id (hll_sketch_agg) UNIONED into the total via "
+    "hll_union_agg — count distinct is NOT decomposable, so this is "
+    "the only shape that rolls up without rescanning the facts at "
+    "100 TB (store the day-grain sketch column, merge for any coarser "
+    "grain). Gate per the approx_count_distinct pattern: exact counts "
+    "plus within_tolerance booleans (5%) the oracle predicts; the "
+    "'total' row's estimate comes ONLY from merged daily sketches, so "
+    "a green row proves union-mergeability end to end.",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS grain_key,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS within_tolerance
+    FROM events
+    GROUP BY 1
+    UNION ALL
+    SELECT 'total', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    ORDER BY grain_key
+    """,
+)
+def approx_distinct_hll_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # The day-grain sketch table is what a real mart STORES; persist it
+    # so the per-day gate and the union rollup read one scan's output
+    # (it is #days rows) instead of re-aggregating the facts twice.
+    daily = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("grain_key"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users_exact"),
+            F.hll_sketch_agg("user_id").alias("sk"),
+        )
+        .persist()
+    )
+    gate = lambda est, exact: (  # noqa: E731 — |est−exact| ≤ 5%·exact
+        F.abs(est - F.col(exact)) * 20 <= F.col(exact)
+    )
+    daily_out = daily.select(
+        "grain_key",
+        "n_users_exact",
+        gate(F.hll_sketch_estimate("sk"), "n_users_exact").alias("within_tolerance"),
+    )
+    merged = daily.agg(F.hll_union_agg("sk").alias("sk_u"))
+    exact_total = e.agg(F.countDistinct("user_id").cast("long").alias("n_users_exact"))
+    total_out = exact_total.crossJoin(merged).select(
+        F.lit("total").alias("grain_key"),
+        "n_users_exact",
+        gate(F.hll_sketch_estimate("sk_u"), "n_users_exact").alias("within_tolerance"),
+    )
+    return daily_out.unionByName(total_out).orderBy("grain_key")
+
+
+# --------------------------------------------------------------------------
+# T1.7/T2.5 — CDC snapshot diff (incremental change feed between watermarks)
+# --------------------------------------------------------------------------
+
+CDC_T1 = "2024-01-02"  # previous load watermark
+CDC_T2 = "2024-01-04"  # current load watermark
+
+
+@query(
+    "cdc_snapshot_diff",
+    tier="T2",
+    doc="CDC change feed between two load watermarks: per (user_id, "
+    "event_type) key, the delta slice (T1 <= ts < T2) aggregates to "
+    "its newest version (exact composite epoch-s*1e7+event_id) and "
+    "LEFT-joins the previous snapshot to classify insert vs update — "
+    "the incremental-ETL diff the reference's file_log state machine "
+    "(load_warehouse.py:97,191) tracks per file, generalized to keyed "
+    "rows. Scale shape: cost is O(|delta| + |snapshot|), never "
+    "O(|history|) — the previous snapshot is a stored table in "
+    "production (recomputed from the log here only because the gate "
+    "needs a closed form); keys untouched by the delta are never "
+    "read, and both sides shuffle once on the same key.",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS version,
+             ts
+      FROM events
+    ),
+    old AS (
+      SELECT user_id, event_type, max(version) AS old_version
+      FROM v WHERE ts < TIMESTAMP '{CDC_T1}' GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT user_id, event_type, max(version) AS new_version,
+             CAST(count(*) AS BIGINT) AS n_delta_events
+      FROM v WHERE ts >= TIMESTAMP '{CDC_T1}' AND ts < TIMESTAMP '{CDC_T2}'
+      GROUP BY 1, 2
+    )
+    SELECT d.user_id, d.event_type,
+           CASE WHEN o.old_version IS NULL THEN 'insert' ELSE 'update' END AS op,
+           CAST(coalesce(o.old_version, -1) AS BIGINT) AS old_version,
+           CAST(d.new_version AS BIGINT) AS new_version,
+           d.n_delta_events
+    FROM delta d
+    LEFT JOIN old o ON d.user_id = o.user_id AND d.event_type = o.event_type
+    ORDER BY d.user_id, d.event_type
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    version = (
+        F.unix_timestamp("ts").cast("long") * 10_000_000 + F.col("event_id")
+    ).alias("version")
+    v = e.select("user_id", "event_type", "ts", version)
+    old = (
+        v.filter(F.col("ts") < F.lit(CDC_T1).cast("timestamp"))
+        .groupBy("user_id", "event_type")
+        .agg(F.max("version").alias("old_version"))
+    )
+    delta = (
+        v.filter(
+            (F.col("ts") >= F.lit(CDC_T1).cast("timestamp"))
+            & (F.col("ts") < F.lit(CDC_T2).cast("timestamp"))
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("version").alias("new_version"),
+            F.count("*").cast("long").alias("n_delta_events"),
+        )
+    )
+    return (
+        delta.join(old, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.when(F.col("old_version").isNull(), "insert")
+            .otherwise("update")
+            .alias("op"),
+            # coalesce(-1): a nullable BIGINT column materializes as
+            # float64 in pandas on both engines, and version values
+            # exceed 2^53 — keep the column non-null so it stays int64.
+            F.coalesce("old_version", F.lit(-1)).cast("long").alias("old_version"),
+            F.col("new_version").cast("long").alias("new_version"),
+            "n_delta_events",
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -324,6 +324,64 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.orderBy("user_id", "click_id", "purchase_id")
 
 
+@query(
+    "streaming_static_enrich",
+    tier="T2",
+    doc="Stream-static enrichment join (T2.16): the event stream joins "
+    "a STATIC broadcast dimension (customer market segment on user_id "
+    "= c_custkey) before a watermarked 6-hour tumbling aggregate — "
+    "the canonical streaming-ingest enrichment shape. The static side "
+    "is stateless for the join (re-read per micro-batch, broadcast, "
+    "no state store), so only the windowed agg holds state; at 100 TB "
+    "the dimension broadcast amortizes across every micro-batch. "
+    "Complete-mode drain equals the batch join+group-by the oracle "
+    "computes.",
+    oracle="""
+    SELECT CAST(floor(epoch(e.ts)) AS BIGINT) // 21600 AS bucket_6h,
+           c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result = _drain_to_memory(static_enrich_windowed(spark, sf_dir), mode="complete")
+    return result.select(
+        F.expr("unix_timestamp(w.start) div 21600").cast("long").alias("bucket_6h"),
+        "segment",
+        "n_events",
+        "sum_value",
+    ).orderBy("bucket_6h", "segment")
+
+
+def static_enrich_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstarted stream-static enrichment plan: events stream joined to
+    the broadcast customer dimension, then a watermarked 6-hour
+    tumbling aggregate per segment. Exposed separately so tests can
+    pin the join strategy (BroadcastHashJoin, dimension stateless) on
+    the streaming plan template without draining it."""
+    from ..sources import load_table
+
+    stream = _stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    return (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("sum_value"),
+        )
+    )
+
+
 def click_purchase_join(stream: DataFrame) -> DataFrame:
     """Watermarked stream-stream inner join: clicks to purchases within
     one hour, both sides bounded by a 2-hour watermark. The time-range

@@ -372,3 +372,63 @@ def test_quality_funnel_one_scan_no_shuffle_keys(spark):
     assert body.count("HashAggregate") >= 2, plan
     assert "Join" not in body, plan
     assert "Generate" not in body, plan
+
+
+def test_duplicated_spans_explode_agg_no_join(spark):
+    """Span mining is one explode + one map-side-combined count — the
+    term-frequency shape. Per-doc dedup must happen row-locally
+    (array_distinct inside the projection), so there is NO join and NO
+    second aggregation keyed on (doc, span)."""
+    plan = plan_of(spark, "corpus_duplicated_spans")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Generate" in body, plan
+    assert body.count("HashAggregate") >= 2, plan
+    assert "Join" not in body, plan
+    assert "array_distinct" in plan, plan
+
+
+def test_mixture_weights_single_pass_broadcast_targets(spark):
+    """One corpus scan with partial counts; the targets dimension joins
+    as a broadcast (never a shuffle of the counts), and the only window
+    runs on the #strata-row aggregate (post-agg, scale-safe)."""
+    plan = plan_of(spark, "corpus_mixture_weights")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, plan
+    assert "SortMergeJoin" not in body, plan
+    assert body.count("HashAggregate") >= 2, plan
+
+
+def test_hll_mart_merges_sketches_from_cache(spark):
+    """The rollup row must come from hll_union_agg over the CACHED
+    day-grain sketch table (InMemoryTableScan), not from re-scanning
+    the facts — that is the mergeable-sketch mart contract."""
+    plan = plan_of(spark, "approx_distinct_hll_mart")
+    assert "hll_sketch_agg" in plan, plan
+    assert "hll_union_agg" in plan, plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+
+
+def test_cdc_diff_preaggregates_both_sides(spark):
+    """Both snapshot sides reduce to one row per key BEFORE the diff
+    join (partial+final HashAggregate each), and the join is keyed —
+    never a nested-loop/cartesian shape."""
+    plan = plan_of(spark, "cdc_snapshot_diff")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in body, plan
+    assert "BroadcastNestedLoopJoin" not in body, plan
+
+
+def test_streaming_static_enrich_broadcasts_dim(spark):
+    """The static dimension must broadcast into the stream (stateless
+    for the join — no state store on the dim side); the only stateful
+    operator is the windowed aggregate."""
+    from data_warehouse_opensky_spark.plans.streaming_queries import (
+        static_enrich_windowed,
+    )
+
+    df = static_enrich_windowed(spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "StateStore" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
