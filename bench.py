@@ -76,6 +76,8 @@ HEADLINE = [
     "approx_distinct_hll_mart",
     "cdc_snapshot_diff",
     "streaming_static_enrich",
+    "mart_event_funnel",
+    "mart_retention_cohorts",
 ]
 
 

@@ -539,3 +539,145 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.5/T2.6 — ordered event funnel (view → click → purchase)
+# --------------------------------------------------------------------------
+@query(
+    "mart_event_funnel",
+    tier="T2",
+    doc="Ordered conversion funnel: per user, the first view, the first "
+    "click strictly AFTER that view, and the first purchase strictly "
+    "after that click — the classic product-analytics mart. ONE "
+    "shuffle on user_id: each user's (time, type) pairs collect and "
+    "sort row-locally, and a single aggregate() fold walks the "
+    "sequence (O(events/user), types pre-filtered in the scan). "
+    "Event identity rides the exact composite epoch-s*1e7+event_id so "
+    "'strictly after' is unambiguous under second-resolution ties. "
+    "The oracle computes the same steps as three chained conditional "
+    "mins.",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS u
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, min(u) AS t1 FROM u WHERE event_type = 'view'
+           GROUP BY 1),
+    s2 AS (SELECT u.user_id, min(u.u) AS t2
+           FROM u JOIN s1 ON u.user_id = s1.user_id
+           WHERE u.event_type = 'click' AND u.u > s1.t1 GROUP BY 1),
+    s3 AS (SELECT u.user_id, min(u.u) AS t3
+           FROM u JOIN s2 ON u.user_id = s2.user_id
+           WHERE u.event_type = 'purchase' AND u.u > s2.t2 GROUP BY 1)
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_full_funnel,
+           CAST((SELECT coalesce(sum(s3.t3 // 10000000
+                                     - s1.t1 // 10000000), 0)
+                 FROM s3 JOIN s1 ON s3.user_id = s1.user_id) AS BIGINT)
+             AS sum_convert_s
+    FROM u
+    """,
+)
+def mart_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    u = (
+        F.unix_timestamp("ts").cast("long") * 10_000_000 + F.col("event_id")
+    ).alias("u")
+    per_user = (
+        e.select("user_id", u, F.col("event_type").alias("tp"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("u", "tp"))).alias("seq"))
+        .select(
+            "user_id",
+            F.expr(
+                """
+                aggregate(
+                  seq,
+                  named_struct('t1', CAST(NULL AS BIGINT),
+                               't2', CAST(NULL AS BIGINT),
+                               't3', CAST(NULL AS BIGINT)),
+                  (s, x) -> named_struct(
+                    't1', CASE WHEN s.t1 IS NULL AND x.tp = 'view'
+                               THEN x.u ELSE s.t1 END,
+                    't2', CASE WHEN s.t2 IS NULL AND s.t1 IS NOT NULL
+                                    AND x.tp = 'click' AND x.u > s.t1
+                               THEN x.u ELSE s.t2 END,
+                    't3', CASE WHEN s.t3 IS NULL AND s.t2 IS NOT NULL
+                                    AND x.tp = 'purchase' AND x.u > s.t2
+                               THEN x.u ELSE s.t3 END))
+                """
+            ).alias("f"),
+        )
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("f.t1").isNotNull().cast("long")).cast("long").alias("n_view"),
+        F.sum(F.col("f.t2").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_view_click"),
+        F.sum(F.col("f.t3").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_full_funnel"),
+        F.coalesce(
+            F.sum(
+                F.expr("f.t3 div 10000000 - f.t1 div 10000000")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_convert_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.6/T2.13 — retention cohort mart
+# --------------------------------------------------------------------------
+@query(
+    "mart_retention_cohorts",
+    tier="T2",
+    doc="Retention cohort triangle: users cohorted by first-active day, "
+    "counted distinct per (cohort_day, day_offset) — the standard "
+    "growth mart. Two shuffles, both on user_id (first-day agg, then "
+    "the activity join), so at 100 TB they co-partition and the "
+    "second is exchange-free; the final agg is keyed on ~cohorts x "
+    "offsets, map-side combined.",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+               AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(floor(epoch(e.ts)) AS BIGINT) // 86400 - f.cohort_day
+               AS day_offset
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def mart_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias("day"),
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -143,3 +143,33 @@ def compact_directory(
     os.rename(staging, data_dir)
     shutil.rmtree(old)
     return before, _n_files(data_dir)
+
+
+def cluster_by_range(
+    df: DataFrame, out_dir: str, cluster_col: str, n_files: int
+) -> None:
+    """Write `df` range-clustered on `cluster_col`: repartitionByRange
+    splits the key space into contiguous slices (one per output file)
+    and sortWithinPartitions orders rows inside each — so every file
+    covers a DISJOINT key range and its parquet column min/max
+    statistics become selective.
+
+    This is the data-layout half of predicate pushdown: a reader with
+    `cluster_col BETWEEN a AND b` skips every file (and, within files,
+    every row group) whose stats exclude the range — at 100 TB the
+    difference between touching 2% of files and all of them. The
+    single-column form is 'Z-order lite'; multi-dimensional clustering
+    interleaves several keys but the write shape (range partition +
+    local sort) is identical. Tests assert disjointness and actual
+    file-level skipping from the written parquet footers.
+
+    Range boundaries come from Spark's built-in reservoir sampling of
+    the key column (the same mechanism as a global orderBy), so skew in
+    `cluster_col` yields balanced files, not equal-width key slices.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

@@ -130,3 +130,47 @@ def test_compact_directory_preserves_content(spark, events, tmp_path):
     a = sorted(map(tuple, event_day_partials(back).collect()))
     b = sorted(map(tuple, event_day_partials(events).collect()))
     assert a == b
+
+
+def test_cluster_by_range_enables_file_skipping(spark, events, tmp_path):
+    """Range clustering must produce files with DISJOINT key ranges in
+    their parquet footers, so a key-range predicate touches a strict
+    subset of files — the data-skipping property, asserted from the
+    actual written statistics rather than the plan."""
+    import pyarrow.parquet as pq
+
+    from data_warehouse_opensky_spark.warehouse.maintenance import cluster_by_range
+
+    out = str(tmp_path / "clustered")
+    cluster_by_range(events, out, "user_id", n_files=8)
+
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 8
+    ranges = []
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "user_id"
+        )
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    # Disjoint: every file's min is past the previous file's max.
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, ranges
+    # Skipping: a predicate covering ~1/5 of the key space must exclude
+    # most files on stats alone.
+    lo_k, hi_k = ranges[0][0], ranges[-1][1]
+    a, b = lo_k, lo_k + (hi_k - lo_k) // 5
+    touched = [r for r in ranges if not (r[1] < a or r[0] > b)]
+    assert len(touched) < len(files) // 2, (ranges, (a, b))
+    # Content preserved.
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()

@@ -419,6 +419,27 @@ def test_cdc_diff_preaggregates_both_sides(spark):
     assert "BroadcastNestedLoopJoin" not in body, plan
 
 
+def test_funnel_single_pass_no_joins(spark):
+    """The ordered funnel is ONE shuffle on user_id with a row-local
+    sequence fold — the oracle needs three chained joins for the same
+    answer; the Spark plan must contain NO join at all."""
+    plan = plan_of(spark, "mart_event_funnel")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in body, plan
+    assert "ObjectHashAggregate" in body, plan  # collect_list agg
+
+
+def test_retention_cohorts_keyed_join_partial_aggs(spark):
+    """Cohort triangle: first-day agg and the activity join are both
+    keyed on user_id (never nested-loop), and every aggregate is
+    partial+final (map-side combined)."""
+    plan = plan_of(spark, "mart_retention_cohorts")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, plan
+    assert "BroadcastNestedLoopJoin" not in body, plan
+    assert body.count("HashAggregate") >= 4, plan
+
+
 def test_streaming_static_enrich_broadcasts_dim(spark):
     """The static dimension must broadcast into the stream (stateless
     for the join — no state store on the dim side); the only stateful
