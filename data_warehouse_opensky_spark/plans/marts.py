@@ -584,9 +584,15 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mart_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "click", "purchase")
-    )
+    e = load_table(spark, sf_dir, "events")
+    return event_funnel(e)
+
+
+def event_funnel(e: DataFrame) -> DataFrame:
+    """Funnel counts over an events frame (user_id, ts, event_id,
+    event_type) — separated from the catalog entry so property tests
+    can drive it with generated sequences (tests/test_properties.py)."""
+    e = e.filter(F.col("event_type").isin("view", "click", "purchase"))
     u = (
         F.unix_timestamp("ts").cast("long") * 10_000_000 + F.col("event_id")
     ).alias("u")

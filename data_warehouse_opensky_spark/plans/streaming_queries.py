@@ -244,7 +244,7 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
     flagged AS (
       SELECT *,
              CASE WHEN ts_s - lag(ts_s) OVER (
-                    PARTITION BY user_id ORDER BY ts_s, event_id) >= 1800
+                    PARTITION BY user_id ORDER BY ts_s, event_id) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM e
     ),

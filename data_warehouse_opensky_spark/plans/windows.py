@@ -271,8 +271,11 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window (T2.16) — the batch twin of the streaming session "
     "query. Timestamps floored to whole seconds first so the gap rule "
     "is engine-exact (parquet ns vs µs). Oracle reproduces Spark's "
-    "merge rule (new session iff gap ≥ 30 min — window end is "
-    "exclusive) with lag + a running sum.",
+    "merge rule with lag + a running sum: sessions merge when the "
+    "next event's window start <= the current session end, so a gap "
+    "of EXACTLY the 30-min threshold still merges — new session iff "
+    "gap > 1800 s (verified against a real boundary gap at sf0.1; "
+    ">= silently agrees at SFs that never produce an exact tie).",
     oracle="""
     WITH e AS (
       SELECT user_id, event_id,
@@ -282,7 +285,7 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
       SELECT *,
              CASE WHEN ts_s - lag(ts_s) OVER (
-                    PARTITION BY user_id ORDER BY ts_s, event_id) >= 1800
+                    PARTITION BY user_id ORDER BY ts_s, event_id) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM e
     ),

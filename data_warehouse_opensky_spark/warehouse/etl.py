@@ -104,6 +104,76 @@ def stage_files(
     return results
 
 
+def _state_vector_rules() -> list[tuple[str, "F.Column"]]:
+    """Row-level contract rules for raw state vectors: (rule_name,
+    passes-predicate). The reference coerces bad values to NULL
+    silently (load_warehouse.py:63-75); a production pipeline also
+    wants to KNOW which rows violated the contract — these rules make
+    that observable without changing the coercion semantics."""
+    return [
+        ("icao24_hex6", F.col("icao24").rlike("^[0-9a-fA-F]{6}$")),
+        (
+            "last_contact_epoch",
+            F.col("last_contact").cast("long").isNotNull(),
+        ),
+        (
+            "lon_range",
+            F.col("longitude").isNull()
+            | F.col("longitude").cast("double").between(-180.0, 180.0),
+        ),
+        (
+            "lat_range",
+            F.col("latitude").isNull()
+            | F.col("latitude").cast("double").between(-90.0, 90.0),
+        ),
+        (
+            "on_ground_bool",
+            F.col("on_ground").isNull()
+            | F.lower("on_ground").isin("true", "false"),
+        ),
+    ]
+
+
+def with_violations(
+    df: DataFrame, rules: list[tuple[str, "F.Column"]] | None = None
+) -> DataFrame:
+    """Add a `violations` array column naming every failed rule.
+
+    One projection, row-local, zero shuffles: each rule evaluates to
+    its name or NULL and the array compacts out the NULLs — the
+    data-quality check costs one pass regardless of rule count, vs one
+    filter job per rule. Callers split on `size(violations)`.
+    """
+    rules = rules if rules is not None else _state_vector_rules()
+    checks = F.array_compact(
+        F.array(
+            *[F.when(~pred, F.lit(name)).otherwise(F.lit(None)) for name, pred in rules]
+        )
+    )
+    return df.withColumn("violations", checks)
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[tuple[str, "F.Column"]] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (good, quarantined-with-reasons) — the ROW-level
+    complement of the per-FILE fault isolation above (T1.22): a file
+    with a few bad rows no longer fails or silently null-coerces; the
+    bad rows land in a rejects frame carrying the violated rule names
+    for reprocessing.
+
+    Both branches derive from one `with_violations` projection; writing
+    them is two scans of the source (or one with persist/foreachBatch —
+    at 100 TB quarantine volume is ~0, so the second scan is cheap and
+    AQE prunes it to the violating partitions when a partition filter
+    exists).
+    """
+    v = with_violations(df, rules)
+    good = v.filter(F.size("violations") == 0).drop("violations")
+    bad = v.filter(F.size("violations") > 0)
+    return good, bad
+
+
 def run_incremental_load(
     spark: SparkSession,
     landing_dir: str,

@@ -119,6 +119,43 @@ def test_per_file_fault_isolation(spark, tmp_path):
     assert set(res) == {good.name, poison.name}
 
 
+def test_row_level_quarantine_split(spark):
+    """Row-level quarantine (the per-ROW complement of T1.22's per-file
+    isolation): contract-violating rows split out with the violated
+    rule names; clean rows pass untouched; the reference corpus itself
+    is fully clean under the contract rules."""
+    from data_warehouse_opensky_spark.schemas import RAW_SCHEMA
+    from data_warehouse_opensky_spark.warehouse.etl import quarantine_split
+
+    rows = [
+        # clean row
+        ("abc123", "CALL1   ", "X", "1700000000", "1700000010", "1.0", "2.0",
+         "3.0", "false", "4.0", "5.0", "6.0", None, "7.0", "1000", "false", "0"),
+        # bad icao24 AND bad epoch
+        ("zz", "CALL2   ", "X", "1700000000", "not_a_ts", "1.0", "2.0",
+         "3.0", "true", "4.0", "5.0", "6.0", None, "7.0", "1000", "false", "0"),
+        # out-of-range longitude, non-boolean on_ground
+        ("abc124", "CALL3   ", "X", "1700000000", "1700000010", "999.0", "2.0",
+         "3.0", "maybe", "4.0", "5.0", "6.0", None, "7.0", "1000", "false", "0"),
+    ]
+    df = spark.createDataFrame(rows, RAW_SCHEMA)
+    good, bad = quarantine_split(df)
+    assert good.count() == 1
+    quarantined = {r.icao24: sorted(r.violations) for r in bad.collect()}
+    assert quarantined == {
+        "zz": ["icao24_hex6", "last_contact_epoch"],
+        "abc124": ["lon_range", "on_ground_bool"],
+    }
+
+    # The real reference corpus passes the contract end to end.
+    ref = spark.read.csv(
+        "/root/reference/data/states_*.csv", header=True, schema=RAW_SCHEMA
+    )
+    ref_good, ref_bad = quarantine_split(ref)
+    assert ref_bad.count() == 0
+    assert ref_good.count() == ref.count()
+
+
 def test_gold_marts(spark, tmp_path):
     landing = str(tmp_path / "landing")
     wh = str(tmp_path / "warehouse")

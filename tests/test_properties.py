@@ -1,0 +1,203 @@
+"""Property-based tests (hypothesis): the row-local operator kernels
+vs straight-line Python references on generated inputs.
+
+The oracle harness checks agreement with DuckDB on FIXED testdata;
+these properties check agreement with an independent Python reference
+on ADVERSARIAL inputs (empty texts, single tokens, duplicate spans,
+funnel sequences in every interleaving) — the regime where off-by-one
+shingle/chunk/fold bugs live. Each hypothesis example drives one small
+Spark job, so examples are kept few and inputs tiny; the point is
+shrinking counterexamples, not volume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_warehouse_opensky_spark.operators import text as X
+from data_warehouse_opensky_spark.plans.marts import event_funnel
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# Small alphabet with spaces → short repetitive token streams that
+# actually collide (duplicate spans, repeated tokens, ties).
+words = st.text(alphabet="ab", min_size=1, max_size=3)
+texts = st.lists(words, min_size=0, max_size=30).map(" ".join)
+
+
+def _docs_df(spark, texts_list):
+    rows = [(i, t) for i, t in enumerate(texts_list)]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_chunking_covers_text_exactly(spark, docs):
+    """Every chunk is the exact substring at its declared offset, chunk
+    indices are dense from 0, and chunks cover the full text."""
+    size, stride = 120, 90
+    out = (
+        X.chunk_documents(_docs_df(spark, docs), size=size, stride=stride)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(docs):
+        chunks = by_doc.get(doc_id, [])
+        starts = list(range(1, max(len(text), 1) + 1, stride))
+        assert [c.chunk_idx for c in chunks] == list(range(len(starts)))
+        for c, start in zip(chunks, starts):
+            expect = text[start - 1 : start - 1 + size]
+            assert c.start_pos == start
+            assert c.chunk_len == len(expect)
+            assert c.chunk_md5 == hashlib.md5(expect.encode()).hexdigest()
+        covered = set()
+        for c in chunks:
+            covered.update(range(c.start_pos, c.start_pos + c.chunk_len))
+        assert covered == set(range(1, len(text) + 1))
+
+
+@given(st.lists(texts.filter(bool), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_pack_sequences_conserves_tokens(spark, docs):
+    """Per shard: token totals are conserved, every sequence holds
+    exactly SEQ_LEN tokens except the shard tail, and seq_ids are
+    dense from 0."""
+    out = X.pack_sequences(_docs_df(spark, docs)).orderBy("shard", "seq_id").collect()
+    shard_tokens: dict[int, int] = {}
+    for i, t in enumerate(docs):
+        shard_tokens[i % X.PACK_SHARDS] = shard_tokens.get(
+            i % X.PACK_SHARDS, 0
+        ) + len(t.split(" "))
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(shard_tokens)
+    for shard, rows in by_shard.items():
+        assert [r.seq_id for r in rows] == list(range(len(rows)))
+        assert sum(r.n_tokens for r in rows) == shard_tokens[shard]
+        for r in rows[:-1]:
+            assert r.n_tokens == X.SEQ_LEN
+        assert 1 <= rows[-1].n_tokens <= X.SEQ_LEN
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                max_size=40, unique=True))
+@settings(**SETTINGS)
+def test_contiguous_ids_are_a_dense_order_preserving_permutation(spark, ids):
+    df = spark.createDataFrame(
+        [(i, 1) for i in ids], "doc_id BIGINT, n_chars BIGINT"
+    )
+    out = {
+        r.doc_id: r.new_id
+        for r in X.assign_contiguous_ids(df).select("doc_id", "new_id").collect()
+    }
+    assert sorted(out.values()) == list(range(len(ids)))
+    ranked = {d: i for i, d in enumerate(sorted(ids))}
+    assert out == ranked
+
+
+@given(st.lists(st.sampled_from(["en", "de", "fr", "xx"]), min_size=1,
+                max_size=30))
+@settings(**SETTINGS)
+def test_mixture_weights_match_integer_reference(spark, langs):
+    """Exact integer-arithmetic reference; unknown strata weight 0;
+    cap respected."""
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(langs)], "doc_id BIGINT, lang STRING"
+    )
+    out = {r.stratum: r for r in X.mixture_weights(df).collect()}
+    total = len(langs)
+    targets = dict(X.MIXTURE_TARGETS_PPM)
+    for lang in set(langs):
+        n = langs.count(lang)
+        actual_ppm = n * 1_000_000 // total
+        tgt = targets.get(lang, 0)
+        weight = min(tgt * 1_000_000 // max(actual_ppm, 1), X.MIXTURE_MAX_WEIGHT_E6)
+        r = out[lang]
+        assert (r.n_docs, r.n_total, r.actual_ppm) == (n, total, actual_ppm)
+        assert r.weight_e6 == weight
+        assert r.expected_docs == n * weight // 1_000_000
+    assert out["xx"].weight_e6 == 0 if "xx" in out else True
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_duplicated_spans_match_set_reference(spark, docs):
+    n, min_docs = X.SPAN_NGRAM, 2
+    out = {
+        r.span: (r.n_docs, r.min_doc, r.max_doc)
+        for r in X.duplicated_spans(
+            _docs_df(spark, docs), min_docs=min_docs
+        ).collect()
+    }
+    ref: dict[str, set] = {}
+    for doc_id, text in enumerate(docs):
+        toks = text.split(" ")
+        for i in range(len(toks) - n + 1):
+            ref.setdefault(" ".join(toks[i : i + n]), set()).add(doc_id)
+    expect = {
+        s: (len(d), min(d), max(d)) for s, d in ref.items() if len(d) >= min_docs
+    }
+    assert out == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=50),  # ts seconds
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_fold_matches_sequence_reference(spark, events):
+    """The aggregate() fold equals a Python walk of each user's events
+    in (ts, event_id) order — first view, first click strictly after
+    it, first purchase strictly after that."""
+    rows = [(u, ts, eid, tp) for eid, (u, ts, tp) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts_s BIGINT, event_id BIGINT, event_type STRING"
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+    got = event_funnel(df).collect()[0]
+
+    by_user: dict[int, list] = {}
+    for u, ts, eid, tp in rows:
+        if tp in ("view", "click", "purchase"):
+            by_user.setdefault(u, []).append((ts * 10_000_000 + eid, tp))
+    n_view = n_click = n_full = 0
+    sum_convert = 0
+    for seq in by_user.values():
+        t1 = t2 = t3 = None
+        for u_key, tp in sorted(seq):
+            if t1 is None and tp == "view":
+                t1 = u_key
+            elif t2 is None and t1 is not None and tp == "click" and u_key > t1:
+                t2 = u_key
+            elif t3 is None and t2 is not None and tp == "purchase" and u_key > t2:
+                t3 = u_key
+        n_view += t1 is not None
+        n_click += t2 is not None
+        n_full += t3 is not None
+        if t3 is not None:
+            sum_convert += t3 // 10_000_000 - t1 // 10_000_000
+    assert got.n_users == len(by_user)
+    assert (got.n_view, got.n_view_click, got.n_full_funnel) == (
+        n_view,
+        n_click,
+        n_full,
+    )
+    assert got.sum_convert_s == sum_convert

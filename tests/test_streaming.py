@@ -105,6 +105,27 @@ def test_session_windows(spark, landing):
     assert len(by_ac["c3"]) == 1 and by_ac["c3"][0].n_pings == 1
 
 
+def test_session_window_gap_boundary_merges(spark):
+    """Spark's session_window merges when the next event lands EXACTLY
+    at the previous session's end (start <= end): a gap equal to the
+    30-min threshold is ONE session, threshold+1s is two. Pins the
+    semantics every session oracle encodes (`gap > 1800` = new
+    session) — caught live by a real 1800 s gap at sf0.1 that the
+    `>=` formulation misclassified."""
+    from pyspark.sql import functions as F
+
+    def n_sessions(gap_s: int) -> int:
+        df = spark.createDataFrame(
+            [(1, 1_700_000_000), (1, 1_700_000_000 + gap_s)], "u LONG, ts_s LONG"
+        ).withColumn("ts", F.timestamp_seconds("ts_s"))
+        return (
+            df.groupBy("u", F.session_window("ts", "30 minutes")).count().count()
+        )
+
+    assert n_sessions(1800) == 1
+    assert n_sessions(1801) == 2
+
+
 def test_stateful_running_agg_across_batches(spark, tmp_path):
     """applyInPandasWithState must ACCUMULATE GroupState across
     micro-batches: 3 single-file batches of events, final per-key state
