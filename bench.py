@@ -78,6 +78,7 @@ HEADLINE = [
     "streaming_static_enrich",
     "mart_event_funnel",
     "mart_retention_cohorts",
+    "text_bigram_logprob",
 ]
 
 

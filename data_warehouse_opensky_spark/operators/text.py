@@ -732,6 +732,62 @@ def quality_funnel(
     )
 
 
+# -- character-bigram LM quality score (CCNet-style) -----------------------
+
+
+def bigram_logprob(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Score each document by the average log-probability of its char
+    bigrams under the corpus's own bigram distribution — the CCNet-
+    style language-model quality filter (gibberish and boilerplate
+    score far from the corpus mode; no external model needed).
+
+    Determinism doctrine: each bigram's ln(count/total) rounds to an
+    e6 integer ONCE (per distinct bigram — a continuous value, safe to
+    round), and per-doc scores are exact INTEGER sums of those — never
+    a float sum, whose partial-aggregation order is nondeterministic.
+
+    Shape: the model is a bigram->logp_e6 table bounded by charset²
+    (broadcast, kilobytes); scoring is one explode + broadcast join +
+    map-side-combinable sum per doc. Two passes over the corpus (count,
+    then score) — irreducible, it is train-then-apply on the same data;
+    at 100 TB the model pass is a count agg on a tiny key space.
+    """
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= 2 THEN "
+        f"transform(sequence(1, length({text_col}) - 1),"
+        f" i -> substring({text_col}, i, 2))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("bg")
+    )
+    counts = (
+        pairs.filter(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("n_total"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "bg",
+        F.expr("CAST(round(ln(CAST(c AS DOUBLE) / n_total) * 1000000) AS BIGINT)")
+        .alias("logp_e6"),
+    )
+    return (
+        pairs.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("logp_e6").cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("logp_e6"), F.lit(0)).cast("long").alias("sum_logp_e6"),
+        )
+        .withColumn(
+            "avg_logp_e6",
+            F.expr("sum_logp_e6 div greatest(n_bigrams, 1)").cast("long"),
+        )
+    )
+
+
 # -- cross-document duplicated-span mining ---------------------------------
 
 SPAN_NGRAM = 8  # token span width

@@ -21,9 +21,12 @@ from . import marts  # noqa: E402,F401
 # all one bug class, DuckDB integer sum() → HUGEINT → pandas float64;
 # oracles now CAST(sum(...) AS BIGINT) on the OUTSIDE — plus the 37
 # queries whose only green driver row is round 1 (rotated out of the
-# r2 window; code unchanged since) — plus the three queries new this
-# round. 45 of 50 slots; after this round every catalog query has a
-# green row within the last two rounds.
+# r2 window; code unchanged since) — plus eight queries new this
+# round. Exactly 50 slots; after this round every catalog query has a
+# green row within the last two rounds. Later round-3 additions
+# (corpus_length_buckets, mart_incremental_merge, the HLL/CDC/funnel/
+# retention/span/mixture/stream-enrich queries) register AFTER the
+# front and rotate into the r4 window.
 # Queries displaced past slot 50 stay covered by tests/test_oracle.py,
 # which runs ALL of them vs DuckDB at sf0.001.
 DRIVER_WINDOW_PRIORITY = [

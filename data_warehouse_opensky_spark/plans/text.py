@@ -203,3 +203,48 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+@query(
+    "text_bigram_logprob",
+    tier="T3",
+    doc="Char-bigram LM quality score (CCNet-style): each doc's average "
+    "log-probability under the corpus's own bigram distribution — "
+    "gibberish scores far from the corpus mode with no external "
+    "model. Each distinct bigram's ln(c/total) rounds to an e6 "
+    "integer ONCE; per-doc scores are exact integer sums (never a "
+    "float sum — partial-agg order is nondeterministic). Model table "
+    "bounded by charset², broadcast.",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 2) AS bg
+      FROM documents, unnest(range(1, length(text))) AS u(i)
+      WHERE length(text) >= 2
+    ),
+    counts AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bg),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM counts),
+    model AS (
+      SELECT bg, CAST(round(ln(CAST(c AS DOUBLE) / n_total) * 1000000)
+                      AS BIGINT) AS logp_e6
+      FROM counts, total
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(count(m.logp_e6) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(sum(m.logp_e6), 0) AS BIGINT) AS sum_logp_e6
+      FROM bg b LEFT JOIN model m ON b.bg = m.bg
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(s.sum_logp_e6, 0) AS BIGINT) AS sum_logp_e6,
+           CAST(coalesce(s.sum_logp_e6, 0)
+                // greatest(coalesce(s.n_bigrams, 0), 1) AS BIGINT)
+             AS avg_logp_e6
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return X.bigram_logprob(d).orderBy("doc_id")

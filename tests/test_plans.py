@@ -419,6 +419,17 @@ def test_cdc_diff_preaggregates_both_sides(spark):
     assert "BroadcastNestedLoopJoin" not in body, plan
 
 
+def test_bigram_logprob_model_broadcasts(spark):
+    """The bigram model (bounded by charset²) must broadcast into the
+    scoring join; the fact-side explode shuffles once for the per-doc
+    sum — never a sort-merge join of the exploded stream against the
+    model."""
+    plan = plan_of(spark, "text_bigram_logprob")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, plan
+    assert "SortMergeJoin" not in body, plan
+
+
 def test_funnel_single_pass_no_joins(spark):
     """The ordered funnel is ONE shuffle on user_id with a row-local
     sequence fold — the oracle needs three chained joins for the same
