@@ -79,6 +79,8 @@ HEADLINE = [
     "mart_event_funnel",
     "mart_retention_cohorts",
     "text_bigram_logprob",
+    "audit_referential_integrity",
+    "mart_cumulative_users",
 ]
 
 

@@ -687,3 +687,116 @@ def mart_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.4 — referential-integrity audit (orphan detection across the star)
+# --------------------------------------------------------------------------
+@query(
+    "audit_referential_integrity",
+    tier="T2",
+    doc="Warehouse FK audit: orphan counts for every edge of the star "
+    "schema (orders->customer, lineitem->orders, lineitem->part, "
+    "customer->nation) via left-anti joins — the load-validation "
+    "query a warehouse runs after every batch. Each edge is one "
+    "anti-join + count; dims broadcast, fact-fact edges sort-merge on "
+    "the key at scale. Clean testdata must audit clean (n_orphans "
+    "0) — the query's value is the shape plus the gate that it stays "
+    "zero as loaders evolve.",
+    oracle="""
+    SELECT 'customer->nation' AS relationship,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    ORDER BY relationship
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("fk"))
+        orphans = c.join(p, "fk", "left_anti")
+        parts.append(
+            c.agg(F.count("*").cast("long").alias("n_child")).crossJoin(
+                orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+            ).select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.orderBy("relationship")
+
+
+# --------------------------------------------------------------------------
+# T2.7/T2.9 — cumulative distinct users (growth curve)
+# --------------------------------------------------------------------------
+@query(
+    "mart_cumulative_users",
+    tier="T2",
+    doc="Cumulative distinct users per day — the growth curve. "
+    "Cumulative COUNT(DISTINCT) is not decomposable, so the scalable "
+    "rewrite is: first-seen day per user (one agg on user_id), daily "
+    "new-user counts, then a running sum over the tiny #days frame — "
+    "the single-partition window is post-aggregation and scale-safe. "
+    "Never a per-day distinct over growing prefixes (O(days x "
+    "history) rescans).",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS first_day
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+      FROM f GROUP BY 1
+    )
+    SELECT day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cumulative
+    FROM d
+    ORDER BY day
+    """,
+)
+def mart_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("day")
+    )
+    daily = first.groupBy("day").agg(F.count("*").cast("long").alias("n_new"))
+    w = Window.partitionBy(F.lit(1)).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return daily.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("long").alias("n_cumulative")
+    ).orderBy("day")
