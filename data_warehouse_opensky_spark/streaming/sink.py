@@ -91,6 +91,10 @@ def _load_num_buckets(sink_dir: str, requested: int) -> int:
     return requested
 
 
+#: Subdirectory of the sink root receiving quarantined rows.
+REJECTS = "rejects"
+
+
 def upsert_parquet_sink(
     stream: DataFrame,
     sink_dir: str,
@@ -99,15 +103,37 @@ def upsert_parquet_sink(
     order_col: str,
     checkpoint_dir: str,
     num_buckets: int = 16,
+    rules: "list[tuple[str, F.Column]] | None" = None,
 ) -> StreamingQuery:
     """Start a foreachBatch streaming query that upserts each
     micro-batch into `sink_dir/current` (latest-wins per key),
-    rewriting only the `bucket=N` partitions the batch touches."""
+    rewriting only the `bucket=N` partitions the batch touches.
+
+    With `rules` (rule_name, passes-predicate pairs — see
+    warehouse/etl.py::quarantine_split), each micro-batch is first
+    split row-level: violating rows append to `sink_dir/rejects/`
+    tagged with the violated rule names and batch_id (replay-
+    idempotent: a replayed batch_id overwrites its own rejects
+    partition), and only clean rows enter the merge — the streaming
+    twin of the batch quarantine, so one poison row degrades to one
+    quarantined row instead of a poisoned snapshot or a dead query.
+    """
     spark = stream.sparkSession
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         n_buckets = _load_num_buckets(sink_dir, num_buckets)
         cur_path = os.path.join(sink_dir, CURRENT)
+
+        if rules is not None:
+            from ..warehouse.etl import quarantine_split
+
+            batch, bad = quarantine_split(batch, rules)
+            rejects_path = os.path.join(sink_dir, REJECTS, f"batch_id={batch_id}")
+            # Mode=overwrite per batch_id partition: exactly-once under
+            # foreachBatch replay without a distributed commit.
+            bad.withColumn("violations", F.concat_ws(",", "violations")).write.mode(
+                "overwrite"
+            ).parquet(rejects_path)
 
         batch = batch.withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
         # Control-plane only: ≤ num_buckets small ints, not data rows.

@@ -310,6 +310,48 @@ def test_upsert_sink_partition_scoped_rewrite(spark, tmp_path):
     assert got == expect
 
 
+def test_upsert_sink_quarantines_bad_rows(spark, tmp_path):
+    """Streaming quarantine: with contract rules, a poison row lands in
+    rejects/ tagged with the violated rule names and NEVER reaches the
+    merged snapshot; clean rows of the same batch merge normally."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_opensky_spark.streaming.sink import upsert_parquet_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(1, 10, "ok-1"), (2, 10, "ok-2"), (3, 10, ""), (4, -5, "ok-4")]
+    spark.createDataFrame(rows, ["key", "version", "payload"]).coalesce(
+        1
+    ).write.parquet(str(src / "f"))
+    schema = spark.read.parquet(str(src / "f")).schema
+
+    rules = [
+        ("payload_nonempty", F.length("payload") > 0),
+        ("version_positive", F.col("version") > 0),
+    ]
+    q = upsert_parquet_sink(
+        spark.readStream.schema(schema).parquet(str(src / "*")),
+        str(tmp_path / "sink"),
+        key_cols=["key"],
+        order_col="version",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_buckets=4,
+        rules=rules,
+    )
+    q.awaitTermination()
+
+    cur = {
+        r.key for r in spark.read.parquet(str(tmp_path / "sink" / "current")).collect()
+    }
+    assert cur == {1, 2}
+    rejects = {
+        r.key: r.violations
+        for r in spark.read.parquet(str(tmp_path / "sink" / "rejects")).collect()
+    }
+    assert rejects == {3: "payload_nonempty", 4: "version_positive"}
+
+
 def test_stream_stream_join_state_evicts(spark, tmp_path):
     """The stream-stream join's evict-ability is measured, not assumed:
     across ≥2 micro-batches with advancing event time, the join's
