@@ -318,3 +318,53 @@ def opensky_per_file_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_source")
     )
+
+
+@query(
+    "opensky_grid_density",
+    tier="T2",
+    doc="Spatial density mart: airborne state vectors bucketed into "
+    "1-degree grid cells (floor(lat), floor(lon)) with counts, "
+    "distinct aircraft, and fixed-point mean velocity per cell — the "
+    "grid-bucketing shape that makes spatial aggregation an ordinary "
+    "equi-groupBy (and spatial joins an equi-join on cell keys) at "
+    "any scale, instead of geometry predicates per row pair. Third "
+    "independent driver gate over the cleaned reference corpus.",
+    oracle=f"""
+    WITH c AS ({_CLEAN_SQL})
+    SELECT CAST(floor(latitude) AS BIGINT) AS cell_lat,
+           CAST(floor(longitude) AS BIGINT) AS cell_lon,
+           count(*) AS n_states,
+           count(DISTINCT icao24) AS n_aircraft,
+           CAST(sum(CASE WHEN on_ground THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_airborne,
+           CAST(sum(CAST(round(velocity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_velocity_c
+    FROM c
+    WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def opensky_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    raw = spark.read.csv(REFERENCE_GLOB, header=True, schema=RAW_SCHEMA)
+    c = clean_state_vectors(raw)
+    return (
+        c.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
+        .groupBy(
+            F.floor("latitude").cast("long").alias("cell_lat"),
+            F.floor("longitude").cast("long").alias("cell_lon"),
+        )
+        .agg(
+            F.count("*").alias("n_states"),
+            F.countDistinct("icao24").alias("n_aircraft"),
+            F.sum(F.when(F.col("on_ground"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_airborne"),
+            F.sum(F.round(F.col("velocity") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_velocity_c"),
+        )
+        .orderBy("cell_lat", "cell_lon")
+    )
