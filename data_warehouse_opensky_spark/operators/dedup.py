@@ -486,6 +486,29 @@ def connected_components(
         )
     )
     und = und.localCheckpoint(eager=True)
+    # Size the rounds to the edge volume: per-round cost is dominated
+    # by fixed per-task and per-checkpoint overhead, and a ~20k-edge
+    # graph inherits 60+ map partitions from the LSH pipeline — 8x the
+    # tasks for no parallelism, paid EVERY round. The count is free
+    # (und is checkpoint-materialized); if the graph is small, compact
+    # it once (a ~ms job on checkpointed rows) and run the rounds at
+    # matching shuffle parallelism. At 100 TB edge counts in the
+    # billions leave the layout untouched — thousands of partitions is
+    # exactly right there.
+    spark = edges.sparkSession
+    n_edges = und.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    round_parts = max(8, min(int(prev_parts), (n_edges + 249_999) // 250_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
+    try:
+        if und.rdd.getNumPartitions() > round_parts:
+            und = und.repartition(round_parts).localCheckpoint(eager=True)
+        return _cc_rounds(und, max_iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_rounds(und: DataFrame, max_iterations: int) -> DataFrame:
     labels = (
         und.select(F.col("src").alias("doc_id"))
         .distinct()
