@@ -18,7 +18,10 @@ from data_warehouse_opensky_spark.plans import QUERIES  # noqa: E402
 #: surface with their tests.
 SURVEY_MATRIX: list[tuple[str, str, str]] = [
     ("T1.1", "REST API source (OAuth2)",
-     "`sources/opensky_api.py::get_access_token/fetch_states/extract_job` — tests/test_ingest.py"),
+     "`sources/opensky_api.py::get_access_token/fetch_states/extract_job`; Spark 4 "
+     "Python DataSource `sources/opensky_datasource.py` (`format(\"opensky\")`, "
+     "bbox tiled into one InputPartition per latitude strip, executor-side fetch) "
+     "— tests/test_ingest.py"),
     ("T1.2", "JSON→tabular decode",
      "`sources/opensky_api.py::states_to_dataframe` (explicit RAW_SCHEMA)"),
     ("T1.3", "CSV sink, raw zone",

@@ -211,3 +211,48 @@ def test_cli_load_marts_and_sql(spark, tmp_path, capsys):
     )
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["n"] > 0
+
+
+def test_opensky_python_datasource(spark):
+    """Spark 4 Python DataSource: the bbox splits into latitude-strip
+    tiles, one InputPartition each, fetched executor-side — schema,
+    decode semantics, and tile->partition mapping all asserted without
+    network via injected per-tile payloads."""
+    import json
+
+    from data_warehouse_opensky_spark.schemas import RAW_SCHEMA
+    from data_warehouse_opensky_spark.sources.opensky_datasource import register
+
+    register(spark)
+    payloads = [
+        {"states": [["a1", "CALL1   ", "X", 1700000000, 1700000010, 1.0,
+                     2.0, 3.0, False, 4.0, 5.0, 6.0, None, 7.0, "1000",
+                     False, 0]]},
+        {"states": []},  # empty tile — absent/empty states => no rows
+        {"states": [["b2", None, "Y", 1700000100, 1700000110, 10.0, 20.0,
+                     None, True, None, None, None, None, None, None,
+                     False, 0]]},
+    ]
+    df = (
+        spark.read.format("opensky")
+        .option("lamin", "40").option("lamax", "55")
+        .option("lomin", "-5").option("lomax", "20")
+        .option("tiles", "3")
+        .option("fake_payloads", json.dumps(payloads))
+        .load()
+    )
+    assert df.schema == RAW_SCHEMA
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r.icao24: r for r in df.collect()}
+    assert set(rows) == {"a1", "b2"}
+    # csv.writer-faithful stringification + NULL backfill
+    assert rows["a1"].on_ground == "False"
+    assert rows["a1"].time_position == "1700000000"
+    assert rows["b2"].callsign is None
+    assert rows["b2"].baro_altitude is None
+    # the decoded stream feeds the SAME clean transform as file ingest
+    from data_warehouse_opensky_spark.transform import clean_state_vectors
+
+    clean = clean_state_vectors(df)
+    got = {r.icao24: r for r in clean.collect()}
+    assert got["a1"].on_ground is False and got["b2"].on_ground is True
