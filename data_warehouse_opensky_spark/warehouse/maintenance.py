@@ -173,3 +173,65 @@ def cluster_by_range(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+Z_BITS = 16  # per-dimension resolution of the z-curve
+
+
+def zorder_value(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Add a `zvalue` column: the Morton (Z-order) interleave of the
+    two columns' range-normalized 16-bit ranks.
+
+    Single-column range clustering gives perfect skipping on ONE
+    dimension and none on any other; the z-curve trades that for
+    PARTIAL locality on both — rows close in (a, b) space land close
+    on the curve, so after range-clustering on zvalue every file's
+    footer min/max is selective for predicates on EITHER column. This
+    is 'Z-order lite' (linear min-max normalization from one tiny agg,
+    fine for roughly uniform keys); skewed dimensions want quantile
+    ranks from approx_percentile, same interleave after.
+
+    The interleave is pure JVM bit arithmetic (an unrolled 16-term
+    shift-or expression) — no UDF, stays inside codegen.
+    """
+    stats = df.agg(
+        F.min(col_a).cast("double").alias("a_lo"),
+        F.max(col_a).cast("double").alias("a_hi"),
+        F.min(col_b).cast("double").alias("b_lo"),
+        F.max(col_b).cast("double").alias("b_hi"),
+    )
+    max_rank = (1 << Z_BITS) - 1
+    norm = (
+        "CAST(round(({c} - {lo}) / greatest({hi} - {lo}, 1e-12) * {m}) AS BIGINT)"
+    )
+    a_rank = norm.format(c=col_a, lo="a_lo", hi="a_hi", m=max_rank)
+    b_rank = norm.format(c=col_b, lo="b_lo", hi="b_hi", m=max_rank)
+    interleave = " | ".join(
+        f"(shiftleft(shiftright(_za, {i}) & 1, {2 * i + 1}) | "
+        f"shiftleft(shiftright(_zb, {i}) & 1, {2 * i}))"
+        for i in range(Z_BITS)
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_za", F.expr(a_rank))
+        .withColumn("_zb", F.expr(b_rank))
+        .withColumn("zvalue", F.expr(interleave))
+        .drop("a_lo", "a_hi", "b_lo", "b_hi", "_za", "_zb")
+    )
+
+
+def cluster_by_zorder(
+    df: DataFrame, out_dir: str, col_a: str, col_b: str, n_files: int
+) -> None:
+    """Write `df` clustered on the z-curve of (col_a, col_b): files
+    cover compact rectangles of the 2-D key space, so footer min/max
+    stats skip files for range predicates on EITHER column — the
+    multi-dimensional counterpart of cluster_by_range, same
+    range-partition + local-sort write shape."""
+    z = zorder_value(df, col_a, col_b)
+    (
+        z.repartitionByRange(n_files, F.col("zvalue"))
+        .sortWithinPartitions("zvalue")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

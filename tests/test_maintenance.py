@@ -174,3 +174,54 @@ def test_cluster_by_range_enables_file_skipping(spark, events, tmp_path):
     # Content preserved.
     back = spark.read.parquet(out)
     assert back.count() == events.count()
+
+
+def test_cluster_by_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering must yield footer stats selective on BOTH
+    dimensions: for a range predicate on either column, the set of
+    files whose [min,max] intersects the predicate is a strict subset
+    — the property single-column range clustering can only give one
+    column."""
+    import pyarrow.parquet as pq
+
+    from data_warehouse_opensky_spark.warehouse.maintenance import cluster_by_zorder
+
+    n = 4096
+    grid = spark.range(n).selectExpr(
+        "CAST(id % 64 AS BIGINT) AS x", "CAST(id DIV 64 AS BIGINT) AS y"
+    )
+    out = str(tmp_path / "zordered")
+    cluster_by_zorder(grid, out, "x", "y", n_files=16)
+
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 16
+
+    def col_ranges(col):
+        out_r = []
+        for path in files:
+            md = pq.ParquetFile(path).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min); his.append(st.max)
+            out_r.append((min(los), max(his)))
+        return out_r
+
+    for col in ("x", "y"):
+        ranges = col_ranges(col)
+        lo_k = min(r[0] for r in ranges); hi_k = max(r[1] for r in ranges)
+        a, b = lo_k, lo_k + (hi_k - lo_k) // 4  # bottom quarter of the key space
+        touched = [r for r in ranges if not (r[1] < a or r[0] > b)]
+        assert len(touched) <= len(files) * 3 // 4, (col, ranges)
+
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert {tuple(r) for r in back.select("x", "y").collect()} == {
+        (i % 64, i // 64) for i in range(n)
+    }
