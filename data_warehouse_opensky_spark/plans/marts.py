@@ -800,3 +800,55 @@ def mart_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "n_new", F.sum("n_new").over(w).cast("long").alias("n_cumulative")
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# T2.6/T2.13 — exponentially-decayed trending score
+# --------------------------------------------------------------------------
+
+#: Decay reference instant and half-life. A FIXED reference (not wall
+#: clock) keeps the query deterministic and replayable; a production
+#: pipeline passes its batch watermark here.
+DECAY_REF = "2024-02-01"
+DECAY_HALF_LIFE_S = 86_400  # 1 day
+
+
+@query(
+    "mart_trending_decay",
+    tier="T2",
+    doc="Trending mart: per event type, an exponentially time-decayed "
+    "event score (half-life 1 day against a fixed reference instant) "
+    "— the recency-weighted ranking every feed/leaderboard runs. Each "
+    "event's decay weight rounds to an e6 integer ROW-LOCALLY "
+    "(continuous value, rounding-safe) and the aggregate sums exact "
+    "integers — a float sum would be partial-order-dependent and "
+    "could never hash-match. One scan, map-side combined.",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(1000000 * pow(2.0,
+                -(epoch(TIMESTAMP '{DECAY_REF}') - floor(epoch(ts)))
+                / {DECAY_HALF_LIFE_S}.0)) AS BIGINT)) AS BIGINT)
+             AS decayed_score_e6
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def mart_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    age_s = (
+        F.unix_timestamp(F.lit(DECAY_REF).cast("timestamp")).cast("long")
+        - F.unix_timestamp("ts").cast("long")
+    )
+    weight_e6 = F.round(
+        1_000_000 * F.pow(F.lit(2.0), -(age_s.cast("double") / DECAY_HALF_LIFE_S))
+    ).cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(weight_e6).cast("long").alias("decayed_score_e6"),
+        )
+        .orderBy("event_type")
+    )
