@@ -852,3 +852,89 @@ def mart_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.6 — privacy governance: k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+
+K_ANON = 5  # minimum group size for a quasi-identifier combination
+
+
+@query(
+    "audit_k_anonymity",
+    tier="T2",
+    doc="k-anonymity audit: customer quasi-identifier combinations "
+    "(nation, market segment) whose group size is below k=5 — the "
+    "re-identification risk report a privacy review runs before a "
+    "dataset ships. One map-side-combined groupBy on the "
+    "quasi-identifier tuple; EVERY combination is reported with its "
+    "exact size and a below_k flag (not just violators), so the gate "
+    "checks real group sizes even on datasets that happen to pass.",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < {K_ANON} AS below_k
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY nationkey, segment
+    """,
+)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .select(
+            "nationkey",
+            "segment",
+            "group_size",
+            (F.col("group_size") < K_ANON).alias("below_k"),
+        )
+        .orderBy("nationkey", "segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2.6 — ops diagnostics: join-key skew report
+# --------------------------------------------------------------------------
+@query(
+    "audit_key_skew",
+    tier="T2",
+    doc="Key-skew diagnostic for shuffle keys: per candidate join/agg "
+    "key column, the rows-per-key distribution (key count, max, "
+    "top-key share in ppm) — the report that decides whether a join "
+    "needs salting or AQE skew handling BEFORE it burns a cluster. "
+    "Two-level aggregation: count per key (map-side combined), then "
+    "a tiny summary agg; exact integers throughout.",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT 'events.user_id' AS key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_rows_per_key,
+           CAST(sum(n) // count(*) AS BIGINT) AS mean_rows_per_key,
+           CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS top_key_share_ppm
+    FROM per_key
+    """,
+)
+def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    return per_key.agg(
+        F.lit("events.user_id").alias("key_col"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows_per_key"),
+        F.expr("CAST(sum(n) div count(*) AS BIGINT)").alias("mean_rows_per_key"),
+        F.expr("CAST(max(n) * 1000000 div sum(n) AS BIGINT)").alias(
+            "top_key_share_ppm"
+        ),
+    )
