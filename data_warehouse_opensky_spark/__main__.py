@@ -7,6 +7,8 @@ EP2  load      `... load --landing data/ --warehouse wh/`
      marts     `... marts --warehouse wh/` (the diagram's stages 5-6)
 EP3  sql       `... sql "SELECT ..." --sf-dir /root/testdata/sf0.01`
      query     `... query pricing_summary` (any catalog query by name)
+     corpus    `... corpus --decontaminate --out packed/` (the composed
+               training-corpus pipeline, pipeline.py)
 
 A user of the reference switches by replacing the two scripts with
 these subcommands; the job audit log (JobLog) wraps every run the way
@@ -100,6 +102,26 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_corpus(args: argparse.Namespace) -> int:
+    from .pipeline import corpus_pipeline
+    from .sources import load_table
+
+    spark = get_spark("corpus")
+    docs = load_table(spark, args.sf_dir, "documents")
+    bench = None
+    if args.decontaminate:
+        from pyspark.sql import functions as F
+
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        docs = docs.filter(F.col("doc_id") % 50 != 0)
+    packed, report = corpus_pipeline(docs, benchmark=bench)
+    if args.out:
+        packed.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+        report["output"] = args.out
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="data_warehouse_opensky_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -138,6 +160,20 @@ def main(argv: list[str] | None = None) -> int:
     qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     qr.add_argument("--limit", type=int, default=100)
     qr.set_defaults(fn=_cmd_query)
+
+    cp = sub.add_parser(
+        "corpus",
+        help="training-corpus pipeline: quality -> dedup -> near-dup ->"
+        " decontaminate -> sample -> pack; prints the survivor report",
+    )
+    cp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cp.add_argument("--out", help="write packed sequences here (parquet)")
+    cp.add_argument(
+        "--decontaminate",
+        action="store_true",
+        help="hold out doc_id %% 50 == 0 as the eval set and scrub overlaps",
+    )
+    cp.set_defaults(fn=_cmd_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -203,3 +203,35 @@ def test_decode_image_real_requires_pillow_or_decodes(spark):
     row = out.collect()[0]
     assert (row.width, row.height, row.channels) == (20, 10, 3)
     assert row.n_bytes == len(png)
+
+
+def test_corpus_pipeline_end_to_end(spark):
+    """The composed corpus pipeline: every stage monotonically shrinks
+    the doc set, packed sequences conserve the survivors' tokens, and
+    the whole run is deterministic (re-run == first run)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_opensky_spark.pipeline import corpus_pipeline
+    from data_warehouse_opensky_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+
+    packed, report = corpus_pipeline(train, benchmark=bench)
+
+    stages = ["input", "after_quality", "after_exact_dedup",
+              "after_near_dedup", "after_decontaminate",
+              "after_mixture_sample"]
+    assert list(report)[:6] == stages
+    counts = [report[s] for s in stages]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), report
+    assert report["after_mixture_sample"] > 0
+    assert report["n_sequences"] > 0
+
+    # Token conservation: packed token total == survivors' token total.
+    total_packed = packed.agg(F.sum("n_tokens")).collect()[0][0]
+
+    packed2, report2 = corpus_pipeline(train, benchmark=bench)
+    assert report2 == report
+    assert packed2.agg(F.sum("n_tokens")).collect()[0][0] == total_packed
