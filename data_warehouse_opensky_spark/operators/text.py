@@ -810,32 +810,53 @@ def duplicated_spans(
     that complements within-doc repetition (repetition_signals) and
     eval-overlap (decontaminate).
 
-    Unlike decontaminate, the span TEXT is the product (a human reviews
-    the top boilerplate), so grams are materialized as strings rather
-    than rolling hashes. Per-doc dedup happens row-locally
-    (array_distinct before the explode), so the shuffled gram stream
-    carries at most one row per (doc, span); the groupBy is map-side
-    combinable and `min_docs` prunes the long unique tail before the
-    final sort. At 100 TB this is one explode + one count shuffle —
-    the same shape as a term-frequency job — and the dominant cost,
-    shuffling the distinct (doc, span) pairs, is irreducible for an
-    exact answer (the approximate path swaps in a count-min sketch).
+    The span TEXT is the product (a human reviews the top boilerplate),
+    but building and shuffling a string for EVERY (doc, span) is the
+    naive plan — at 100 TB that shuffle carries the whole corpus again.
+    Two-phase instead:
+
+    1. HASH PREFILTER — 62-bit rolling gram hashes (ints, no string
+       materialization; _with_gram_hashes), per-doc distinct, one
+       count shuffle of ints; hashes in >= min_docs docs are the hot
+       set (tiny: true boilerplate is rare). A collision can only ADD
+       a candidate, never hide one (a hash's doc-frequency >= its
+       span's), so the prefilter is a lossless superset.
+    2. REBUILD + EXACT COUNT — positions surviving the broadcast hot
+       join rebuild their actual span strings row-locally (only ~hot
+       positions, not the corpus), then an exact string groupBy +
+       HAVING gives collision-proof final counts.
 
     Returns (span, n_docs, min_doc, max_doc) for spans in >= min_docs
-    documents, deterministically ordered (n_docs DESC, span).
+    documents — byte-identical to the naive plan's output.
     """
-    grams = F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
-        f"array_distinct(transform("
-        f"  sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-        f"  i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))"
-        f" ELSE CAST(array() AS ARRAY<STRING>) END"
+    # Persisted: the hash pipeline feeds both the df-count branch and
+    # the survivor join (unpersisted diamonds recompute the rolling
+    # hashes twice).
+    hashed = (
+        _with_gram_hashes(docs, n, text_col, "ghs")
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"), "ghs")
+        .persist()
     )
-    pairs = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode_outer(grams).alias("span")
-    ).filter(F.col("span").isNotNull())
+    pos = hashed.select(
+        "doc_id", "_text", F.posexplode_outer("ghs").alias("i", "h")
+    ).filter(F.col("h").isNotNull())
+    hot = (
+        pos.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("h")
+    )
+    surv = pos.join(F.broadcast(hot), "h")
+    spans = surv.select(
+        "doc_id",
+        F.expr(f"array_join(slice(split(_text, ' '), i + 1, {n}), ' ')").alias(
+            "span"
+        ),
+    ).distinct()
     return (
-        pairs.groupBy("span")
+        spans.groupBy("span")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.min("doc_id").cast("long").alias("min_doc"),

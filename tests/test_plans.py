@@ -374,17 +374,18 @@ def test_quality_funnel_one_scan_no_shuffle_keys(spark):
     assert "Generate" not in body, plan
 
 
-def test_duplicated_spans_explode_agg_no_join(spark):
-    """Span mining is one explode + one map-side-combined count — the
-    term-frequency shape. Per-doc dedup must happen row-locally
-    (array_distinct inside the projection), so there is NO join and NO
-    second aggregation keyed on (doc, span)."""
+def test_duplicated_spans_hash_prefilter_then_broadcast(spark):
+    """Span mining is two-phase: an int-only hash df-count picks the
+    hot set, which BROADCASTS back over the position stream — span
+    strings are built only for survivors. The plan must show the
+    broadcast join and no sort-merge join (a shuffled string join
+    would mean the prefilter isn't doing its job)."""
     plan = plan_of(spark, "corpus_duplicated_spans")
     body = plan.split("== Physical Plan ==")[-1]
     assert "Generate" in body, plan
-    assert body.count("HashAggregate") >= 2, plan
-    assert "Join" not in body, plan
-    assert "array_distinct" in plan, plan
+    assert "BroadcastHashJoin" in body, plan
+    assert "SortMergeJoin" not in body, plan
+    assert "xxhash64" in plan, plan  # hash phase is int-only
 
 
 def test_mixture_weights_single_pass_broadcast_targets(spark):
