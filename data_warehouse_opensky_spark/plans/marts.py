@@ -938,3 +938,46 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_key_share_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# T2.6 — deterministic mode (most-frequent-value aggregate)
+# --------------------------------------------------------------------------
+@query(
+    "agg_mode_deterministic",
+    tier="T2",
+    doc="Mode aggregate with a pinned tie rule: per event type, the "
+    "most frequent user (smallest user_id wins ties). Bare mode() is "
+    "engine-nondeterministic under ties, so both engines maximize the "
+    "exact composite count*1e7 + (1e7-1-user_id) — two map-side-"
+    "combined aggregations, no window.",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(arg_max(user_id, n * 10000000 + (9999999 - user_id))
+                AS BIGINT) AS mode_user,
+           CAST(max(n) AS BIGINT) AS mode_count,
+           CAST(count(*) AS BIGINT) AS n_distinct_users
+    FROM c
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    key = F.col("n") * 10_000_000 + (9_999_999 - F.col("user_id"))
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", key).cast("long").alias("mode_user"),
+            F.max("n").cast("long").alias("mode_count"),
+            F.count("*").cast("long").alias("n_distinct_users"),
+        )
+        .orderBy("event_type")
+    )

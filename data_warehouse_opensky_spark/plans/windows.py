@@ -433,3 +433,45 @@ def date_spine_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "window_percent_rank_cume_dist",
+    tier="T2",
+    doc="Relative-rank window functions (T2.9): percent_rank and "
+    "cume_dist per order priority over a TIE-FREE total order "
+    "(price cents, orderkey tiebreak). Both engines evaluate the "
+    "identical builtin formula on identical integer ranks, so the "
+    "doubles agree bit-for-bit; emitted as floor(x*1e6) integers to "
+    "keep the gate integer-typed.",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT)
+             AS pct_rank_e6,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT)
+             AS cume_dist_e6
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                          o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        cents("o_totalprice"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.percent_rank().over(w) * 1_000_000)
+        .cast("long")
+        .alias("pct_rank_e6"),
+        F.floor(F.cume_dist().over(w) * 1_000_000)
+        .cast("long")
+        .alias("cume_dist_e6"),
+    ).orderBy("o_orderkey")
