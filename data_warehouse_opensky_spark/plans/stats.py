@@ -1,0 +1,414 @@
+"""Statistical profiling / data-science mart shapes (SURVEY §2 T2 —
+the "Create aggregate script" stage the reference's diagram delegates
+to Postgres SQL, extended with the profiling aggregates a training-data
+pipeline runs before a big ingest: histograms, correlation, anomaly
+gates, interpolated gap-fill, split assignment, rolling medians).
+
+Cross-engine determinism follows the catalog doctrine (plans/catalog.py
+module docstring). The novel trick used throughout this module: every
+"statistical" quantity (mean, variance, z-score, Pearson r, linear
+interpolation) is computed from EXACT integer/decimal sufficient
+statistics (sum, sum-of-squares, cross-sum in fixed-point units held in
+DECIMAL(38,0)), and converted to double only for the final
+scale-free division — so partial-aggregation order can never change
+the hash. Double conversion, multiply, sqrt and divide are all
+correctly-rounded IEEE ops, identical on every engine.
+
+Scale notes (100 TB): every query here is a single scan + one hash
+aggregation on a low-cardinality key (or a window partitioned by a
+high-cardinality key) — no joins against the fact except broadcast
+spines. Sufficient-statistic aggregation is exactly the shape that
+map-side combines: partials are (n, Σx, Σx², Σxy) per group, merged
+associatively.
+
+Reference parity: the reference's diagram stage 5 ("Create aggregate
+script") names aggregate creation in SQL over the warehouse DB
+(SURVEY §0); these are the aggregate families such a script produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cents
+from ..sources import load_table
+from .catalog import query
+
+#: Equi-width histogram config for o_totalprice, in exact cents.
+#: lo/width chosen so every bucket boundary is an integer number of
+#: cents — bucket assignment is pure integer arithmetic on both engines.
+HIST_LO_C = 0
+HIST_W_C = 5_000_000  # 50,000.00 per bucket
+HIST_N = 10
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram: integer bucket arithmetic, one scan, one agg
+# --------------------------------------------------------------------------
+@query(
+    "stats_histogram_price",
+    tier="T2",
+    doc="Equi-width histogram of order totals: bucket id via exact "
+    "integer cents arithmetic (floor-div by a cent-aligned width, "
+    "clamped), then count + exact-cents sum per bucket. One scan, one "
+    "map-side-combined agg on ≤10 keys — the canonical profiling "
+    "shape; at 100 TB the partials are 10 longs per task.",
+    oracle=f"""
+    SELECT
+      CAST(least(greatest(CAST(round(o_totalprice * 100) AS BIGINT)
+                          // {HIST_W_C}, 0), {HIST_N - 1}) AS BIGINT)
+        AS bucket,
+      count(*) AS n_orders,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+        AS bucket_spend
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stats_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("price_c")
+    )
+    bucket = F.least(
+        F.greatest(
+            F.expr(f"price_c div {HIST_W_C}"), F.lit(0).cast("long")
+        ),
+        F.lit(HIST_N - 1).cast("long"),
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum("price_c") / 100.0).alias("bucket_spend"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation from exact sufficient statistics
+# --------------------------------------------------------------------------
+@query(
+    "stats_corr_qty_price",
+    tier="T2",
+    doc="Per-returnflag Pearson r between quantity and extended price, "
+    "computed from EXACT integer sufficient statistics (n, Σx, Σy, "
+    "Σx², Σy², Σxy in DECIMAL(38,0) fixed-point) so partial-agg "
+    "order cannot move the hash; the only floating ops are the final "
+    "correctly-rounded IEEE multiply/sqrt/divide. Map-side combinable "
+    "— at 100 TB each task emits 6 numbers per group.",
+    oracle="""
+    WITH u AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM u GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qp
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x"),
+        cents("l_extendedprice").alias("y"),
+    )
+    d = "decimal(38,0)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast(d).alias("n"),
+        F.sum("x").cast(d).alias("sx"),
+        F.sum("y").cast(d).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(d).alias("sxx"),
+        F.sum(F.col("y").cast(d) * F.col("y").cast(d)).cast(d).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast(d).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / den, 6).alias("corr_qp"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly gate on exact integer statistics
+# --------------------------------------------------------------------------
+@query(
+    "stats_anomaly_zscore",
+    tier="T2",
+    doc="Per-event-type anomaly gate |x-mean| > 3σ WITHOUT any floating "
+    "aggregation: the inequality (n·x-Σ)² > 9·n·(n·Σx²-Σ²) is "
+    "evaluated in exact DECIMAL(38,0) integer units, so the flagged "
+    "count is bit-stable under any partial-agg order. Two passes over "
+    "the fact (stats agg + broadcast-joined flag scan) — at 100 TB the "
+    "5-row stats side broadcasts; no shuffle of the fact.",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS xu
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(xu) AS HUGEINT) AS sx,
+             CAST(sum(xu * xu) AS HUGEINT) AS sxx
+      FROM u GROUP BY 1
+    )
+    SELECT u.event_type,
+           CAST(s.n AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN
+                  (s.n * u.xu - s.sx) * (s.n * u.xu - s.sx)
+                  > 9 * s.n * (s.n * s.sxx - s.sx * s.sx)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM u JOIN s USING (event_type)
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def stats_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = "decimal(38,0)"
+    u = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 10000).cast("long").alias("xu")
+    )
+    s = u.groupBy("event_type").agg(
+        F.count("*").cast(d).alias("n"),
+        F.sum("xu").cast(d).alias("sx"),
+        F.sum(F.col("xu").cast(d) * F.col("xu").cast(d)).cast(d).alias("sxx"),
+    )
+    j = u.join(F.broadcast(s), "event_type")
+    dev = (F.col("n") * F.col("xu") - F.col("sx")).cast(d)
+    thresh = F.lit(9).cast(d) * F.col("n") * (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        j.groupBy("event_type", F.col("n").cast("long").alias("n_rows"))
+        .agg(
+            F.sum(F.when((dev * dev) > thresh, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies")
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-fill with exact linear interpolation over the date spine
+# --------------------------------------------------------------------------
+@query(
+    "stats_gapfill_interpolate",
+    tier="T2",
+    doc="Gap-free daily spend series where missing days are LINEARLY "
+    "INTERPOLATED between the neighboring present days — in exact "
+    "integer arithmetic: interp_c = div(prev_c·(next_d-d) + "
+    "next_c·(d-prev_d), next_d-prev_d) with integer day distances, so "
+    "both engines truncate identically (all values non-negative). "
+    "Edges (before first / after last observation) carry the nearest "
+    "value. Spine is sequence()+explode (broadcast-size); the two "
+    "fill windows are unpartitioned but run over the ~day-count rows "
+    "of the AGGREGATED series, not the fact — at 100 TB that is a few "
+    "thousand rows on one task, after a map-side-combined daily agg.",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+             max(CAST(o_orderdate AS DATE)) AS d1 FROM orders
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_c
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT s.day, d.spend_c,
+             CAST(s.day - DATE '1970-01-01' AS BIGINT) AS dnum
+      FROM spine s LEFT JOIN daily d USING (day)
+    ),
+    f AS (
+      SELECT day, dnum, spend_c,
+        last_value(spend_c IGNORE NULLS)
+          OVER (ORDER BY dnum ROWS UNBOUNDED PRECEDING) AS prev_c,
+        last_value(CASE WHEN spend_c IS NOT NULL THEN dnum END IGNORE NULLS)
+          OVER (ORDER BY dnum ROWS UNBOUNDED PRECEDING) AS prev_d,
+        first_value(spend_c IGNORE NULLS)
+          OVER (ORDER BY dnum ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS next_c,
+        first_value(CASE WHEN spend_c IS NOT NULL THEN dnum END IGNORE NULLS)
+          OVER (ORDER BY dnum ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS next_d
+      FROM g
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           (spend_c IS NULL) AS interpolated,
+           CAST(CASE
+             WHEN spend_c IS NOT NULL THEN spend_c
+             WHEN prev_c IS NULL THEN next_c
+             WHEN next_c IS NULL THEN prev_c
+             ELSE (prev_c * (next_d - dnum) + next_c * (dnum - prev_d))
+                  // (next_d - prev_d)
+           END AS BIGINT) / 100.0 AS spend_filled
+    FROM f ORDER BY day
+    """,
+)
+def stats_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    bounds = o.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = o.groupBy("day").agg(F.sum("price_c").alias("spend_c"))
+    g = spine.join(daily, "day", "left").select(
+        "day", "spend_c", F.datediff("day", F.lit("1970-01-01")).cast("long").alias("dnum")
+    )
+    wb = Window.orderBy("dnum").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("dnum").rowsBetween(0, Window.unboundedFollowing)
+    marked = F.when(F.col("spend_c").isNotNull(), F.col("dnum"))
+    f = g.select(
+        "day",
+        "dnum",
+        "spend_c",
+        F.last("spend_c", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(marked, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("spend_c", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(marked, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    interp = F.expr(
+        "(prev_c * (next_d - dnum) + next_c * (dnum - prev_d)) div (next_d - prev_d)"
+    )
+    filled = (
+        F.when(F.col("spend_c").isNotNull(), F.col("spend_c"))
+        .when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .otherwise(interp)
+    )
+    return f.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("spend_c").isNull().alias("interpolated"),
+        (filled.cast("long") / 100.0).alias("spend_filled"),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# --------------------------------------------------------------------------
+@query(
+    "corpus_split_assign",
+    tier="T3",
+    doc="Deterministic 80/10/10 train/val/test split for the document "
+    "corpus: md5(doc_id) bucket → split label, reproducible across "
+    "engines, runs, and cluster sizes (no RNG, no global sort). The "
+    "shape every training pipeline needs before sharding; at 100 TB "
+    "it is scan-local (zero shuffles before the 3-key agg).",
+    oracle="""
+    WITH b AS (
+      SELECT n_chars,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 10 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact rolling median via sorted-array HOF (no median window in Spark)
+# --------------------------------------------------------------------------
+@query(
+    "stats_rolling_median",
+    tier="T2",
+    doc="7-row rolling median of event value per user — Spark lacks "
+    "median as a window function, so the frame is materialized with "
+    "collect_list over ROWS BETWEEN 6 PRECEDING AND CURRENT ROW, "
+    "array_sort'ed, and the middle element(s) read row-locally (HOF, "
+    "no UDF). Values are exact 1e-4 integer units; the even-count "
+    "midpoint average of two ints is an exact half, bit-identical to "
+    "DuckDB's window median. Partitioned by user_id — shuffles once "
+    "on the natural key, frames are row-local afterward.",
+    oracle="""
+    SELECT event_id,
+           median(CAST(round(value * 10000) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 10000.0
+             AS rolling_med
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def stats_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 10000).cast("long").alias("xu"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("xu").over(w))
+    n = F.size(arr)
+    mid = (
+        F.when(
+            n % 2 == 1, F.element_at(arr, (n / 2 + 1).cast("int")).cast("double")
+        ).otherwise(
+            (
+                F.element_at(arr, (n / 2).cast("int"))
+                + F.element_at(arr, (n / 2 + 1).cast("int"))
+            )
+            / 2.0
+        )
+    )
+    return e.select(
+        "event_id", (mid / 10000.0).alias("rolling_med")
+    ).orderBy("event_id")
