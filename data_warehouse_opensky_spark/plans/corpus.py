@@ -410,7 +410,7 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return X.duplicated_spans(d).orderBy(F.desc("n_docs"), "span")
 
 

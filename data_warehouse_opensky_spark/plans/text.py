@@ -118,7 +118,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return X.fingerprint(d).orderBy("doc_id")
 
 
@@ -246,5 +246,5 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return X.bigram_logprob(d).orderBy("doc_id")

@@ -35,10 +35,24 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Single choke point for all physical-layout choices."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
+    """Scan one table. Single choke point for all physical-layout choices.
+
+    ``spread=True`` round-robin-repartitions the scan to the session's
+    default parallelism WHEN the scan yields fewer partitions than
+    that — for explode/hash-heavy pipelines over small-file tables
+    (the testdata `documents` table is ONE parquet file → one input
+    partition, so a 300×-expanding explode would run on a single
+    core; measured 3.5 s → 0.9 s on the bigram-LM scorer at sf0.1).
+    On a real multi-file 100 TB table the scan already exceeds the
+    parallelism and this is a no-op — no exchange is added at scale.
+    """
     configure_runtime(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F

@@ -420,15 +420,44 @@ def test_cdc_diff_preaggregates_both_sides(spark):
     assert "BroadcastNestedLoopJoin" not in body, plan
 
 
-def test_bigram_logprob_model_broadcasts(spark):
-    """The bigram model (bounded by charset²) must broadcast into the
-    scoring join; the fact-side explode shuffles once for the per-doc
-    sum — never a sort-merge join of the exploded stream against the
-    model."""
+def test_bigram_logprob_scoring_is_row_local(spark):
+    """Scoring happens row-locally against the constant-folded model
+    literal: the final plan has NO join and NO per-doc aggregation
+    exchange — one projection over the doc scan (the model pass ran
+    eagerly, bounded by charset²). The join fallback for
+    literal-exceeding charsets is exercised separately below."""
     plan = plan_of(spark, "text_bigram_logprob")
     body = plan.split("== Physical Plan ==")[-1]
-    assert "BroadcastHashJoin" in body, plan
-    assert "SortMergeJoin" not in body, plan
+    assert "Join" not in body, plan
+    assert "aggregate" in body  # the HOF fold over the bigram array
+
+
+def test_bigram_logprob_join_fallback_matches(spark):
+    """Force the broadcast-join scoring path (the >_MODEL_LITERAL_MAX
+    fallback for full-unicode corpora) and check it returns the exact
+    same rows as the literal path, with the model broadcast — never a
+    sort-merge join of the exploded stream against the model."""
+    from data_warehouse_opensky_spark.operators import text as X
+
+    docs = load_table(spark, SF, "documents")
+    lit_rows = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logp_e6"], r["avg_logp_e6"])
+        for r in X.bigram_logprob(docs).collect()
+    }
+    old = X._MODEL_LITERAL_MAX
+    X._MODEL_LITERAL_MAX = 0
+    try:
+        jdf = X.bigram_logprob(docs)
+        plan = explain_str(jdf)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        join_rows = {
+            r["doc_id"]: (r["n_bigrams"], r["sum_logp_e6"], r["avg_logp_e6"])
+            for r in jdf.collect()
+        }
+    finally:
+        X._MODEL_LITERAL_MAX = old
+    assert join_rows == lit_rows
 
 
 def test_funnel_single_pass_no_joins(spark):
