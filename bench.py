@@ -81,6 +81,10 @@ HEADLINE = [
     "text_bigram_logprob",
     "audit_referential_integrity",
     "mart_cumulative_users",
+    "embedding_kmeans",
+    "stats_anomaly_zscore",
+    "stats_rolling_median",
+    "corpus_split_assign",
 ]
 
 

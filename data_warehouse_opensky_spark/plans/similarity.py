@@ -299,3 +299,95 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — iterative embedding clustering (exact-integer Lloyd's k-means)
+# --------------------------------------------------------------------------
+def _kmeans_oracle(k: int = 8, dim: int = DIM) -> str:
+    """SQL twin of operators.clustering.kmeans (k=8, iters=2): the same
+    quantize→seed→assign→update→assign→update→assign sequence in exact
+    integer arithmetic; empty clusters zero-fill on both engines."""
+    idx = f"generate_series(1, {dim})"
+    zeros = f"[CAST(0 AS BIGINT) for i in {idx}]"
+
+    def dist(q: str, c: str) -> str:
+        return (
+            f"list_sum([({q}.xq[i] - {c}.cu[i]) * ({q}.xq[i] - {c}.cu[i]) "
+            f"for i in {idx}])"
+        )
+
+    def assign(n: int, cents: str) -> str:
+        return f"""
+    d{n} AS (
+      SELECT q.vec_id, c.cid, {dist('q', 'c')} AS d
+      FROM qv q CROSS JOIN {cents} c
+    ),
+    a{n} AS (
+      SELECT vec_id, cid AS cluster, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d{n}
+      ) WHERE rn = 1
+    )"""
+
+    def update(n: int, asg: str) -> str:
+        return f"""
+    c{n}_raw AS (
+      SELECT cluster AS cid, list(cu ORDER BY dim) AS cu FROM (
+        SELECT a.cluster, g.i AS dim,
+               CAST(floor(CAST(sum(q.xq[g.i]) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS cu
+        FROM {asg} a JOIN qv q USING (vec_id)
+        CROSS JOIN {idx} g(i)
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    c{n} AS (
+      SELECT r.cid, coalesce(c.cu, {zeros}) AS cu
+      FROM (SELECT unnest(generate_series(0, {k - 1})) AS cid) r
+      LEFT JOIN c{n}_raw c USING (cid)
+    )"""
+
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+              for i in {idx}] AS xq
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, rn - 1 AS cid FROM (
+        SELECT vec_id, row_number()
+                 OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= {k}
+    ),
+    c0 AS (
+      SELECT s.cid, q.xq AS cu FROM seeds s JOIN qv q USING (vec_id)
+    ),{assign(1, 'c0')},{update(1, 'a1')},{assign(2, 'c1')},{update(2, 'a2')},{assign(3, 'c2')}
+    SELECT cluster, count(*) AS n_vecs, CAST(sum(d) AS BIGINT) AS inertia_q
+    FROM a3 GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "embedding_kmeans",
+    tier="T3",
+    doc="Iterative Lloyd's k-means (k=8, 2 update rounds) over the "
+    "embedding table in EXACT integer arithmetic — the semantic-"
+    "bucketing step of embedding-space corpus curation, and the "
+    "catalog's iterative-ML shape with a full SQL oracle (quantized "
+    "e6 vectors, md5-seeded init, integer distances, floor-mean "
+    "updates, argmin ties to the smaller cid). Per round: one scan + "
+    "one map-side-combined (cluster, dim) agg; assignment is row-"
+    "local against driver-literal centroids (k·dim control-plane "
+    "collect, same budget class as the TF-IDF vocab) — the fact side "
+    "never shuffles for assignment. See operators/clustering.py for "
+    "the 100 TB notes.",
+    oracle=_kmeans_oracle(),
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering as C
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.kmeans(emb, k=8, iters=2, dim=DIM)

@@ -235,3 +235,26 @@ def test_corpus_pipeline_end_to_end(spark):
     packed2, report2 = corpus_pipeline(train, benchmark=bench)
     assert report2 == report
     assert packed2.agg(F.sum("n_tokens")).collect()[0][0] == total_packed
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Three tight blobs far apart → k=3 recovers them exactly, total
+    inertia is tiny, and a second run is bit-identical (no RNG)."""
+    from data_warehouse_opensky_spark.operators.clustering import kmeans
+
+    blobs = []
+    for b, center in enumerate([-5.0, 0.0, 5.0]):
+        for j in range(20):
+            vec = [center + (j % 3) * 1e-4] * 4
+            blobs.append((b * 20 + j, vec))
+    df = spark.createDataFrame(blobs, "vec_id long, embedding array<double>")
+
+    out = kmeans(df, k=3, iters=2, dim=4).collect()
+    sizes = sorted(r["n_vecs"] for r in out)
+    assert sizes == [20, 20, 20], out
+    # Within-blob spread is 1e-4 over unit scale → quantized inertia is
+    # bounded far below the between-blob distance scale.
+    assert all(r["inertia_q"] < 10_000_000 for r in out), out
+
+    again = kmeans(df, k=3, iters=2, dim=4).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]

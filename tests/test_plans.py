@@ -494,3 +494,57 @@ def test_streaming_static_enrich_broadcasts_dim(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "StateStore" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """The per-type sufficient-statistics side (≤ #event_types rows)
+    must broadcast back onto the fact scan — the fact never shuffles
+    for the flag pass; both aggs are partial+final."""
+    plan = plan_of(spark, "stats_anomaly_zscore")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, plan
+    assert "SortMergeJoin" not in body, plan
+    assert body.count("HashAggregate") >= 2, plan
+
+
+def test_histogram_single_scan_single_agg(spark):
+    """Equi-width histogram is one scan + one map-side-combined agg on
+    ≤10 integer keys — no joins, no window, nothing else."""
+    plan = plan_of(spark, "stats_histogram_price")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in body, plan
+    assert "Window" not in body, plan
+    assert "partial_count" in body, plan  # map-side combine
+    assert body.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_gapfill_windows_run_on_aggregated_series(spark):
+    """The unpartitioned fill windows must sit ABOVE the daily
+    aggregation (day-count rows), never over the raw fact: the plan's
+    Window nodes appear after the HashAggregate pair."""
+    plan = plan_of(spark, "stats_gapfill_interpolate")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Window" in body, plan
+    agg_pos = body.rfind("HashAggregate")
+    win_pos = body.find("Window")
+    # explain(formatted) prints operators top-down (output first), so
+    # the window consuming the agg appears BEFORE it in the text.
+    assert win_pos < agg_pos, plan
+
+
+def test_split_assign_is_scan_local(spark):
+    """Split assignment is a deterministic hash over the scan — no
+    joins or windows; one agg on 3 keys."""
+    plan = plan_of(spark, "corpus_split_assign")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in body, plan
+    assert "Window" not in body, plan
+
+
+def test_rolling_median_partitions_by_user(spark):
+    """The rolling-median window must partition by user_id (shuffles
+    once on the natural key) — never a single-partition global window
+    over the fact."""
+    plan = plan_of(spark, "stats_rolling_median")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "hashpartitioning(user_id" in body, plan
