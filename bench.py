@@ -85,6 +85,7 @@ HEADLINE = [
     "stats_anomaly_zscore",
     "stats_rolling_median",
     "corpus_split_assign",
+    "text_heavy_hitters",
 ]
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import text as X
 from ..sources import load_table
@@ -248,3 +249,42 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", spread=True)
     return X.bigram_logprob(d).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# T3.4 — corpus heavy hitters: Misra–Gries propose, exact verify
+# --------------------------------------------------------------------------
+@query(
+    "text_heavy_hitters",
+    tier="T3",
+    doc="Tokens appearing ≥ N/200 times corpus-wide, mined with the "
+    "two-phase scale shape: per-partition Misra–Gries sketches "
+    "(capacity 512, Arrow-vectorized) propose a guaranteed-superset "
+    "candidate set; a broadcast semi-join + exact count verifies — "
+    "the long tail never shuffles. The output is the EXACT "
+    "heavy-hitter set for any partitioning, which is why a plain "
+    "GROUP BY/HAVING oracle gates it. See operators/freq.py for the "
+    "mergeable-summaries guarantee.",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    t2 AS (SELECT token FROM tok WHERE token <> ''),
+    tot AS (SELECT count(*) AS n FROM t2)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM t2, tot
+    GROUP BY token, n
+    HAVING count(*) >= greatest(n // 200, 1)
+    ORDER BY cnt DESC, token
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.freq import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    tokens = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return heavy_hitters(tokens, col="token", inv_threshold=200).orderBy(
+        F.desc("cnt"), "token"
+    )

@@ -258,3 +258,32 @@ def test_kmeans_separates_obvious_clusters(spark):
 
     again = kmeans(df, k=3, iters=2, dim=4).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_heavy_hitters_exact_under_any_partitioning(spark):
+    """A Zipf-ish skewed stream: the MG propose + exact verify output
+    must equal the brute-force exact answer for several partition
+    counts (the candidate set may vary; the verified set may not)."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_opensky_spark.operators.freq import heavy_hitters
+
+    # 60k tokens: token_i has frequency ~ 6000/i for i in 1..300 —
+    # a handful qualify at N//200.
+    rows = [(f"t{i}",) for i in range(1, 301) for _ in range(6000 // i)]
+    df = spark.createDataFrame(rows, "token string")
+
+    exact = {
+        (r["token"], r["cnt"])
+        for r in df.groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= df.count() // 200)
+        .collect()
+    }
+    assert len(exact) > 5
+    for parts in (1, 7, 32):
+        got = {
+            (r["token"], r["cnt"])
+            for r in heavy_hitters(df.repartition(parts), inv_threshold=200).collect()
+        }
+        assert got == exact, parts

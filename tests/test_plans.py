@@ -548,3 +548,13 @@ def test_rolling_median_partitions_by_user(spark):
     plan = plan_of(spark, "stats_rolling_median")
     body = plan.split("== Physical Plan ==")[-1]
     assert "hashpartitioning(user_id" in body, plan
+
+
+def test_heavy_hitters_verify_is_broadcast_semi(spark):
+    """The verify pass must broadcast the candidate set into a semi
+    join over the token stream — the long tail never shuffles before
+    the threshold filter."""
+    plan = plan_of(spark, "text_heavy_hitters")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body and "LeftSemi" in body, plan
+    assert "SortMergeJoin" not in body, plan
