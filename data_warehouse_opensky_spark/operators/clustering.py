@@ -41,17 +41,6 @@ def quantize(vec: Column | str) -> Column:
     return F.transform(v, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
 
 
-def seed_ids(df: DataFrame, k: int, *, id_col: str = "vec_id") -> list[int]:
-    """The k ids with the smallest md5(id) — deterministic, engine-free."""
-    rows = (
-        df.select(F.col(id_col).alias("i"), F.md5(F.col(id_col).cast("string")).alias("h"))
-        .orderBy("h", "i")
-        .limit(k)
-        .collect()
-    )
-    return [r["i"] for r in rows]
-
-
 def _assign(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Row-local argmin over literal centroids → (vid, xq, cluster, d).
 
@@ -127,14 +116,16 @@ def kmeans(
     base = df.select(
         F.col(id_col).alias("vid"), quantize(vec_col).alias("xq")
     )
-    seeds = seed_ids(df, k, id_col=id_col)
+    # Seed selection and seed-vector fetch in ONE job: k is tiny, so
+    # collecting the quantized vectors alongside the md5 rank costs
+    # nothing extra and saves a whole scheduling round trip.
     seed_rows = (
-        base.filter(F.col("vid").isin([int(s) for s in seeds]))
-        .select("vid", "xq")
+        base.withColumn("_h", F.md5(F.col("vid").cast("string")))
+        .orderBy("_h", "vid")
+        .limit(k)
         .collect()
     )
-    by_id = {r["vid"]: list(r["xq"]) for r in seed_rows}
-    centroids = [by_id[s] for s in seeds]
+    centroids = [list(r["xq"]) for r in seed_rows]
 
     for _ in range(iters):
         centroids = _recompute(_assign(base, centroids), k, dim)

@@ -391,3 +391,65 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.11 — EXCEPT ALL (multiset semantics)
+# --------------------------------------------------------------------------
+@query(
+    "set_ops_except_all",
+    tier="T2",
+    doc="EXCEPT ALL — bag difference of order priorities between open "
+    "and finished orders: each 'F' occurrence cancels exactly ONE 'O' "
+    "occurrence (T2.11's multiset variant; distinct EXCEPT is "
+    "set_ops_except). Spark exceptAll ↔ SQL EXCEPT ALL; planned as a "
+    "count-diff aggregation + replicate, one shuffle per side.",
+    oracle="""
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY priority
+    """,
+)
+def set_ops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return a.exceptAll(b).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# T2.4 — LATERAL correlated subquery (top-3-per-group as a join shape)
+# --------------------------------------------------------------------------
+_LATERAL_TOP3 = """
+    SELECT m.c_mktsegment, t.custkey, t.acctbal_c
+    FROM (SELECT DISTINCT c_mktsegment FROM {customer}) m,
+         LATERAL (
+           SELECT c_custkey AS custkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+           FROM {customer} c
+           WHERE c.c_mktsegment = m.c_mktsegment
+           ORDER BY acctbal_c DESC, custkey
+           LIMIT 3
+         ) t
+    ORDER BY m.c_mktsegment, t.acctbal_c DESC, t.custkey
+"""
+
+
+@query(
+    "lateral_top3_per_segment",
+    tier="T2",
+    doc="LATERAL correlated subquery with ORDER BY + LIMIT: top-3 "
+    "customers by balance per market segment, as ONE SQL text both "
+    "engines run verbatim (the shared-text portability property of "
+    "the subquery family). Catalyst de-correlates the lateral into a "
+    "window-group-limit over a single shuffle — same physical shape "
+    "as rank_topn_per_group, derived from the SQL form.",
+    oracle=_LATERAL_TOP3.format(customer="customer"),
+)
+def lateral_top3_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_over_views(spark, sf_dir, _LATERAL_TOP3, ["customer"])

@@ -981,3 +981,64 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.9 — window-over-agg-over-window composition: weekly top gainer
+# --------------------------------------------------------------------------
+@query(
+    "mart_weekly_top_gainer",
+    tier="T2",
+    doc="Weekly top gainer: per-customer weekly spend (exact cents), "
+    "week-over-week delta via lag, then the single largest positive "
+    "mover per week (row_number, delta/custkey tiebreak) — the "
+    "window-over-aggregate-over-window composition every trending "
+    "report uses. Two shuffles total (agg on (cust, week); window "
+    "re-keyed by week); both windows ride partial-agg'd rows, never "
+    "the raw fact.",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_c
+      FROM orders GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT *, spend_c - lag(spend_c)
+                  OVER (PARTITION BY o_custkey ORDER BY wk) AS delta_c
+      FROM w
+    ),
+    r AS (
+      SELECT wk, o_custkey, delta_c,
+             row_number() OVER (PARTITION BY wk
+                                ORDER BY delta_c DESC, o_custkey) AS rn
+      FROM d WHERE delta_c IS NOT NULL
+    )
+    SELECT strftime(wk, '%Y-%m-%d') AS week, o_custkey AS custkey, delta_c
+    FROM r WHERE rn = 1 ORDER BY week
+    """,
+)
+def mart_weekly_top_gainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("wk"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    w = o.groupBy("o_custkey", "wk").agg(F.sum("price_c").alias("spend_c"))
+    lag_w = Window.partitionBy("o_custkey").orderBy("wk")
+    d = w.select(
+        "o_custkey",
+        "wk",
+        (F.col("spend_c") - F.lag("spend_c").over(lag_w)).alias("delta_c"),
+    ).filter(F.col("delta_c").isNotNull())
+    rank_w = Window.partitionBy("wk").orderBy(F.desc("delta_c"), F.asc("o_custkey"))
+    return (
+        d.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            F.col("o_custkey").alias("custkey"),
+            "delta_c",
+        )
+        .orderBy("week")
+    )

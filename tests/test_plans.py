@@ -558,3 +558,15 @@ def test_heavy_hitters_verify_is_broadcast_semi(spark):
     body = plan.split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in body and "LeftSemi" in body, plan
     assert "SortMergeJoin" not in body, plan
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ORDER BY+LIMIT subquery must de-correlate into
+    WindowGroupLimit (per-partition top-k pruning) + a broadcast of
+    the tiny distinct-segment side — never a per-group re-execution
+    or a cartesian."""
+    plan = plan_of(spark, "lateral_top3_per_segment")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "WindowGroupLimit" in body, plan
+    assert "BroadcastExchange" in body, plan
+    assert "CartesianProduct" not in body, plan
