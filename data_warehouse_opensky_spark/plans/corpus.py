@@ -455,3 +455,46 @@ _TARGETS_SQL = ", ".join(f"('{s}', {p})" for s, p in X.MIXTURE_TARGETS_PPM)
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return X.mixture_weights(d).orderBy("stratum")
+
+
+# --------------------------------------------------------------------------
+# T3 — deterministic fixed-k reservoir per group
+# --------------------------------------------------------------------------
+@query(
+    "corpus_reservoir_per_source",
+    tier="T3",
+    doc="Deterministic k=3 'reservoir' per source: rank docs by "
+    "md5('rsv:'||doc_id) inside each source and keep the first 3 — "
+    "fixed-count-per-group sampling (vs the rate-based stratified "
+    "sample), reproducible across engines/cluster sizes, no RNG. "
+    "Plans as WindowGroupLimit: each map task keeps ≤3 rows per "
+    "group before the shuffle, so the sample never materializes the "
+    "group.",
+    oracle="""
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    ORDER BY source, doc_id
+    """,
+)
+def corpus_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))).alias("_h"),
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )

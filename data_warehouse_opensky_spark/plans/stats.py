@@ -412,3 +412,55 @@ def stats_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", (mid / 10000.0).alias("rolling_med")
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# One-pass table profile (the ANALYZE/summarize shape)
+# --------------------------------------------------------------------------
+@query(
+    "stats_profile_orders",
+    tier="T2",
+    doc="One-pass column profile of orders — row count, per-column "
+    "null counts, exact distinct cardinalities, min/max (dates as "
+    "epoch-day ints, money as exact cents) — the ANALYZE TABLE / "
+    "data-quality summary every ingest runs. ONE scan, one agg row; "
+    "count(DISTINCT) pairs expand via Spark's standard expand-node "
+    "rewrite, still map-side combined per column.",
+    oracle="""
+    SELECT
+      count(*) AS n_rows,
+      CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_custkey,
+      CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_totalprice,
+      count(DISTINCT o_custkey) AS nd_custkey,
+      count(DISTINCT o_orderstatus) AS nd_status,
+      count(DISTINCT o_orderpriority) AS nd_priority,
+      CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_price_c,
+      CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_price_c,
+      CAST(min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+        AS min_day,
+      CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+        AS max_day
+    FROM orders
+    """,
+)
+def stats_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    nulls = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long")  # noqa: E731
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        nulls("o_custkey").alias("null_custkey"),
+        nulls("o_totalprice").alias("null_totalprice"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.countDistinct("o_orderpriority").alias("nd_priority"),
+        F.min(cents("o_totalprice")).alias("min_price_c"),
+        F.max(cents("o_totalprice")).alias("max_price_c"),
+        F.min(F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")))
+        .cast("long")
+        .alias("min_day"),
+        F.max(F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")))
+        .cast("long")
+        .alias("max_day"),
+    )

@@ -570,3 +570,42 @@ def test_lateral_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in body, plan
     assert "BroadcastExchange" in body, plan
     assert "CartesianProduct" not in body, plan
+
+
+def test_runtime_bloom_filter_prunes_smj_fact_side(spark):
+    """When a dim side is selective but too big to broadcast, Spark's
+    runtime bloom filter must inject a BloomFilterMightContain on the
+    fact side of the sort-merge join — at 100 TB this is the knob
+    that keeps a non-broadcastable selective join from scanning the
+    whole fact through the shuffle. Thresholds are dropped to force
+    injection at test scale."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    # Load BEFORE overriding confs: load_table's configure_runtime()
+    # re-applies the session defaults (incl. the broadcast threshold).
+    fact = load_table(spark, SF, "lineitem")
+    dim = load_table(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = fact.join(dim, fact.l_orderkey == dim.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
