@@ -453,3 +453,43 @@ _LATERAL_TOP3 = """
 )
 def lateral_top3_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_over_views(spark, sf_dir, _LATERAL_TOP3, ["customer"])
+
+
+# --------------------------------------------------------------------------
+# T2.3 — null-safe equi-join (eqNullSafe ↔ IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+@query(
+    "join_null_safe",
+    tier="T2",
+    doc="Null-safe equi-join: per-type event counts from the two "
+    "user-id halves matched with eqNullSafe — the NULL key (one type "
+    "nulled via nullif) matches NULL, which a plain equi-join drops. "
+    "Spark plans <=> as a hash join key like any other (broadcast "
+    "here), not a nested loop.",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(event_type, 'click') AS k, count(*) AS na
+      FROM events WHERE user_id % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(event_type, 'click') AS k, count(*) AS nb
+      FROM events WHERE user_id % 2 = 1 GROUP BY 1
+    )
+    SELECT a.k AS k, na, nb
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY k NULLS FIRST
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    half = lambda r: (  # noqa: E731
+        e.filter(F.col("user_id") % 2 == r)
+        .groupBy(F.nullif(F.col("event_type"), F.lit("click")).alias("k"))
+        .agg(F.count("*").alias("na" if r == 0 else "nb"))
+    )
+    a, b = half(0), half(1)
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"].alias("k"), "na", "nb")
+        .orderBy(F.asc_nulls_first("k"))
+    )

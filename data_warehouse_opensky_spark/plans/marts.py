@@ -622,15 +622,16 @@ def event_funnel(e: DataFrame) -> DataFrame:
             ).alias("f"),
         )
     )
+    # coalesce: over an empty (fully-filtered) input, sum() is NULL but
+    # the funnel contract is zero counts (hypothesis-found edge).
+    stage = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.col(c).isNotNull().cast("long")), F.lit(0)
+    ).cast("long")
     return per_user.agg(
         F.count("*").cast("long").alias("n_users"),
-        F.sum(F.col("f.t1").isNotNull().cast("long")).cast("long").alias("n_view"),
-        F.sum(F.col("f.t2").isNotNull().cast("long"))
-        .cast("long")
-        .alias("n_view_click"),
-        F.sum(F.col("f.t3").isNotNull().cast("long"))
-        .cast("long")
-        .alias("n_full_funnel"),
+        stage("f.t1").alias("n_view"),
+        stage("f.t2").alias("n_view_click"),
+        stage("f.t3").alias("n_full_funnel"),
         F.coalesce(
             F.sum(
                 F.expr("f.t3 div 10000000 - f.t1 div 10000000")

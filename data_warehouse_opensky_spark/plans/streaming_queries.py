@@ -422,3 +422,54 @@ def click_purchase_join(stream: DataFrame) -> DataFrame:
         ).alias("delta_s"),
     )
     return joined
+
+
+@query(
+    "streaming_hopping_topk",
+    tier="T2",
+    doc="Hopping (sliding) event-time windows on a live stream: 2-hour "
+    "windows every 1 hour (each event lands in two windows), counts "
+    "per (window, type) in the stateful agg, then the top type per "
+    "window ranked on the DRAINED mart (stream → windowed state → "
+    "batch top-k report; ranking is not a streaming-stateful op and "
+    "belongs after the sink). Oracle replicates each event into its "
+    "two hop windows with unnest.",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h
+      FROM events
+    ),
+    x AS (SELECT event_type, unnest([h - 3600, h]) AS ws FROM e),
+    c AS (SELECT ws, event_type, count(*) AS n FROM x GROUP BY 1, 2),
+    r AS (
+      SELECT ws, event_type, n,
+             row_number() OVER (PARTITION BY ws
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT CAST(ws AS BIGINT) AS win_start_s, event_type,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1 ORDER BY win_start_s
+    """,
+)
+def streaming_hopping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    stream = _stream_events(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    result = _drain_to_memory(windowed, mode="complete")
+    ranked = Window.partitionBy("win_start_s").orderBy(F.desc("n"), "event_type")
+    return (
+        result.select(
+            F.col("w.start").cast("long").alias("win_start_s"), "event_type", "n"
+        )
+        .withColumn("rn", F.row_number().over(ranked))
+        .filter(F.col("rn") == 1)
+        .select("win_start_s", "event_type", "n")
+        .orderBy("win_start_s")
+    )
