@@ -166,3 +166,40 @@ def test_stage_files_emits_clean_csv(spark, tmp_path):
     assert all(v == "CLEAN_EXPORTED" for v in res.values())
     for p in src:
         assert os.path.exists(f"{csv_dir}/clean_{os.path.basename(p)}")
+
+
+def test_export_jsonl_shards_deterministic_and_complete(spark, tmp_path):
+    """JSONL export: every row lands in exactly one shard, a row's
+    shard is stable across runs/partitionings, and shard files parse
+    as JSON-lines."""
+    import glob
+    import gzip
+    import json
+
+    from data_warehouse_opensky_spark.sources import load_table
+    from data_warehouse_opensky_spark.warehouse.export import export_jsonl_shards
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars")
+    out1 = str(tmp_path / "j1")
+    shards = export_jsonl_shards(docs, out1, shard_key="doc_id", n_shards=4)
+    assert len(shards) == 4
+
+    def read_all(out):
+        rows = {}
+        for sd in sorted(glob.glob(out + "/shard=*")):
+            k = int(sd.rsplit("=", 1)[1])
+            for f in glob.glob(sd + "/part-*"):
+                op = gzip.open if f.endswith(".gz") else open
+                with op(f, "rt") as fh:
+                    for line in fh:
+                        r = json.loads(line)
+                        rows[r["doc_id"]] = (k, r["lang"], r["n_chars"])
+        return rows
+
+    r1 = read_all(out1)
+    assert len(r1) == docs.count()  # complete, no dup doc_ids
+
+    out2 = str(tmp_path / "j2")
+    export_jsonl_shards(docs.repartition(13), out2, shard_key="doc_id", n_shards=4)
+    assert read_all(out2) == r1  # shard assignment is partitioning-independent
