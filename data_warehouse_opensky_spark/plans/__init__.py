@@ -24,10 +24,14 @@ from . import stats  # noqa: E402,F401
 # queries whose only green driver row is round 1 (rotated out of the
 # r2 window; code unchanged since) — plus eight queries new this
 # round. Exactly 50 slots; after this round every catalog query has a
-# green row within the last two rounds. Later round-3 additions
+# green row within the last two rounds. All LATER round-3 additions
 # (corpus_length_buckets, mart_incremental_merge, the HLL/CDC/funnel/
-# retention/span/mixture/stream-enrich queries) register AFTER the
-# front and rotate into the r4 window.
+# retention/span/mixture/stream-enrich family, the stats_* profiling
+# marts, embedding_kmeans, text_heavy_hitters, lateral/except-all/
+# null-safe joins, mart_weekly_top_gainer, corpus_split_assign /
+# _reservoir_per_source, streaming_hopping_topk) register AFTER the
+# front and rotate into the r4 window; until then they are gated by
+# tests/test_oracle.py at sf0.001 and the verify sweep at sf0.01.
 # Queries displaced past slot 50 stay covered by tests/test_oracle.py,
 # which runs ALL of them vs DuckDB at sf0.001.
 DRIVER_WINDOW_PRIORITY = [

@@ -431,3 +431,59 @@ def test_stream_stream_join_state_evicts(spark, tmp_path):
         & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour")),
     ).count()
     assert sink.count() == expected
+
+
+def test_late_rows_dropped_by_watermark(spark, tmp_path):
+    """Append-mode windowed agg: a row arriving AFTER the watermark has
+    passed its window must be dropped, and the drop must be measurable
+    (numRowsDroppedByWatermark) — the late-data contract is tested,
+    not assumed."""
+    from datetime import datetime, timedelta
+
+    from data_warehouse_opensky_spark.plans.streaming_queries import (
+        drain_with_state_metrics,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    cols = ["user_id", "ts"]
+
+    def write_slab(name, rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    # Slab A: fresh data at t0+12h → watermark advances to ~t0+10h.
+    write_slab("a", [(i, t0 + timedelta(hours=12, minutes=i)) for i in range(20)])
+    # Slab B: one more fresh batch. Spark's late-event filter runs one
+    # batch BEHIND the eviction watermark (the two-watermark semantics
+    # of SPARK-40925): a straggler in the batch right after A would
+    # still be admitted-then-evicted. B burns that batch so C's
+    # straggler meets an advanced late-event watermark.
+    write_slab("b", [(50, t0 + timedelta(hours=12, minutes=30))])
+    # Slab C: a straggler 12 h older — far beyond the 2 h delay.
+    write_slab("c", [(99, t0)])
+
+    schema = spark.read.parquet(str(src / "a")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    sink, metrics = drain_with_state_metrics(windowed, "append")
+
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for m in metrics
+        for so in m["stateOperators"]
+    )
+    assert dropped >= 1, f"late row was not dropped: {metrics}"
+    # And the straggler's window never reached the append output.
+    starts = {r["w"]["start"] for r in sink.collect()}
+    assert t0 not in starts
