@@ -609,3 +609,38 @@ def test_runtime_bloom_filter_prunes_smj_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_driver_window_is_front_of_registry(spark):
+    """The rotation contract: DRIVER_WINDOW_PRIORITY must be exactly 50
+    names and exactly the first 50 keys of the registry in order —
+    the external driver checks only that slice."""
+    from data_warehouse_opensky_spark.plans import DRIVER_WINDOW_PRIORITY, QUERIES
+
+    assert len(DRIVER_WINDOW_PRIORITY) == 50
+    assert list(QUERIES)[:50] == DRIVER_WINDOW_PRIORITY
+
+
+def test_reservoir_uses_window_group_limit(spark):
+    """Fixed-k-per-group sampling must prune to ≤k rows per group on
+    the map side (WindowGroupLimit) before the shuffle."""
+    plan = plan_of(spark, "corpus_reservoir_per_source")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_profile_is_single_scan(spark):
+    """The table profile must be ONE pass: a single parquet scan node
+    feeding expand/aggregate — never one scan per statistic."""
+    body = plan_of(spark, "stats_profile_orders").split("== Physical Plan ==")[-1]
+    assert body.count("Scan parquet") == 2, body  # tree + detail line
+    assert "Join" not in body, body
+
+
+def test_weekly_top_gainer_windows_ride_aggregated_rows(spark):
+    """Both windows (lag per customer, rank per week) must sit above
+    the (custkey, week) aggregation — the raw orders scan feeds ONE
+    HashAggregate pair, and no join appears anywhere."""
+    body = plan_of(spark, "mart_weekly_top_gainer").split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    assert "partial_sum" in body, body  # map-side combined weekly agg
+    assert body.count("Window") >= 2, body
