@@ -644,3 +644,13 @@ def test_weekly_top_gainer_windows_ride_aggregated_rows(spark):
     assert "Join" not in body, body
     assert "partial_sum" in body, body  # map-side combined weekly agg
     assert body.count("Window") >= 2, body
+
+
+def test_kmeans_assignment_is_row_local(spark):
+    """The returned k-means plan (final assignment + cluster agg) must
+    contain NO join: assignment evaluates against driver-literal
+    centroids row-locally; the only shuffle is the k-row cluster
+    aggregation."""
+    body = plan_of(spark, "embedding_kmeans").split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    assert "partial_count" in body, body  # map-side combined final agg
