@@ -498,3 +498,76 @@ def corpus_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars")
         .orderBy("source", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T3 — weighted sampling without replacement (Efraimidis–Spirakis top-k)
+# --------------------------------------------------------------------------
+@query(
+    "corpus_weighted_sample",
+    tier="T3",
+    doc="Weighted sample WITHOUT replacement, k=5 per source, weight = "
+    "n_chars (longer docs proportionally likelier): the Efraimidis–"
+    "Spirakis one-pass scheme — every doc gets key −ln(u)/w with u a "
+    "deterministic md5-derived uniform in (0,1), and the k smallest "
+    "keys per group ARE a weighted sample without replacement. No "
+    "RNG state, no sequential pass: keys are row-local, the top-k is "
+    "a WindowGroupLimit (each map task keeps ≤5 rows per group "
+    "before the shuffle), so the sample scales like a filter. u = "
+    "(h+0.5)/2^32 off the md5 int is exact in binary64 on both "
+    "engines; ln() differing by an ulp across libms could only flip "
+    "a near-tie (~1e-15 relative), vanishing for continuous keys.",
+    oracle="""
+    WITH k AS (
+      SELECT source, doc_id, n_chars,
+             -ln((CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
+               / n_chars AS es_key
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY es_key, doc_id) AS rn
+      FROM k
+    ) WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            -F.log(
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("ws:"), F.col("doc_id").cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    + 0.5
+                )
+                / 4294967296.0
+            )
+            / F.col("n_chars")
+        ).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy("es_key", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )

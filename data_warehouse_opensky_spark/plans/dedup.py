@@ -305,3 +305,116 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=8).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# T3.1/T3.2 — INCREMENTAL dedup: new batch probes the corpus band index
+# --------------------------------------------------------------------------
+@query(
+    "dedup_incremental_minhash",
+    tier="T3",
+    doc="Incremental near-dup gate: an arriving batch (odd doc_ids "
+    "stand in for 'new') is checked against the existing corpus (even "
+    "doc_ids) by probing the corpus's MinHash BAND INDEX — signatures "
+    "are computed only for the probe side in production, and the join "
+    "touches only colliding buckets, so admitting a batch costs "
+    "O(|batch| + collisions), never O(|corpus|) re-mining. At 100 TB "
+    "the corpus index is a bucketed table on (band, band_sig); the "
+    "probe is a broadcast-or-bucket join per batch. Output: each new "
+    "doc that collides, its earliest corpus match, and the collision "
+    "count (bands × matching corpus docs).",
+    oracle=f"""
+    WITH {_MINHASH_CTES.replace("cand AS", "cand_unused AS")}
+    SELECT n.doc_id AS new_doc,
+           min(o.doc_id) AS first_corpus_match,
+           count(*) AS n_collisions
+    FROM sig n
+    JOIN sig o ON n.band = o.band AND n.band_sig = o.band_sig
+              AND n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+    GROUP BY n.doc_id
+    ORDER BY new_doc
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures_arrays(d, n=_MINHASH_N, num_hashes=_MINHASH_K)
+    bands = D.band_signatures(sigs, _MINHASH_K, _MINHASH_RPB)
+    corpus = bands.filter(F.col("doc_id") % 2 == 0)
+    batch = bands.filter(F.col("doc_id") % 2 == 1)
+    hits = batch.alias("n").join(
+        corpus.alias("o"),
+        on=[
+            F.col("n.band") == F.col("o.band"),
+            F.col("n.band_sig") == F.col("o.band_sig"),
+        ],
+    )
+    return (
+        hits.groupBy(F.col("n.doc_id").alias("new_doc"))
+        .agg(
+            F.min("o.doc_id").alias("first_corpus_match"),
+            F.count("*").alias("n_collisions"),
+        )
+        .orderBy("new_doc")
+    )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — blocked edit-distance (Levenshtein) fuzzy dedup
+# --------------------------------------------------------------------------
+@query(
+    "dedup_fuzzy_levenshtein",
+    tier="T3",
+    doc="Fuzzy near-dup pairs by EDIT DISTANCE, made tractable by "
+    "blocking: candidates are pairs sharing (length bucket, first-8-"
+    "char prefix) — an equi-join on a cheap deterministic key — and "
+    "the O(n·m) levenshtein kernel runs ONLY inside blocks, with a "
+    "length-difference pre-filter (|len a − len b| ≤ 12 is a lower "
+    "bound on the distance) cutting the kernel calls further. The "
+    "equi-join shape shuffles each doc once on its block key; at "
+    "100 TB hot blocks are capped/salted exactly like any skewed "
+    "equi-key (operators/skew.py). Pairs at distance ≤ 12 emit with "
+    "doc_a < doc_b.",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             length(text) // 16 AS len_b,
+             substring(text, 1, 8) AS pre
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM b a JOIN b b ON a.len_b = b.len_b AND a.pre = b.pre
+                     AND a.doc_id < b.doc_id
+    WHERE abs(length(a.text) - length(b.text)) <= 12
+      AND levenshtein(a.text, b.text) <= 12
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, load_table(spark, sf_dir, "documents"))
+    b = d.select(
+        "doc_id",
+        "text",
+        (F.length("text") / 16).cast("long").alias("len_b"),
+        F.substring("text", 1, 8).alias("pre"),
+    )
+    a2, b2 = b.alias("a"), b.alias("b")
+    j = a2.join(
+        b2,
+        on=[
+            F.col("a.len_b") == F.col("b.len_b"),
+            F.col("a.pre") == F.col("b.pre"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).filter(
+        F.abs(F.length("a.text") - F.length("b.text")) <= 12
+    )
+    return (
+        j.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein("a.text", "b.text").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+        .orderBy("doc_a", "doc_b")
+    )

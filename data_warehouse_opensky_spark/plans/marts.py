@@ -1043,3 +1043,89 @@ def mart_weekly_top_gainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — declarative data-quality expectations (the Deequ/great-expectations
+# shape: N constraints, ONE scan)
+# --------------------------------------------------------------------------
+@query(
+    "audit_expectations",
+    tier="T2",
+    doc="Declarative expectation suite over orders — not-null, unique, "
+    "accepted-values, numeric range, regex pattern, date bounds — all "
+    "six constraints evaluated in a SINGLE scan: one aggregate row of "
+    "violation counters (each a map-side-combinable conditional sum; "
+    "uniqueness via n_rows - count(DISTINCT key)), unpivoted row-"
+    "locally with stack() into one row per constraint. This is the "
+    "post-load validation gate the reference's file_log status "
+    "machine approximates (load_warehouse.py:120-125) done as data "
+    "checks, not bookkeeping; at 100 TB it costs one scan regardless "
+    "of how many constraints run, and the partials are a dozen longs "
+    "per task.",
+    oracle="""
+    WITH s AS (
+      SELECT
+        count(*) AS n_rows,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_null_custkey,
+        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_dup_key,
+        CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_price,
+        CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_priority,
+        CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+                        OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+      FROM orders
+    )
+    SELECT u.check_name, s.n_rows,
+           u.n_violations, u.n_violations = 0 AS passed
+    FROM s, LATERAL (VALUES
+      ('not_null(o_custkey)', v_null_custkey),
+      ('unique(o_orderkey)', v_dup_key),
+      ('accepted_values(o_orderstatus)', v_status),
+      ('range(o_totalprice > 0)', v_price),
+      ('pattern(o_orderpriority)', v_priority),
+      ('date_bounds(o_orderdate)', v_date)
+    ) AS u(check_name, n_violations)
+    ORDER BY u.check_name
+    """,
+)
+def audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    s = o.agg(
+        F.count("*").alias("n_rows"),
+        viol(F.col("o_custkey").isNull()).alias("v_null_custkey"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v_dup_key"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+        viol(F.col("o_totalprice") <= 0).alias("v_price"),
+        viol(~F.col("o_orderpriority").rlike("^[1-5]-")).alias("v_priority"),
+        viol(
+            (F.to_date("o_orderdate") < F.lit("1992-01-01"))
+            | (F.to_date("o_orderdate") > F.lit("1998-12-31"))
+        ).alias("v_date"),
+    )
+    stacked = s.select(
+        "n_rows",
+        F.expr(
+            "stack(6, "
+            "'not_null(o_custkey)', v_null_custkey, "
+            "'unique(o_orderkey)', v_dup_key, "
+            "'accepted_values(o_orderstatus)', v_status, "
+            "'range(o_totalprice > 0)', v_price, "
+            "'pattern(o_orderpriority)', v_priority, "
+            "'date_bounds(o_orderdate)', v_date) AS (check_name, n_violations)"
+        ),
+    )
+    return stacked.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")

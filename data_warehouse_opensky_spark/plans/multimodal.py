@@ -140,3 +140,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return M.decode_audio_meta(M.attach_binary(d)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_phash_dedup",
+    tier="T3",
+    doc="Image near-dup groups via a perceptual-hash-style fingerprint: "
+    "the decoded feature vector (Arrow mapInPandas, fake forward "
+    "pass — operators/multimodal.py) is quantized per-dimension at "
+    "0.5 into an 8-bit fingerprint (JVM-side bit assembly over the "
+    "posexploded features — no second Python hop), then grouped: "
+    "buckets holding ≥2 images are duplicate groups with min doc_id "
+    "canonical. Same shape as exact dedup — ONE shuffle on a small "
+    "integer key; at 100 TB the fingerprint widens to 64 bits and "
+    "splits into LSH bands exactly like dedup_simhash, but the "
+    "group-on-fingerprint core is unchanged.",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, j,
+             CASE WHEN (octet_length(encode(text)) * (j + 13)) % 1000 >= 500
+                  THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+      FROM documents, unnest(range({M.FEATURE_DIM})) AS t(j)
+    ),
+    fp AS (
+      SELECT doc_id, CAST(sum(bit * (1 << j)) AS BIGINT) AS fingerprint
+      FROM f GROUP BY doc_id
+    )
+    SELECT fingerprint,
+           count(*) AS n_images,
+           min(doc_id) AS canonical_doc_id
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) >= 2
+    ORDER BY fingerprint
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = M.extract_features(M.attach_binary(d))
+    fp = (
+        feats.select("doc_id", F.posexplode("features").alias("j", "feat"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN feat >= 0.5 THEN shiftleft(1L, j) ELSE 0L END"))
+            .cast("long")
+            .alias("fingerprint")
+        )
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+        .orderBy("fingerprint")
+    )

@@ -288,3 +288,59 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(tokens, col="token", inv_threshold=200).orderBy(
         F.desc("cnt"), "token"
     )
+
+
+# --------------------------------------------------------------------------
+# T3.4 — inverted index (token → posting list), the retrieval primitive
+# --------------------------------------------------------------------------
+@query(
+    "text_inverted_index",
+    tier="T3",
+    doc="Inverted-index build: token → document frequency + posting "
+    "list (first 15 doc_ids, ascending, comma-joined so the contract "
+    "is a flat string, not an engine-specific array rendering). "
+    "Distinct (token, doc) postings via one explode + distinct; df "
+    "filter ≥ 5 bounds the emitted vocabulary. One shuffle on token — "
+    "the same key the index is range-partitioned by at 100 TB — and "
+    "the posting-list truncation caps per-token memory: full-scale "
+    "indexes store postings as sorted runs per (token, shard) rather "
+    "than one giant array (the slice() here is the honest stand-in "
+    "for that cap). Retrieval side is ann/tfidf queries; this is the "
+    "build side.",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM tok WHERE token <> '')
+    SELECT token,
+           count(*) AS df,
+           array_to_string(list_sort(list(doc_id))[1:15], ',')
+             AS posting_head
+    FROM t2
+    GROUP BY token
+    HAVING count(*) >= 5
+    ORDER BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    postings = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        postings.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 15), ","
+            ).alias("posting_head"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy("token")
+    )
