@@ -20,15 +20,18 @@ Scale design (100 TB): each Lloyd round is one scan + one map-side-
 combinable aggregation keyed on (cluster, dim) — the same shape as a
 groupBy sum. Centroids (k×dim integers) ride the driver ↔ literal
 path like the TF-IDF vocab / bigram-LM model: a control-plane collect
-bounded by k·dim, re-entering the plan as a constant-folded literal
-(no join, no shuffle on the fact side for ASSIGNMENT — assignment is
-a row-local expression over the broadcast-literal centroids).
+bounded by k·dim, re-entering the plan as a closure constant of the
+Arrow-vectorized assignment kernel (no join, no shuffle on the fact
+side for ASSIGNMENT — assignment is row-local; see _assign for why
+the kernel is a pandas UDF and not a JVM expression).
 Iteration count is fixed (compile-time unrolled), the standard
 practice for production pipelines (convergence-tested offline).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,57 +47,87 @@ def quantize(vec: Column | str) -> Column:
 def _assign(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Row-local argmin over literal centroids → (vid, xq, cluster, d).
 
-    Distances go into ONE array column and the argmin reads it with
-    array_min/array_position (first match → ties break to the smaller
-    cid, matching the oracle's ORDER BY d, cid). NEVER build the
-    argmin as a chain of when(d < best_d) expressions threading the
-    running best through each step — each step references the previous
-    best twice, so the expression tree doubles per centroid (2^k
-    blowup; the k=8 version took minutes to even analyze).
+    The distance kernel is an Arrow-vectorized pandas UDF doing exact
+    int64 matrix arithmetic: ‖x−c‖² = Σx² + Σc² − 2·x·c, computed as
+    one (batch × dim) @ (dim × k) integer matmul per Arrow batch, with
+    np.argmin's first-occurrence rule giving the tie-break to the
+    smaller cid (matching the oracle's ORDER BY d, cid). All values
+    stay ≤ 2^47 so int64 matmul is exact — bit-identical to the SQL
+    oracle.
+
+    Why a pandas UDF when the catalog's doctrine is built-ins first:
+    the pure-JVM forms were measured and lose —
+    * zip_with/aggregate HOF lambdas are evaluated INTERPRETED, per
+      element, allocating a 64-long array per (row, centroid):
+      ~1.5 s/job at sf0.1 (25.6M interpreted ops);
+    * the expanded flat form (512 element_at mult-add terms) is 2×
+      worse still — bounds-checked per-term array access and a giant
+      codegen method;
+    * this numpy kernel runs the same 25.6M integer ops in ~50 ms of
+      C loops; Arrow moves 50k×64 int64 ≈ 25 MB per job.
+    This is the "model forward pass against a broadcast parameter
+    block" shape — the sanctioned Pandas-UDF use — with centroids as
+    a closure constant (k·dim ints, the same control-plane budget as
+    the TF-IDF vocab literal).
     """
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("xq"),
-                    F.array(*[F.lit(int(v)).cast("long") for v in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
-    )
-    return base.withColumn("_dists", dists).select(
+    C = np.asarray(centroids, dtype=np.int64)  # (k, dim)
+    c2 = (C * C).sum(axis=1)  # (k,)
+
+    @F.pandas_udf("struct<cluster: bigint, d: bigint>")
+    def assign_udf(xq: pd.Series) -> pd.DataFrame:
+        if len(xq) == 0:
+            return pd.DataFrame({"cluster": [], "d": []}, dtype="int64")
+        X = np.stack(xq.to_numpy()).astype(np.int64, copy=False)
+        dist = (
+            (X * X).sum(axis=1)[:, None] + c2[None, :] - 2 * (X @ C.T)
+        )
+        cl = dist.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": cl.astype("int64"),
+                "d": dist[np.arange(len(cl)), cl].astype("int64"),
+            }
+        )
+
+    return base.withColumn("_a", assign_udf("xq")).select(
         "vid",
         "xq",
-        (F.array_position("_dists", F.array_min("_dists")) - 1)
-        .cast("long")
-        .alias("cluster"),
-        F.array_min("_dists").alias("d"),
+        F.col("_a.cluster").alias("cluster"),
+        F.col("_a.d").alias("d"),
     )
 
 
 def _recompute(assigned: DataFrame, k: int, dim: int) -> list[list[int]]:
     """One centroid update: Σx per (cluster, dim) → floor-mean.
 
-    posexplode → groupBy(cluster, dim) sum is map-side combinable;
-    the collect is k·dim longs (control plane). Empty clusters keep
+    The per-dimension sums are `dim` separate sum aggregates over
+    element_at(xq, i) — NO posexplode: exploding a 64-dim vector
+    multiplies the aggregation input 64× (3.2M rows at sf0.1) and
+    shuffles (cluster, dim) pairs, where the wide-agg shape keeps one
+    row per vector and shuffles k rows of dim partial sums (measured
+    ~2× on the bench round). Map-side combinable either way; the
+    collect is k·(dim+1) longs (control plane). Empty clusters keep
     a zero vector (cannot arise with md5-seeded distinct seeds, but
     the contract is total).
     """
     rows = (
-        assigned.select("cluster", F.posexplode("xq").alias("dim", "xu"))
-        .groupBy("cluster", "dim")
-        .agg(F.sum("xu").alias("s"), F.count("*").alias("n"))
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.element_at("xq", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
         .collect()
     )
     cents = [[0] * dim for _ in range(k)]
     import math
 
     for r in rows:
-        cents[r["cluster"]][r["dim"]] = math.floor(r["s"] / r["n"])
+        cents[r["cluster"]] = [
+            math.floor(r[f"s{i}"] / r["n"]) for i in range(dim)
+        ]
     return cents
 
 
@@ -113,9 +146,14 @@ def kmeans(
     each vector to its FINAL centroid (the usual k-means objective,
     in 1e-12 units of the original scale).
     """
+    # Quantization is an interpreted HOF over 64 elements; the loop
+    # below runs 2·iters+2 jobs over `base`, so cache the quantized
+    # vectors once (50k rows × 64 longs ≈ 25 MB at sf0.1 — at 100 TB
+    # this is the standard iterate-on-cached-working-set pattern;
+    # MEMORY_AND_DISK spills instead of recomputing).
     base = df.select(
         F.col(id_col).alias("vid"), quantize(vec_col).alias("xq")
-    )
+    ).persist()
     # Seed selection and seed-vector fetch in ONE job: k is tiny, so
     # collecting the quantized vectors alongside the md5 rank costs
     # nothing extra and saves a whole scheduling round trip.

@@ -654,3 +654,61 @@ def test_kmeans_assignment_is_row_local(spark):
     body = plan_of(spark, "embedding_kmeans").split("== Physical Plan ==")[-1]
     assert "Join" not in body, body
     assert "partial_count" in body, body  # map-side combined final agg
+
+
+def test_expectations_suite_is_single_scan(spark):
+    """Six constraints must cost ONE scan: a single parquet scan into
+    expand/aggregate (distinct-count rewrite), stack() row-local above
+    it, and no join anywhere."""
+    body = plan_of(spark, "audit_expectations").split("== Physical Plan ==")[-1]
+    assert body.count("Scan parquet") == 2, body  # tree + detail line
+    assert "Join" not in body, body
+    assert "Generate" in body, body  # stack() unpivot is row-local
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    """Efraimidis–Spirakis top-k per group must prune to ≤k rows per
+    group map-side (WindowGroupLimit) — the sample must never
+    materialize whole groups through the shuffle."""
+    plan = plan_of(spark, "corpus_weighted_sample")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_inverted_index_single_scan_no_join(spark):
+    """Posting-list build = explode → distinct-agg → token-agg: one
+    scan, two aggregation pairs, zero joins."""
+    body = plan_of(spark, "text_inverted_index").split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    assert body.count("Scan parquet") == 2, body
+
+
+def test_fuzzy_levenshtein_blocks_are_equi_join(spark):
+    """The levenshtein kernel must run only inside (len_bucket, prefix)
+    blocks — an equi hash/sort-merge join, never a cartesian or
+    nested-loop pairing of the corpus with itself."""
+    body = plan_of(spark, "dedup_fuzzy_levenshtein").split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert ("SortMergeJoin" in body) or ("ShuffledHashJoin" in body) or (
+        "BroadcastHashJoin" in body
+    ), body
+
+
+def test_incremental_minhash_probe_is_equi_join(spark):
+    """Batch-vs-corpus probe must equi-join on (band, band_sig) with
+    map-side-combined per-doc aggregation of the collisions."""
+    body = plan_of(spark, "dedup_incremental_minhash").split(
+        "== Physical Plan =="
+    )[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "partial_min" in body, body
+
+
+def test_phash_dedup_no_join_one_python_hop(spark):
+    """Fingerprint assembly must stay JVM-side above a single
+    mapInPandas decode hop; the dedup core is agg-only (no joins)."""
+    body = plan_of(spark, "multimodal_phash_dedup").split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    assert body.count("MapInPandas") <= 2, body  # tree + detail line
+    assert "partial_count" in body, body
