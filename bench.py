@@ -86,6 +86,12 @@ HEADLINE = [
     "stats_rolling_median",
     "corpus_split_assign",
     "text_heavy_hitters",
+    "dedup_incremental_minhash",
+    "dedup_fuzzy_levenshtein",
+    "text_inverted_index",
+    "audit_expectations",
+    "corpus_weighted_sample",
+    "multimodal_phash_dedup",
 ]
 
 
