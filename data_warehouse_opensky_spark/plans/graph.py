@@ -1,0 +1,161 @@
+"""Iterative graph analytics over warehouse-derived edge lists.
+
+Complements the dedup connected-components operator (operators/
+dedup.py:connected_components — min-label propagation) with a
+damped-propagation shape: PageRank with FIXED unrolled iterations and
+EXACT integer arithmetic, so an independent SQL engine replays it
+bit-for-bit (catalog doctrine, plans/catalog.py).
+
+Why exact integers: float PageRank is partial-agg-order dependent.
+Here ranks live on a 10^12 grid; contributions are integer floor
+divisions (rank div degree, then ·85 div 100) — both engines define
+integer division identically on non-negative operands, and every sum
+is an exact int64 (≤ 10^12 · |V|, far under 2^63).
+
+Scale design (100 TB of facts): the EDGE LIST is built once with the
+fact-fact join (one shuffle on the join key) + distinct; iterations
+never touch the facts again — each round is one equi-join of the rank
+table (|V| rows) against edges plus a map-side-combinable sum per dst.
+Co-partition edges and ranks on the node key and the per-round
+exchange disappears (the same bucketing argument as SCALE.md §2);
+rounds are compile-time unrolled exactly like the k-means loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .catalog import query
+
+#: Rank grid: 10^12 units of total mass 1.0 (per-node init 10^12/N).
+PR_SCALE = 1_000_000_000_000
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""
+    r{i} AS (
+      SELECT d.node,
+             (15 * ({PR_SCALE} // (SELECT n FROM nv))) // 100
+             + (85 * coalesce(s.acc, 0)) // 100 AS rank_q
+      FROM deg d
+      LEFT JOIN (
+        SELECT e.dst AS node, sum({prev}.rank_q // dg.degree) AS acc
+        FROM e
+        JOIN {prev} ON {prev}.node = e.src
+        JOIN deg dg ON dg.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = d.node
+    )"""
+        )
+        prev = f"r{i}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (
+      SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM pairs
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM e GROUP BY src
+    ),
+    nv AS (SELECT count(*) AS n FROM deg),
+    r0 AS (
+      SELECT node, {PR_SCALE} // (SELECT n FROM nv) AS rank_q FROM deg
+    ),{rounds_sql}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS node_key,
+           CAST(rank_q AS BIGINT) AS rank_q
+    FROM {prev}
+    ORDER BY rank_q DESC, node_type, node_key
+    LIMIT 20
+    """
+
+
+@query(
+    "graph_pagerank",
+    tier="T3",
+    doc=f"PageRank ({PR_ITERS} unrolled rounds, damping 0.85) over the "
+    "customer↔supplier interaction graph (distinct trade pairs from "
+    "lineitem⋈orders, both directions so no dangling nodes). Exact "
+    "integer ranks on a 10^12 grid — floor-div contributions, int64 "
+    "sums — replayed bit-for-bit by the SQL oracle. The facts are "
+    "touched ONCE to build the edge list; each round is an equi-join "
+    "of the |V|-row rank table with edges + one map-side-combined "
+    "sum. Top-20 by final rank.",
+    oracle=_pagerank_oracle(),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct()
+    )
+    e = pairs.select(
+        (F.col("ck") * 2).alias("src"), (F.col("sk") * 2 + 1).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.col("sk") * 2 + 1).alias("src"), (F.col("ck") * 2).alias("dst")
+        )
+    )
+    # Iterations re-read edges/degrees 3×; cache the (small) edge and
+    # degree tables — the facts are never rescanned after this point.
+    e = e.persist()
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    ).persist()
+    # |V| is control-plane (one count over the cached degree table) and
+    # re-enters the plan as a literal — same budget class as the
+    # k-means centroids; avoids threading a 1-row frame through every
+    # round as a nested-loop broadcast.
+    n = deg.count()
+    init_q = PR_SCALE // n
+    base_q = (15 * init_q) // 100
+
+    ranks = deg.select("node", F.lit(init_q).alias("rank_q"))
+    ed = e.join(deg, e.src == deg.node).select("src", "dst", "degree")
+    for _ in range(PR_ITERS):
+        acc = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("rank_q div degree").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("acc"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(acc, deg.node == acc.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_q)
+                    + F.expr("(85 * coalesce(acc, 0)) div 100")
+                ).alias("rank_q"),
+            )
+        )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            F.col("rank_q").cast("long").alias("rank_q"),
+        )
+        .orderBy(F.desc("rank_q"), "node_type", "node_key")
+        .limit(20)
+    )

@@ -712,3 +712,13 @@ def test_phash_dedup_no_join_one_python_hop(spark):
     assert "Join" not in body, body
     assert body.count("MapInPandas") <= 2, body  # tree + detail line
     assert "partial_count" in body, body
+
+
+def test_pagerank_iterates_on_cached_edges_no_cartesian(spark):
+    """PageRank rounds must re-join the cached edge/degree tables —
+    never rescan the facts per round, never degrade to a nested-loop
+    or cartesian pairing; |V| rides the control plane as a literal."""
+    body = plan_of(spark, "graph_pagerank").split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "InMemoryTableScan" in body, body
