@@ -493,3 +493,63 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(a["k"].alias("k"), "na", "nb")
         .orderBy(F.asc_nulls_first("k"))
     )
+
+
+# --------------------------------------------------------------------------
+# T1.16 at table scale — schema-evolution union (generation merge)
+# --------------------------------------------------------------------------
+@query(
+    "schema_evolution_union",
+    tier="T1",
+    doc="Merging table GENERATIONS with drifted schemas — the batch "
+    "twin of the reference's NULL back-fill projection "
+    "(load_warehouse.py:77-91, T1.16): generation 1 (even orderkeys) "
+    "lacks the status/priority columns, generation 2 (odd) lacks "
+    "totalprice; unionByName(allowMissingColumns=True) aligns by NAME "
+    "and back-fills NULL — positional UNION would silently misalign. "
+    "Verified by a per-generation null profile over the merged frame "
+    "(one scan per branch + one map-side-combined agg; union is a "
+    "zero-shuffle plan node).",
+    oracle="""
+    WITH g1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    g2 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    m AS (FROM g1 UNION ALL BY NAME FROM g2)
+    SELECT o_orderkey % 2 AS generation,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_totalprice,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_status,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_priority
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    g2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    m = g1.unionByName(g2, allowMissingColumns=True)
+    nulls = lambda c: F.sum(  # noqa: E731
+        F.when(F.col(c).isNull(), 1).otherwise(0)
+    ).cast("long")
+    return (
+        m.groupBy((F.col("o_orderkey") % 2).alias("generation"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            nulls("o_totalprice").alias("null_totalprice"),
+            nulls("o_orderstatus").alias("null_status"),
+            nulls("o_orderpriority").alias("null_priority"),
+        )
+        .orderBy("generation")
+    )

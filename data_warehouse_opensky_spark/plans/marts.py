@@ -1129,3 +1129,72 @@ def audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# T2 — sequence-pattern mining over ordered per-user event strings
+# --------------------------------------------------------------------------
+@query(
+    "mart_sequence_patterns",
+    tier="T2",
+    doc="MATCH_RECOGNIZE-style sequence mining: each user's events "
+    "collapse (ordered by the exact epoch-s·1e7+event_id composite) "
+    "into a compact initials string — c/e/p/s/v — and patterns are "
+    "counted with regexes on that string: view→purchase runs without "
+    "leaving browse ('v[cv]*p'), error bursts ('ee+'), and an "
+    "eventual signup→purchase conversion flag. ONE shuffle on "
+    "user_id; the sequence string is bounded by events/user and the "
+    "regex work is row-local. Patterns avoid backreferences/"
+    "lookaround so Java regex and RE2 agree (both leftmost-greedy, "
+    "non-overlapping counts). The 100 TB shape for sessionized "
+    "pattern mining: collapse once, mine many patterns per pass.",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS u,
+             substring(event_type, 1, 1) AS ini
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, string_agg(ini, '' ORDER BY u) AS seq
+      FROM u GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[cv]*p')) AS BIGINT)
+             AS n_viewbuy,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+             AS n_error_bursts,
+           regexp_matches(seq, 's.*p') AS signup_converted
+    FROM s
+    ORDER BY user_id
+    """,
+)
+def mart_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.floor(F.unix_timestamp("ts")).cast("long") * 10000000
+            + F.col("event_id")
+        ).alias("u"),
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    s = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("u", "ini"))),
+                    lambda x: x["ini"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return s.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.regexp_count("seq", F.lit("v[cv]*p")).cast("long").alias("n_viewbuy"),
+        F.regexp_count("seq", F.lit("ee+")).cast("long").alias("n_error_bursts"),
+        F.col("seq").rlike("s.*p").alias("signup_converted"),
+    ).orderBy("user_id")

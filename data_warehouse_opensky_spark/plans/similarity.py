@@ -391,3 +391,110 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return C.kmeans(emb, k=8, iters=2, dim=DIM)
+
+
+# --------------------------------------------------------------------------
+# T3.2 — int8 scalar quantization (the ANN compression path)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_quantize_sq8",
+    tier="T3",
+    doc="Scalar int8 quantization of the embedding column — the "
+    "compression step that makes 100 TB of vectors memory-resident "
+    "for ANN (SQ8 = 4× smaller than float32, distance kernels read "
+    "the codes directly). Everything is EXACT integer arithmetic on "
+    "the e6-quantized grid: per-vector min/max range, code = "
+    "round(255·(x−mn)/range) via the (2·255·a + r) div (2r) "
+    "half-up-floor identity, reconstruction error likewise — so the "
+    "oracle replays bit-for-bit. Entirely row-local (zero shuffles "
+    "until the 1-row quality summary): per-vector codes/error, then "
+    "one global agg gating mean reconstruction error. Constant "
+    "vectors (range 0) quantize to code 0 with zero error.",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+              for i in range(1, {DIM} + 1)] AS xq
+      FROM embeddings
+    ),
+    r AS (
+      SELECT vec_id, xq,
+             list_min(xq) AS mn,
+             list_max(xq) - list_min(xq) AS rng
+      FROM q
+    ),
+    c AS (
+      SELECT vec_id, mn, rng,
+             [CASE WHEN rng = 0 THEN 0
+                   ELSE (2 * 255 * (x - mn) + rng) // (2 * rng) END
+              for x in xq] AS codes,
+             xq
+      FROM r
+    ),
+    e AS (
+      SELECT vec_id, mn, rng,
+             list_sum([
+               (mn + CASE WHEN rng = 0 THEN 0
+                          ELSE (2 * codes[i] * rng + 255) // (2 * 255) END
+                - xq[i])
+               * (mn + CASE WHEN rng = 0 THEN 0
+                            ELSE (2 * codes[i] * rng + 255) // (2 * 255) END
+                  - xq[i])
+              for i in range(1, {DIM} + 1)]) AS sq_err
+      FROM c
+    )
+    SELECT count(*) AS n_vecs,
+           CAST(min(rng) AS BIGINT) AS min_range,
+           CAST(max(rng) AS BIGINT) AS max_range,
+           CAST(sum(sq_err) AS BIGINT) AS total_sq_err,
+           round(CAST(sum(sq_err) AS DOUBLE) / count(*) / {DIM}, 4)
+             AS mean_dim_sq_err
+    FROM e
+    """,
+)
+def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("xq"),
+    )
+    r = q.select(
+        "vec_id",
+        "xq",
+        F.array_min("xq").alias("mn"),
+        (F.array_max("xq") - F.array_min("xq")).alias("rng"),
+    )
+    c = r.select(
+        "vec_id",
+        "xq",
+        "mn",
+        "rng",
+        F.expr(
+            "transform(xq, x -> CASE WHEN rng = 0 THEN 0L "
+            "ELSE (2 * 255 * (x - mn) + rng) div (2 * rng) END)"
+        ).alias("codes"),
+    )
+    recon = (
+        "transform(codes, q -> mn + CASE WHEN rng = 0 THEN 0L "
+        "ELSE (2 * q * rng + 255) div (2 * 255) END)"
+    )
+    e = c.select(
+        "vec_id",
+        "rng",
+        F.expr(
+            f"aggregate(zip_with({recon}, xq, (r, x) -> (r - x) * (r - x)), "
+            "0L, (acc, v) -> acc + v)"
+        ).alias("sq_err"),
+    )
+    return e.agg(
+        F.count("*").alias("n_vecs"),
+        F.min("rng").cast("long").alias("min_range"),
+        F.max("rng").cast("long").alias("max_range"),
+        F.sum("sq_err").cast("long").alias("total_sq_err"),
+        F.round(
+            F.sum("sq_err").cast("double") / F.count("*") / DIM, 4
+        ).alias("mean_dim_sq_err"),
+    )
