@@ -1198,3 +1198,157 @@ def mart_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("seq", F.lit("ee+")).cast("long").alias("n_error_bursts"),
         F.col("seq").rlike("s.*p").alias("signup_converted"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# T1.7/T2 — CDC APPLY: merge a keyed insert/update/delete log into a
+# snapshot (the batch twin of the streaming upsert sink)
+# --------------------------------------------------------------------------
+@query(
+    "cdc_apply_log",
+    tier="T2",
+    doc="Apply a keyed change log (ops derived from the delta slice: "
+    "'error' events are DELETE markers, everything else UPSERTs its "
+    "exact e4-unit value) onto the pre-watermark snapshot: latest log "
+    "op per key wins (exact epoch-s*1e7+event_id version), a delete "
+    "tombstone removes the key, an upsert replaces the value, "
+    "untouched keys pass through — MERGE WHEN MATCHED/NOT MATCHED "
+    "semantics as a pure query, the batch twin of the partition-"
+    "scoped foreachBatch upsert sink (streaming/sink.py). Both sides "
+    "reduce to one row per key BEFORE the single equi-join on "
+    "user_id — cost O(|snapshot|+|delta|), and at 100 TB the join "
+    "prunes to the partitions the delta touches (the sink does "
+    "exactly that pruning on write).",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS ver,
+             CAST(round(value * 10000) AS BIGINT) AS val_e4,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             ts
+      FROM events
+    ),
+    snap AS (
+      SELECT user_id, max_by(val_e4, ver) AS snap_val
+      FROM v WHERE ts < TIMESTAMP '{CDC_T1}' GROUP BY user_id
+    ),
+    log AS (
+      SELECT user_id, max_by(op, ver) AS last_op,
+             max_by(val_e4, ver) AS last_val,
+             CAST(count(*) AS BIGINT) AS n_ops
+      FROM v WHERE ts >= TIMESTAMP '{CDC_T1}' AND ts < TIMESTAMP '{CDC_T2}'
+      GROUP BY user_id
+    )
+    SELECT coalesce(s.user_id, l.user_id) AS user_id,
+           CASE WHEN l.user_id IS NULL THEN s.snap_val
+                ELSE l.last_val END AS val_e4,
+           CASE WHEN l.user_id IS NULL THEN 'unchanged'
+                WHEN s.user_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action,
+           coalesce(l.n_ops, 0) AS n_ops
+    FROM snap s FULL JOIN log l ON s.user_id = l.user_id
+    WHERE l.user_id IS NULL OR l.last_op <> 'D'
+    ORDER BY user_id
+    """,
+)
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        (
+            F.floor(F.unix_timestamp("ts")).cast("long") * 10000000
+            + F.col("event_id")
+        ).alias("ver"),
+        F.round(F.col("value") * 10000).cast("long").alias("val_e4"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "ts",
+    )
+    snap = (
+        v.filter(F.col("ts") < F.lit(CDC_T1).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.max_by("val_e4", "ver").alias("snap_val"))
+    )
+    log = (
+        v.filter(
+            (F.col("ts") >= F.lit(CDC_T1).cast("timestamp"))
+            & (F.col("ts") < F.lit(CDC_T2).cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max_by("op", "ver").alias("last_op"),
+            F.max_by("val_e4", "ver").alias("last_val"),
+            F.count("*").cast("long").alias("n_ops"),
+        )
+    )
+    s, l = snap.alias("s"), log.alias("l")
+    j = s.join(l, F.col("s.user_id") == F.col("l.user_id"), "full")
+    return (
+        j.filter(F.col("l.user_id").isNull() | (F.col("l.last_op") != "D"))
+        .select(
+            F.coalesce("s.user_id", "l.user_id").alias("user_id"),
+            F.when(F.col("l.user_id").isNull(), F.col("s.snap_val"))
+            .otherwise(F.col("l.last_val"))
+            .alias("val_e4"),
+            F.when(F.col("l.user_id").isNull(), "unchanged")
+            .when(F.col("s.user_id").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("merge_action"),
+            F.coalesce("l.n_ops", F.lit(0)).cast("long").alias("n_ops"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2 — rolling 7-day DISTINCT customers (sliding distinct via grain cover)
+# --------------------------------------------------------------------------
+@query(
+    "mart_rolling_distinct_7d",
+    tier="T2",
+    doc="Trailing-7-day distinct active customers per order day — "
+    "sliding-window COUNT(DISTINCT), which no window frame computes "
+    "directly. Scale-correct shape: reduce to distinct (day, "
+    "customer) grains FIRST (one map-side-combined distinct), then "
+    "each grain explodes into the ≤7 cover days it contributes to "
+    "(bounded fan-out = window/grain, rows already deduped), and a "
+    "second distinct-agg counts per cover day. Cost is 7·|grains|, "
+    "independent of raw row count — the fact table is touched once. "
+    "Cover days are clipped to observed days via one broadcast semi-"
+    "join so both engines report the same day spine.",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS day, o_custkey
+      FROM orders
+    ),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT strftime(days.day, '%Y-%m-%d') AS day,
+           count(DISTINCT d.o_custkey) AS nd_7d
+    FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+    GROUP BY days.day ORDER BY days.day
+    """,
+)
+def mart_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), "o_custkey"
+    )
+    grains = o.distinct()
+    days = grains.select("day").distinct()
+    covered = grains.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("cover_day"),
+        "o_custkey",
+    )
+    return (
+        covered.join(
+            F.broadcast(days),
+            covered.cover_day == days.day,
+            "left_semi",
+        )
+        .groupBy("cover_day")
+        .agg(F.countDistinct("o_custkey").alias("nd_7d"))
+        .select(
+            F.date_format("cover_day", "yyyy-MM-dd").alias("day"), "nd_7d"
+        )
+        .orderBy("day")
+    )
