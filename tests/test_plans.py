@@ -722,3 +722,38 @@ def test_pagerank_iterates_on_cached_edges_no_cartesian(spark):
     assert "CartesianProduct" not in body, body
     assert "BroadcastNestedLoopJoin" not in body, body
     assert "InMemoryTableScan" in body, body
+
+
+def test_sq8_quantization_is_row_local(spark):
+    """Quantize/encode/reconstruct must all be row-local HOFs — no
+    join, no shuffle before the single 1-row summary aggregate."""
+    body = plan_of(spark, "embedding_quantize_sq8").split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    assert body.count("Exchange") <= 2, body  # single-agg exchange only
+
+
+def test_sequence_patterns_single_shuffle(spark):
+    """Collapse-then-mine: one shuffle on user_id builds the sequence
+    string; all regex mining is row-local above it."""
+    body = plan_of(spark, "mart_sequence_patterns").split("== Physical Plan ==")[-1]
+    assert "Join" not in body, body
+    assert "partial" in body, body  # map-side combined collect
+
+
+def test_cdc_apply_reduces_both_sides_before_join(spark):
+    """Snapshot and log must each reduce to one row per key (max_by
+    aggs) BEFORE the single full-outer merge join."""
+    body = plan_of(spark, "cdc_apply_log").split("== Physical Plan ==")[-1]
+    assert body.count("SortMergeJoin FullOuter") + body.count(
+        "ShuffledHashJoin FullOuter"
+    ) >= 1, body
+    assert "partial_max_by" in body, body
+
+
+def test_rolling_distinct_semi_join_broadcasts_days(spark):
+    """The day-spine clip must broadcast (tiny side); the grain
+    dedup + cover-day count are the only real shuffles."""
+    body = plan_of(spark, "mart_rolling_distinct_7d").split(
+        "== Physical Plan =="
+    )[-1]
+    assert "BroadcastHashJoin" in body and "LeftSemi" in body, body
