@@ -464,3 +464,84 @@ def stats_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift gate in exact integer arithmetic
+# --------------------------------------------------------------------------
+@query(
+    "stats_ks_drift",
+    tier="T2",
+    doc="Distribution-drift gate: the two-sample Kolmogorov–Smirnov "
+    "statistic between even- and odd-orderkey price populations "
+    "(stand-ins for last-week/this-week feeds). D = max|F1−F2| over "
+    "the pooled sample is computed EXACTLY: prices on the integer "
+    "cent grid, per-value counts for each side, cumulative sums by "
+    "one window over the ~|distinct values| aggregated rows, and the "
+    "max of |c1·n2 − c2·n1| (integer cross-multiplication — no "
+    "float CDFs) divided once at the end. One map-side-combined agg "
+    "on price + one window over the DISTINCT-value series (thousands "
+    "of rows at any fact scale, single task) — the fact table is "
+    "scanned once. The drift monitor every feature pipeline runs "
+    "between ingest generations.",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             o_orderkey % 2 AS side
+      FROM orders
+    ),
+    g AS (
+      SELECT v,
+             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM u GROUP BY v
+    ),
+    n AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM g
+    ),
+    c AS (
+      SELECT CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+             CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS f2
+      FROM g
+    )
+    SELECT n.n1, n.n2,
+           CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS d_cross,
+           round(CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS DOUBLE)
+                 / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)), 6) AS ks_d
+    FROM c, n
+    GROUP BY n.n1, n.n2
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 2).alias("side"),
+    )
+    g = o.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("c1").over(w).cast("long").alias("f1"),
+        F.sum("c2").over(w).cast("long").alias("f2"),
+    )
+    n = g.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    cross = F.max(
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            cross.alias("d_cross"),
+            F.round(
+                cross.cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("ks_d"),
+        )
+    )

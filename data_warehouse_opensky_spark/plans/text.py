@@ -344,3 +344,67 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= 5)
         .orderBy("token")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.4 — character-entropy quality signal
+# --------------------------------------------------------------------------
+@query(
+    "text_char_entropy",
+    tier="T3",
+    doc="Shannon character entropy per document — the compressibility "
+    "quality signal (gibberish and boilerplate both sit at entropy "
+    "extremes). Computed from EXACT integer char counts via the "
+    "H = log2(n) − Σc·log2(c)/n identity: one tagged explode to "
+    "(doc, char) counts (map-side combined), one per-doc agg; the "
+    "only floats are per-term log2 of integers summed over ≤ "
+    "|alphabet| terms, rounded to 6 dp (both engines' libm log2 "
+    "agree to an ulp — far inside the rounding guard). Low-entropy "
+    "gate flags repetitive docs. Same two-agg shape as the "
+    "repetition signals — linear scan, no joins against the fact.",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+      FROM ch WHERE c <> '' GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(log2(CAST(sum(cnt) AS DOUBLE))
+                 - sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)))
+                   / CAST(sum(cnt) AS DOUBLE), 6) AS entropy_bits,
+           round(log2(CAST(sum(cnt) AS DOUBLE))
+                 - sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)))
+                   / CAST(sum(cnt) AS DOUBLE), 6) < 3.0 AS low_entropy
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    f = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = F.sum("cnt").cast("double")
+    ent = F.round(
+        F.log2(n)
+        - F.sum(F.col("cnt").cast("double") * F.log2(F.col("cnt").cast("double")))
+        / n,
+        6,
+    )
+    return (
+        f.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            ent.alias("entropy_bits"),
+            (ent < 3.0).alias("low_entropy"),
+        )
+        .orderBy("doc_id")
+    )
