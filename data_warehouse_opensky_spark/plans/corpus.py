@@ -571,3 +571,78 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars")
         .orderBy("source", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T3 — n-gram novelty scoring (redundancy curve across an ordered corpus)
+# --------------------------------------------------------------------------
+@query(
+    "corpus_ngram_novelty",
+    tier="T3",
+    doc="Per-document NOVELTY: the fraction of a doc's distinct token "
+    "3-grams not seen in any earlier doc (doc_id order = ingest "
+    "order) — the redundancy signal curriculum builders and crawl "
+    "schedulers use (novelty collapsing → the source is mined out). "
+    "Shape: distinct (doc, gram) postings, gram → min(doc_id) "
+    "first-seen (map-side combined), one equi-join back on gram, "
+    "per-doc counts. Gram-keyed agg + join is inverted-index cost; "
+    "at 100 TB gram strings become the 62-bit rolling hashes of "
+    "operators/text.py (identical plumbing, no string shuffle).",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+      FROM tok, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    first_seen AS (
+      SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS novelty
+    FROM g JOIN first_seen f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    # Token array materialized in its own projection FIRST — inlining
+    # split() into the transform lambda re-splits the text once per
+    # gram element (the O(tokens²) trap operators/text.py
+    # _with_gram_hashes documents).
+    g = (
+        d.select("doc_id", F.split("text", " ").alias("_t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_t) >= 3 THEN "
+                    "transform(sequence(0, size(_t) - 3), "
+                    "i -> array_join(slice(_t, i + 1, 3), ' ')) "
+                    "ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = g.join(first_seen, "gram")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count("*"), 4).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1352,3 +1352,75 @@ def mart_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — ABC / Pareto classification (cumulative-share banding)
+# --------------------------------------------------------------------------
+@query(
+    "mart_abc_pareto",
+    tier="T2",
+    doc="ABC inventory classification: parts ranked by exact-cents "
+    "revenue, cumulative share banded A (≤80% of total), B (≤95%), "
+    "C (rest) — the Pareto mart every warehouse ships. Exact "
+    "integers throughout: the band test is cum·100 ≤ threshold·total "
+    "cross-multiplied, no float CDF. One map-side-combined agg on "
+    "partkey, then ONE window cumsum over the |parts| aggregated "
+    "rows (ranked by revenue desc, partkey tiebreak) — at extreme "
+    "|parts| the cumsum generalizes to a two-phase distributed "
+    "prefix sum (per-partition totals broadcast as offsets), same "
+    "plan otherwise.",
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM r),
+    c AS (
+      SELECT l_partkey, rev_c,
+             CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+      FROM r
+    )
+    SELECT CASE WHEN cum_c * 100 <= 80 * t.total_c THEN 'A'
+                WHEN cum_c * 100 <= 95 * t.total_c THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           CAST(sum(rev_c) AS BIGINT) / 100.0 AS class_revenue,
+           round(CAST(sum(rev_c) AS DOUBLE) / t.total_c, 6) AS revenue_share
+    FROM c, t
+    GROUP BY 1, t.total_c
+    ORDER BY 1
+    """,
+)
+def mart_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", cents("l_extendedprice").alias("price_c")
+    )
+    r = li.groupBy("l_partkey").agg(F.sum("price_c").cast("long").alias("rev_c"))
+    t = r.agg(F.sum("rev_c").cast("long").alias("total_c"))
+    w = Window.orderBy(F.desc("rev_c"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = r.select(
+        "rev_c", F.sum("rev_c").over(w).cast("long").alias("cum_c")
+    ).crossJoin(F.broadcast(t))
+    cls = (
+        F.when(F.col("cum_c") * 100 <= 80 * F.col("total_c"), "A")
+        .when(F.col("cum_c") * 100 <= 95 * F.col("total_c"), "B")
+        .otherwise("C")
+    )
+    return (
+        c.groupBy(cls.alias("abc_class"), "total_c")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (F.sum("rev_c").cast("long") / 100.0).alias("class_revenue"),
+            F.round(
+                F.sum("rev_c").cast("double") / F.col("total_c"), 6
+            ).alias("revenue_share"),
+        )
+        .drop("total_c")
+        .orderBy("abc_class")
+    )
