@@ -545,3 +545,79 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence audit on exact integer contingency counts
+# --------------------------------------------------------------------------
+@query(
+    "stats_chi2_independence",
+    tier="T2",
+    doc="Categorical-association audit: the chi-square statistic for "
+    "orderpriority × orderstatus independence, computed from the "
+    "exact contingency table with integer cross-multiplication — "
+    "each cell contributes (o·N − r·c)² / (N·r·c), numerator exact "
+    "int128-free (≤ (6e6·1.5e6)² fits DECIMAL(38,0)), one float "
+    "division per cell, round-6 guard. Shape: ONE scan into the "
+    "contingency agg (|cells| = 5×3 rows), margins via two row-local "
+    "window sums over the cells, all downstream work on the tiny "
+    "aggregated table. The feature-independence / drift audit for "
+    "categorical columns.",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS r_key, o_orderstatus AS c_key,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT r_key, c_key, o,
+             CAST(sum(o) OVER (PARTITION BY r_key) AS BIGINT) AS r_tot,
+             CAST(sum(o) OVER (PARTITION BY c_key) AS BIGINT) AS c_tot,
+             CAST(sum(o) OVER () AS BIGINT) AS n_tot
+      FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n_tot) AS BIGINT) AS n_rows,
+           round(sum(
+             CAST((CAST(o AS DECIMAL(38,0)) * n_tot - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+                  * (CAST(o AS DECIMAL(38,0)) * n_tot - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+                  AS DOUBLE)
+             / (CAST(n_tot AS DOUBLE) * r_tot * c_tot)
+           ), 6) AS chi2
+    FROM m
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r_key"),
+        F.col("o_orderstatus").alias("c_key"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    d = "decimal(38,0)"
+    m = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("r_key")).cast("long").alias("r_tot"),
+        F.sum("o").over(Window.partitionBy("c_key")).cast("long").alias("c_tot"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).cast("long").alias("n_tot"),
+    )
+    dev = (
+        F.col("o").cast(d) * F.col("n_tot")
+        - F.col("r_tot").cast(d) * F.col("c_tot")
+    )
+    return m.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("n_tot").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(
+                (dev * dev).cast("double")
+                / (
+                    F.col("n_tot").cast("double")
+                    * F.col("r_tot")
+                    * F.col("c_tot")
+                )
+            ),
+            6,
+        ).alias("chi2"),
+    )
