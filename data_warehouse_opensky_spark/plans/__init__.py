@@ -33,6 +33,14 @@ from . import graph  # noqa: E402,F401
 # _reservoir_per_source, streaming_hopping_topk) register AFTER the
 # front and rotate into the r4 window; until then they are gated by
 # tests/test_oracle.py at sf0.001 and the verify sweep at sf0.01.
+# (Also registering after the front, added later in round 3: the
+# dedup_incremental_minhash / dedup_fuzzy_levenshtein /
+# text_inverted_index / audit_expectations / corpus_weighted_sample /
+# multimodal_phash_dedup wave, graph_pagerank, embedding_quantize_sq8,
+# mart_sequence_patterns, schema_evolution_union, cdc_apply_log,
+# mart_rolling_distinct_7d, stats_ks_drift, text_char_entropy,
+# corpus_ngram_novelty, mart_abc_pareto, stats_chi2_independence —
+# all sf0.001+sf0.01 oracle-verified in-session.)
 # Queries displaced past slot 50 stay covered by tests/test_oracle.py,
 # which runs ALL of them vs DuckDB at sf0.001.
 DRIVER_WINDOW_PRIORITY = [
