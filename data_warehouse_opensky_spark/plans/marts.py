@@ -1424,3 +1424,85 @@ def mart_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("total_c")
         .orderBy("abc_class")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — market-basket association mining (co-occurrence support + lift)
+# --------------------------------------------------------------------------
+@query(
+    "mart_market_basket",
+    tier="T2",
+    doc="Association mining over order baskets: distinct (order, part) "
+    "grains self-join WITHIN the order key (p1 < p2) to count pair "
+    "support, then lift = N·c12/(c1·c2) from broadcast item counts — "
+    "the co-purchase mart behind 'bought together'. The pair fan-out "
+    "is Σ items²/order, bounded by basket size (never all-pairs over "
+    "the catalog); the self-join shuffles once on the order key that "
+    "baskets are already clustered by. Top pairs by support with "
+    "full-key tiebreaks; lift exact-integer cross-multiplied before "
+    "one rounded division.",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM g),
+    item AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS c1 FROM g GROUP BY pk
+    ),
+    pair AS (
+      SELECT a.pk AS part_a, b.pk AS part_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM g a JOIN g b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           round(CAST(p.support * n.n_orders AS DOUBLE)
+                 / (ia.c1 * ib.c1), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.pk = p.part_a
+    JOIN item ib ON ib.pk = p.part_b
+    CROSS JOIN n
+    WHERE p.support >= 2
+    ORDER BY p.support DESC, p.part_a, p.part_b
+    LIMIT 100
+    """,
+)
+def mart_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = g.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    item = g.groupBy("pk").agg(F.count("*").cast("long").alias("c1"))
+    a, b = g.alias("a"), g.alias("b")
+    pair = (
+        a.join(
+            b,
+            on=[F.col("a.ok") == F.col("b.ok"), F.col("a.pk") < F.col("b.pk")],
+        )
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("c1").alias("ca"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("c1").alias("cb"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(100)
+    )

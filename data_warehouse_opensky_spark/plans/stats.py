@@ -621,3 +621,66 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily series from exact integer stats
+# --------------------------------------------------------------------------
+@query(
+    "stats_autocorr_lag1",
+    tier="T2",
+    doc="Lag-1 autocorrelation of daily order counts — the seasonality/"
+    "momentum diagnostic for ingest volumes. Exactness trick: with "
+    "S = Σx and n the day count, r1's numerator and denominator are "
+    "multiplied through by n² so every term (n·x_t − S)(n·x_{t−1} − S) "
+    "is an exact DECIMAL(38,0) integer; one rounded float division at "
+    "the end. The fact table aggregates to the ~|days| daily series "
+    "first (map-side combined); the lag() window and the final fold "
+    "run on that tiny series in one task.",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx
+      FROM daily
+    ),
+    l AS (
+      SELECT x, lag(x) OVER (ORDER BY day) AS xp FROM daily
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_days,
+           round(
+             CAST(sum(CASE WHEN xp IS NULL THEN 0
+                      ELSE (s.n * x - s.sx) * (s.n * xp - s.sx) END) AS DOUBLE)
+             / CAST(sum((s.n * x - s.sx) * (s.n * x - s.sx)) AS DOUBLE),
+           6) AS r1
+    FROM l, s
+    GROUP BY s.n
+    """,
+)
+def stats_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = "decimal(38,0)"
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    s = daily.agg(
+        F.count("*").cast(d).alias("n"), F.sum("x").cast(d).alias("sx")
+    )
+    lw = Window.orderBy("day")
+    l = daily.select("x", F.lag("x").over(lw).alias("xp"))
+    j = l.crossJoin(F.broadcast(s))
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    devp = F.col("n") * F.col("xp") - F.col("sx")
+    num = F.sum(
+        F.when(F.col("xp").isNull(), F.lit(0).cast(d)).otherwise(
+            (dev * devp).cast(d)
+        )
+    )
+    den = F.sum((dev * dev).cast(d))
+    return j.groupBy("n").agg(
+        F.round(num.cast("double") / den.cast("double"), 6).alias("r1")
+    ).select(F.col("n").cast("long").alias("n_days"), "r1")
