@@ -92,6 +92,14 @@ HEADLINE = [
     "audit_expectations",
     "corpus_weighted_sample",
     "multimodal_phash_dedup",
+    "graph_pagerank",
+    "mart_market_basket",
+    "mart_rolling_distinct_7d",
+    "corpus_ngram_novelty",
+    "stats_ks_drift",
+    "mart_sequence_patterns",
+    "cdc_apply_log",
+    "text_char_entropy",
 ]
 
 

@@ -100,8 +100,13 @@ def _pagerank_oracle() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # orders projects to two int columns (~2 MB at sf0.1) — broadcast
+    # so the bigger lineitem side never shuffles for the edge join; the
+    # only edge-build shuffle is the distinct on (ck, sk), map-side
+    # pre-deduped. At 100 TB with a non-broadcastable dim, this
+    # reverts to the bucketed fact-fact join of SCALE.md §2.
     pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
         )
@@ -120,6 +125,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("degree")
     ).persist()
+    # The degree-annotated edge table feeds EVERY round — persist the
+    # JOINED form, or each round silently re-runs the |E|⋈|V| join
+    # from the two caches (measured ~1.5 s of the 4.5 s total).
     # |V| is control-plane (one count over the cached degree table) and
     # re-enters the plan as a literal — same budget class as the
     # k-means centroids; avoids threading a 1-row frame through every
@@ -129,17 +137,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_q = (15 * init_q) // 100
 
     ranks = deg.select("node", F.lit(init_q).alias("rank_q"))
-    ed = e.join(deg, e.src == deg.node).select("src", "dst", "degree")
+    ed = e.join(deg, e.src == deg.node).select("src", "dst", "degree").persist()
     for _ in range(PR_ITERS):
         acc = (
-            ed.join(ranks, ed.src == ranks.node)
+            ed.join(F.broadcast(ranks), ed.src == ranks.node)
             .select("dst", F.expr("rank_q div degree").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("acc"))
         )
         ranks = (
             deg.select("node")
-            .join(acc, deg.node == acc.dst, "left")
+            .join(F.broadcast(acc), deg.node == acc.dst, "left")
             .select(
                 "node",
                 (
