@@ -684,3 +684,60 @@ def stats_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("n").agg(
         F.round(num.cast("double") / den.cast("double"), 6).alias("r1")
     ).select(F.col("n").cast("long").alias("n_days"), "r1")
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (fabrication / corruption screen)
+# --------------------------------------------------------------------------
+@query(
+    "stats_benford_firstdigit",
+    tier="T2",
+    doc="Benford's-law screen on order totals: observed first-"
+    "significant-digit distribution vs the log10(1+1/d) expectation, "
+    "with per-digit deviation — the fabricated-data / unit-corruption "
+    "audit. First digit via string head of the exact integer cents "
+    "(pure integer/string ops, no float log on the data path); the "
+    "only floats are the nine expected shares and round-6 ratios. "
+    "One scan, 9-key map-side-combined agg.",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+    SELECT digit,
+           count(*) AS n_orders,
+           round(CAST(count(*) AS DOUBLE) / n.total, 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford,
+           round(abs(CAST(count(*) AS DOUBLE) / n.total
+                     - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+    FROM d, n
+    GROUP BY digit, n.total
+    ORDER BY digit
+    """,
+)
+def stats_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(cents("o_totalprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count("*").cast("long").alias("total"))
+    obs = F.count("*").cast("double") / F.col("total")
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit", "total")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(obs, 6).alias("observed"),
+            benford.alias("benford"),
+            F.round(
+                F.abs(obs - F.log10(1.0 + 1.0 / F.col("digit"))), 6
+            ).alias("abs_dev"),
+        )
+        .drop("total")
+        .orderBy("digit")
+    )
