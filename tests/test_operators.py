@@ -287,3 +287,21 @@ def test_heavy_hitters_exact_under_any_partitioning(spark):
             for r in heavy_hitters(df.repartition(parts), inv_threshold=200).collect()
         }
         assert got == exact, parts
+
+
+def test_kmeans_assign_tie_breaks_to_smaller_cid(spark):
+    """The Arrow assignment kernel must give equidistant vectors to the
+    SMALLER centroid id (np.argmin first occurrence — the contract the
+    SQL oracle's ORDER BY d, cid encodes), and distances must be exact
+    integers."""
+    from data_warehouse_opensky_spark.operators.clustering import _assign
+
+    base = spark.createDataFrame(
+        [(1, [0, 0]), (2, [10, 0]), (3, [5, 0])],  # 3 is equidistant
+        "vid BIGINT, xq ARRAY<BIGINT>",
+    )
+    cents = [[0, 0], [10, 0]]
+    out = {r["vid"]: r for r in _assign(base, cents).collect()}
+    assert out[1]["cluster"] == 0 and out[1]["d"] == 0
+    assert out[2]["cluster"] == 1 and out[2]["d"] == 0
+    assert out[3]["cluster"] == 0 and out[3]["d"] == 25  # tie -> cid 0
