@@ -82,3 +82,66 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Event-time-timeout sessions: state emits ONLY when the watermark
+# closes it (the GroupStateTimeout surface running_user_stats does not
+# exercise)
+# --------------------------------------------------------------------------
+SESSION_GAP_S = 60
+
+SESSION_OUTPUT_SCHEMA = "user_id long, n_events long, start_s long, end_s long"
+
+SESSION_STATE_SCHEMA = "n long, mn long, mx long"
+
+
+def _close_session(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"user_id": [], "n_events": [], "start_s": [], "end_s": []}
+    )
+    if state.hasTimedOut:
+        n, mn, mx = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "start_s": [mn], "end_s": [mx]}
+        )
+        return
+    n, mn, mx = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        bmn, bmx = int(pdf["ts_s"].min()), int(pdf["ts_s"].max())
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+    state.update((n, mn, mx))
+    # Session closes when the event-time watermark passes last-seen + gap.
+    state.setTimeoutTimestamp((mx + SESSION_GAP_S) * 1000)
+    yield empty
+
+
+def timeout_sessions(events: DataFrame, *, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Sessions that EMIT ONLY WHEN CLOSED by the event-time watermark
+    (EventTimeTimeout): while events keep arriving within `gap_s` the
+    state stays silent; once the watermark passes last-event + gap the
+    session row (count, span) emits exactly once and the state is
+    removed. This is the timeout third of the arbitrary-stateful
+    contract — running_user_stats covers accumulate-and-emit,
+    session_window covers merge semantics, this covers
+    watermark-driven state EXPIRY (bounded state: every idle key is
+    guaranteed to leave the store one watermark advance later).
+    `events` needs (user_id, ts_s) with `ts` = timestamp_seconds(ts_s)
+    watermarked by the caller.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _close_session,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

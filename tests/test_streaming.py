@@ -487,3 +487,47 @@ def test_late_rows_dropped_by_watermark(spark, tmp_path):
     # And the straggler's window never reached the append output.
     starts = {r["w"]["start"] for r in sink.collect()}
     assert t0 not in starts
+
+
+def test_timeout_sessions_close_on_watermark(spark, tmp_path):
+    """EventTimeTimeout sessions emit ONLY when the watermark passes
+    last-event + gap: user 0's burst closes once a later batch advances
+    the watermark; the still-fresh user stays silent (bounded state —
+    idle keys leave the store one watermark advance later)."""
+    import pandas as pd
+
+    from data_warehouse_opensky_spark.streaming.stateful import timeout_sessions
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # Batch 1: user 0, a 3-event burst at ts 1000..1010.
+    pd.DataFrame(
+        [{"user_id": 0, "ts_s": 1000}, {"user_id": 0, "ts_s": 1005},
+         {"user_id": 0, "ts_s": 1010}]
+    ).to_parquet(src / "b1.parquet")
+    # Batch 2: user 1 far in the future — advances the watermark past
+    # user 0's timeout (1010 + 60).
+    pd.DataFrame([{"user_id": 1, "ts_s": 5000}]).to_parquet(src / "b2.parquet")
+    # Batch 3: another fresh event so the batch-2 watermark is applied.
+    pd.DataFrame([{"user_id": 2, "ts_s": 5001}]).to_parquet(src / "b3.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        timeout_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("timeout_sessions_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("timeout_sessions_sink").collect()
+    closed = {r.user_id: (r.n_events, r.start_s, r.end_s) for r in rows}
+    assert closed == {0: (3, 1000, 1010)}, rows
