@@ -1506,3 +1506,83 @@ def mart_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — year-over-year supplier churn (set analytics per period)
+# --------------------------------------------------------------------------
+@query(
+    "mart_supplier_churn",
+    tier="T2",
+    doc="Supplier-base churn per order year: active suppliers, NEW "
+    "(absent the previous year), CHURNED (present previous year, "
+    "absent now) — the audience-overlap mart, computed as set "
+    "algebra on (year, supplier) grains: one distinct over the "
+    "fact join, then the grain table full-outer-joins ITSELF shifted "
+    "by one year on the supplier key. Cost after the grain dedup is "
+    "O(|grains|) — years×suppliers, thousands of rows at any fact "
+    "scale; the lineitem⋈orders grain build is the only fact-sized "
+    "work (one shuffle, map-side pre-deduped).",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+             l.l_suppkey AS sk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    j AS (
+      SELECT coalesce(cur.yr, prv.yr + 1) AS yr,
+             cur.sk AS cur_sk, prv.sk AS prv_sk
+      FROM g cur
+      FULL JOIN g prv ON prv.sk = cur.sk AND prv.yr = cur.yr - 1
+    )
+    SELECT yr,
+           CAST(sum(CASE WHEN cur_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active,
+           CAST(sum(CASE WHEN cur_sk IS NOT NULL AND prv_sk IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN cur_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned
+    FROM j
+    WHERE yr <= (SELECT max(yr) FROM g)
+    GROUP BY yr ORDER BY yr
+    """,
+)
+def mart_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    g = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            F.year(F.to_date("o_orderdate")).cast("long").alias("yr"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .distinct()
+        .persist()
+    )
+    max_yr = g.agg(F.max("yr")).collect()[0][0]
+    cur, prv = g.alias("cur"), g.alias("prv")
+    j = cur.join(
+        prv,
+        on=[
+            F.col("prv.sk") == F.col("cur.sk"),
+            F.col("prv.yr") == F.col("cur.yr") - 1,
+        ],
+        how="full",
+    ).select(
+        F.coalesce(F.col("cur.yr"), F.col("prv.yr") + 1).alias("yr"),
+        F.col("cur.sk").alias("cur_sk"),
+        F.col("prv.sk").alias("prv_sk"),
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        j.filter(F.col("yr") <= max_yr)
+        .groupBy("yr")
+        .agg(
+            cnt(F.col("cur_sk").isNotNull()).alias("n_active"),
+            cnt(
+                F.col("cur_sk").isNotNull() & F.col("prv_sk").isNull()
+            ).alias("n_new"),
+            cnt(F.col("cur_sk").isNull()).alias("n_churned"),
+        )
+        .orderBy("yr")
+    )
