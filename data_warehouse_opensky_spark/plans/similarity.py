@@ -498,3 +498,109 @@ def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sq_err").cast("double") / F.count("*") / DIM, 4
         ).alias("mean_dim_sq_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — exact feature-covariance audit (the PCA-input matrix)
+# --------------------------------------------------------------------------
+_COV_DIMS = 16
+_COV_TOPK = 20
+
+
+def _cov_oracle() -> str:
+    sums = ",\n             ".join(
+        f"CAST(sum(xq[{i + 1}]) AS HUGEINT) AS s{i}" for i in range(_COV_DIMS)
+    )
+    prods = ",\n             ".join(
+        f"CAST(sum(xq[{i + 1}] * xq[{j + 1}]) AS HUGEINT) AS p{i}_{j}"
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    )
+    cells = "\n      UNION ALL ".join(
+        f"SELECT {i} AS dim_i, {j} AS dim_j, "
+        f"CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE) / (CAST(n AS DOUBLE) * n)"
+        f" AS cov_e12 FROM s"
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    )
+    return f"""
+    WITH q AS (
+      SELECT [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+              for i in range(1, {_COV_DIMS} + 1)] AS xq
+      FROM embeddings
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             {sums},
+             {prods}
+      FROM q
+    ),
+    cells AS (
+      {cells}
+    )
+    SELECT dim_i, dim_j, round(cov_e12, 4) AS cov_q
+    FROM cells
+    ORDER BY abs(cov_e12) DESC, dim_i, dim_j
+    LIMIT {_COV_TOPK}
+    """
+
+
+@query(
+    "embedding_covariance_audit",
+    tier="T3",
+    doc=f"Exact covariance matrix over the first {_COV_DIMS} embedding "
+    "dimensions — the input to PCA/whitening and the redundant-"
+    "feature audit. All sufficient statistics (n, 16 sums, 136 "
+    "pairwise product-sums) accumulate as exact integers in ONE "
+    "map-side-combined aggregate over one scan; covariance cells "
+    "(n·Σxy − Σx·Σy)/n² are computed row-locally from the single "
+    "stats row and the top-|cov| cells emitted with a full-key "
+    "tiebreak. Adding dimensions grows the aggregate width, never "
+    "the scan count — at 100 TB this is one pass regardless of k.",
+    oracle=_cov_oracle(),
+)
+def embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = "decimal(38,0)"
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(
+            f"transform(slice(embedding, 1, {_COV_DIMS}), x -> "
+            "cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("xq")
+    )
+    aggs = [F.count("*").cast(d).alias("n")]
+    aggs += [
+        F.sum(F.element_at("xq", i + 1)).cast(d).alias(f"s{i}")
+        for i in range(_COV_DIMS)
+    ]
+    aggs += [
+        F.sum(
+            F.element_at("xq", i + 1).cast(d) * F.element_at("xq", j + 1).cast(d)
+        )
+        .cast(d)
+        .alias(f"p{i}_{j}")
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    ]
+    s = emb.agg(*aggs)
+    cells = [
+        F.struct(
+            F.lit(i).alias("dim_i"),
+            F.lit(j).alias("dim_j"),
+            (
+                (F.col("n") * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}"))
+                .cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).alias("cov_e12"),
+        )
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    ]
+    return (
+        s.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.dim_i", "c.dim_j", "c.cov_e12")
+        .orderBy(F.abs(F.col("cov_e12")).desc(), "dim_i", "dim_j")
+        .limit(_COV_TOPK)
+        .select(
+            "dim_i", "dim_j", F.round("cov_e12", 4).alias("cov_q")
+        )
+    )
