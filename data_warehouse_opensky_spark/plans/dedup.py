@@ -418,3 +418,66 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 12)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.1 — dedup impact report: what survivorship actually saves
+# --------------------------------------------------------------------------
+@query(
+    "dedup_impact_report",
+    tier="T3",
+    doc="The deliverable of the dedup stage: per near-dup cluster "
+    "(connected components over LSH pairs, ≥2 docs), the surviving "
+    "canonical (min doc_id), how many docs and how many characters "
+    "the cluster removes — the byte-savings report a curation run "
+    "ships with. One equi-join of the (docs-in-clusters)-sized "
+    "component table against doc stats + one agg; min_by picks the "
+    "kept doc's size exactly.",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM und
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN und e ON e.src = r.dst
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component
+      FROM reach GROUP BY src
+    ),
+    j AS (
+      SELECT c.component, c.doc_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component AS canonical_doc_id,
+           count(*) - 1 AS n_removed,
+           CAST(sum(n_chars) - min_by(n_chars, doc_id) AS BIGINT)
+             AS chars_removed
+    FROM j
+    GROUP BY component
+    HAVING count(*) >= 2
+    ORDER BY canonical_doc_id
+    """,
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = _spread(spark, docs)
+    sigs = D.minhash_signatures_arrays(d, n=_MINHASH_N, num_hashes=_MINHASH_K)
+    edges = D.bucket_pairs(D.band_signatures(sigs, _MINHASH_K, _MINHASH_RPB))
+    comp = D.connected_components(edges)
+    j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        j.groupBy(F.col("component").alias("canonical_doc_id"))
+        .agg(
+            (F.count("*") - 1).cast("long").alias("n_removed"),
+            (F.sum("n_chars") - F.min_by("n_chars", "doc_id"))
+            .cast("long")
+            .alias("chars_removed"),
+        )
+        .filter(F.col("n_removed") >= 1)
+        .orderBy("canonical_doc_id")
+    )

@@ -1586,3 +1586,127 @@ def mart_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — first-order Markov transition matrix over per-user event chains
+# --------------------------------------------------------------------------
+@query(
+    "mart_markov_transitions",
+    tier="T2",
+    doc="First-order Markov transition counts/probabilities between "
+    "event types: lag() over each user's exact (epoch-s·1e7+event_id) "
+    "order pairs every event with its predecessor, one agg counts "
+    "(prev→next) cells, and row probabilities divide by broadcast "
+    "row totals (round-6). ONE shuffle on user_id for the lag, one "
+    "tiny agg — the sequence-modeling prior every behavioral model "
+    "starts from.",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id
+             ) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM u WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n,
+           round(CAST(c.n AS DOUBLE) / r.row_n, 6) AS p
+    FROM c JOIN r USING (prev_type)
+    ORDER BY c.prev_type, c.next_type
+    """,
+)
+def mart_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts")).cast("long") * 10000000
+            + F.col("event_id")
+        ).alias("u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("u")
+    c = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    r = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return (
+        c.join(F.broadcast(r), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2 — Gini concentration of customer spend
+# --------------------------------------------------------------------------
+@query(
+    "mart_gini_concentration",
+    tier="T2",
+    doc="Gini coefficient of customer spend — the inequality/"
+    "concentration audit behind the ABC mart. Exact form: with spends "
+    "x sorted ascending and ranked 1..n, G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) "
+    "/ (n·Σxᵢ) — numerator and denominator are exact DECIMAL "
+    "integers off one window rank over the AGGREGATED per-customer "
+    "series; one rounded division at the end. Fact scanned once for "
+    "the per-customer agg.",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_c
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT spend_c,
+             CAST(row_number() OVER (ORDER BY spend_c, o_custkey) AS HUGEINT)
+               AS rk
+      FROM s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(spend_c) AS BIGINT) / 100.0 AS total_spend,
+           round(CAST(2 * sum(rk * spend_c) - (count(*) + 1) * sum(spend_c)
+                      AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * sum(spend_c)), 6) AS gini
+    FROM r
+    """,
+)
+def mart_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = "decimal(38,0)"
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("spend_c"))
+    )
+    w = Window.orderBy("spend_c", "o_custkey")
+    r = s.select(
+        "spend_c", F.row_number().over(w).cast(d).alias("rk")
+    )
+    num = (
+        F.lit(2).cast(d) * F.sum(F.col("rk") * F.col("spend_c"))
+        - (F.count("*").cast(d) + 1) * F.sum("spend_c").cast(d)
+    )
+    den = F.count("*").cast("double") * F.sum("spend_c").cast("double")
+    return r.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        (F.sum("spend_c").cast("long") / 100.0).alias("total_spend"),
+        F.round(num.cast("double") / den, 6).alias("gini"),
+    )

@@ -475,3 +475,100 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("cume_dist_e6"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# T2.5 — NEAREST-in-time join (bidirectional as-of with tolerance)
+# --------------------------------------------------------------------------
+@query(
+    "join_asof_nearest",
+    tier="T2",
+    doc="Nearest-neighbor-in-time join: each purchase attaches the "
+    "click closest in EITHER direction within ±1800 s — two mirrored "
+    "as-of passes (the forward pass is the backward operator on "
+    "negated time keys; operators/asof.py, one |L|+|R| shuffle each, "
+    "no range-join blowup), then a row-local arbitration: smaller "
+    "|Δ| wins, exact ties prefer the backward candidate. The oracle "
+    "encodes the identical total order (|Δ|, backward-first, "
+    "lexicographic closeness within a same-second group). The shape "
+    "sensor-fusion / feature-attach pipelines need when events "
+    "straddle both sides of the anchor.",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND abs(CAST(floor(epoch(c.ts)) AS BIGINT)
+                      - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 1800
+            ORDER BY
+              abs(CAST(floor(epoch(c.ts)) AS BIGINT)
+                  - CAST(floor(epoch(p.ts)) AS BIGINT)),
+              CASE WHEN (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+                   THEN 0 ELSE 1 END,
+              CASE WHEN (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+                   THEN -c.event_id ELSE c.event_id END
+            LIMIT 1) AS nearest_click_id,
+           (SELECT CAST(floor(epoch(c.ts)) AS BIGINT)
+                   - CAST(floor(epoch(p.ts)) AS BIGINT)
+            FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND abs(CAST(floor(epoch(c.ts)) AS BIGINT)
+                      - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 1800
+            ORDER BY
+              abs(CAST(floor(epoch(c.ts)) AS BIGINT)
+                  - CAST(floor(epoch(p.ts)) AS BIGINT)),
+              CASE WHEN (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+                   THEN 0 ELSE 1 END,
+              CASE WHEN (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+                   THEN -c.event_id ELSE c.event_id END
+            LIMIT 1) AS delta_s
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tol = 1800
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+    )
+    p = e.filter(F.col("event_type") == "purchase")
+    c = e.filter(F.col("event_type") == "click")
+    back = asof_join(
+        left=p,
+        right=c,
+        on="user_id",
+        left_time=["ts_s", "event_id"],
+        right_time=["ts_s", "event_id"],
+        right_values={"back_id": F.col("event_id"), "back_ts": F.col("ts_s")},
+        strict=True,
+    ).select("event_id", "user_id", "ts_s", "back_id", "back_ts")
+    neg = lambda df: df.withColumn("nts", -F.col("ts_s")).withColumn(  # noqa: E731
+        "nid", -F.col("event_id")
+    )
+    fwd = asof_join(
+        left=neg(p),
+        right=neg(c),
+        on="user_id",
+        left_time=["nts", "nid"],
+        right_time=["nts", "nid"],
+        right_values={"fwd_id": F.col("event_id"), "fwd_ts": F.col("ts_s")},
+        strict=True,
+    ).select(F.col("event_id").alias("p_id"), "fwd_id", "fwd_ts")
+    j = back.join(fwd, back.event_id == fwd.p_id)
+    db = F.col("ts_s") - F.col("back_ts")
+    df_ = F.col("fwd_ts") - F.col("ts_s")
+    ok_b = F.col("back_ts").isNotNull() & (db <= tol)
+    ok_f = F.col("fwd_ts").isNotNull() & (df_ <= tol)
+    pick_back = ok_b & (~ok_f | (db <= df_))
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(pick_back, F.col("back_id"))
+        .when(ok_f, F.col("fwd_id"))
+        .alias("nearest_click_id"),
+        F.when(pick_back, -db).when(ok_f, df_).alias("delta_s"),
+    ).orderBy("purchase_id")
