@@ -757,3 +757,48 @@ def test_rolling_distinct_semi_join_broadcasts_days(spark):
         "== Physical Plan =="
     )[-1]
     assert "BroadcastHashJoin" in body and "LeftSemi" in body, body
+
+
+def test_markov_single_user_shuffle(spark):
+    """Transition counting must shuffle the fact once (user_id for the
+    lag window); transition cells and row sums are tiny aggregates."""
+    body = plan_of(spark, "mart_markov_transitions").split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, body  # row totals broadcast
+    assert body.count("Window") >= 2, body  # lag window (tree + detail)
+
+
+def test_gini_windows_aggregated_series(spark):
+    """The rank window must run over the per-customer AGGREGATED series
+    (partial_sum present before it), never the raw fact."""
+    body = plan_of(spark, "mart_gini_concentration").split("== Physical Plan ==")[-1]
+    assert "partial_sum" in body, body
+    assert "Join" not in body, body
+
+
+def test_asof_nearest_no_range_join(spark):
+    """Both directional passes must be window-based (union + last over
+    user partitions) — no nested-loop/cartesian range join anywhere."""
+    body = plan_of(spark, "join_asof_nearest").split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert body.count("Window") >= 2, body
+
+
+def test_supplier_churn_single_fact_join(spark):
+    """The fact-sized work is ONE lineitem⋈orders broadcast join into
+    the grain distinct; the year-shift self-join rides the deduped
+    grain table."""
+    body = plan_of(spark, "mart_supplier_churn").split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, body
+    assert "CartesianProduct" not in body, body
+
+
+def test_covariance_single_scan_single_agg(spark):
+    """153 sufficient statistics must ride ONE aggregate over ONE scan;
+    cell expansion is a row-local Generate above the stats row."""
+    body = plan_of(spark, "embedding_covariance_audit").split(
+        "== Physical Plan =="
+    )[-1]
+    assert body.count("Scan parquet") == 2, body  # tree + detail line
+    assert "Join" not in body, body
+    assert "Generate" in body, body
