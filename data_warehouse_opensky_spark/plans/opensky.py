@@ -368,3 +368,57 @@ def opensky_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_lat", "cell_lon")
     )
+
+
+@query(
+    "opensky_airline_traffic",
+    tier="T2",
+    doc="Airline traffic mix from the reference corpus: the 3-letter "
+    "ICAO airline prefix of each cleaned callsign (trimmed ONLY for "
+    "this derived dim — the faithful layer preserves the reference's "
+    "8-char padding, SURVEY §1.3) rolled up to message/aircraft/"
+    "airborne counts, top-15 by volume with a full-key tiebreak. A "
+    "third reference-corpus driver row exercising the string surface "
+    "(T2.12 trim/substring) on real crawled data.",
+    oracle=f"""
+    WITH c AS ({_CLEAN_SQL}),
+    a AS (
+      SELECT trim(callsign) AS cs, icao24, on_ground
+      FROM c
+      WHERE callsign IS NOT NULL AND length(trim(callsign)) >= 3
+    )
+    SELECT substring(cs, 1, 3) AS airline,
+           count(*) AS n_msgs,
+           count(DISTINCT icao24) AS n_aircraft,
+           CAST(sum(CASE WHEN NOT on_ground THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_airborne
+    FROM a
+    GROUP BY 1
+    ORDER BY n_msgs DESC, airline
+    LIMIT 15
+    """,
+)
+def opensky_airline_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    raw = spark.read.csv(REFERENCE_GLOB, header=True, schema=RAW_SCHEMA)
+    c = clean_state_vectors(raw)
+    a = c.filter(
+        F.col("callsign").isNotNull()
+        & (F.length(F.trim("callsign")) >= 3)
+    ).select(
+        F.substring(F.trim("callsign"), 1, 3).alias("airline"),
+        "icao24",
+        "on_ground",
+    )
+    return (
+        a.groupBy("airline")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.countDistinct("icao24").alias("n_aircraft"),
+            F.sum(F.when(~F.col("on_ground"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_airborne"),
+        )
+        .orderBy(F.desc("n_msgs"), "airline")
+        .limit(15)
+    )
