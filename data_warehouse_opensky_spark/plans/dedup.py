@@ -481,3 +481,135 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_removed") >= 1)
         .orderBy("canonical_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — MinHash calibration: sketch estimate vs exact Jaccard
+# --------------------------------------------------------------------------
+_CALIB_MATCHES = " + ".join(
+    f"(CASE WHEN ma.m{k} = mb.m{k} THEN 1 ELSE 0 END)"
+    for k in range(_MINHASH_K)
+)
+
+
+@query(
+    "dedup_minhash_calibration",
+    tier="T3",
+    doc="Sketch-quality audit: for every LSH candidate pair, the "
+    "MinHash estimate (matching hashes / 16) against the EXACT "
+    "shingle Jaccard, bucketed by match count — the calibration "
+    "curve that justifies the band/row config before a 100 TB dedup "
+    "run (a mis-tuned sketch shows up as estimate≫exact). Exactness: "
+    "per-pair Jaccard is one small-int division (identical IEEE "
+    "double both engines) quantized to e6 BEFORE the bucket mean, so "
+    "the aggregate is an exact integer sum. Cost rides the existing "
+    "candidate set — O(|candidates|), no new all-pairs work.",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    mm AS (
+      SELECT c.doc_a, c.doc_b, ({_CALIB_MATCHES}) AS n_match
+      FROM cand c
+      JOIN m ma ON ma.doc_id = c.doc_a
+      JOIN m mb ON mb.doc_id = c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    je AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(round(1000000.0 * i.n_inter
+                        / (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT) AS j_e6
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    SELECT mm.n_match AS n_matching_hashes,
+           count(*) AS n_pairs,
+           round(CAST(mm.n_match AS DOUBLE) / {_MINHASH_K}, 6) AS est_jaccard,
+           round(CAST(sum(coalesce(j.j_e6, 0)) AS DOUBLE) / count(*)
+                 / 1000000.0, 6) AS mean_exact_jaccard
+    FROM mm
+    LEFT JOIN je j ON j.doc_a = mm.doc_a AND j.doc_b = mm.doc_b
+    GROUP BY mm.n_match
+    ORDER BY mm.n_match
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures_arrays(
+        d, n=_MINHASH_N, num_hashes=_MINHASH_K
+    ).persist()
+    cand = D.bucket_pairs(D.band_signatures(sigs, _MINHASH_K, _MINHASH_RPB))
+
+    ma = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{k}").alias(f"a{k}") for k in range(_MINHASH_K)],
+    )
+    mb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{k}").alias(f"b{k}") for k in range(_MINHASH_K)],
+    )
+    n_match = sum(
+        (
+            F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+            for k in range(_MINHASH_K)
+        ),
+        F.lit(0),
+    )
+    mm = (
+        cand.select("doc_a", "doc_b")
+        .join(F.broadcast(ma), "doc_a")
+        .join(F.broadcast(mb), "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    je = (
+        cand.select("doc_a", "doc_b")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                1000000.0
+                * F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            )
+            .cast("long")
+            .alias("j_e6"),
+        )
+    )
+    return (
+        mm.join(je, ["doc_a", "doc_b"], "left")
+        .groupBy(F.col("n_match").alias("n_matching_hashes"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.any_value("n_match").cast("double") / _MINHASH_K, 6
+            ).alias("est_jaccard"),
+            F.round(
+                F.sum(F.coalesce("j_e6", F.lit(0))).cast("double")
+                / F.count("*")
+                / 1000000.0,
+                6,
+            ).alias("mean_exact_jaccard"),
+        )
+        .orderBy("n_matching_hashes")
+    )

@@ -1710,3 +1710,68 @@ def mart_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("spend_c").cast("long") / 100.0).alias("total_spend"),
         F.round(num.cast("double") / den, 6).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — new vs returning customer mix per month
+# --------------------------------------------------------------------------
+@query(
+    "mart_new_vs_returning",
+    tier="T2",
+    doc="Monthly order mix split by NEW (customer's first-ever order "
+    "month) vs RETURNING — the acquisition/retention mart on top of "
+    "the cumulative-users curve. First-order month via one min-agg "
+    "per customer (map-side combined), broadcast back; the month "
+    "rollup then needs no window. Exact month keys as yyyy-MM "
+    "strings.",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    first_mon AS (
+      SELECT o_custkey, min(mon) AS fmon FROM o GROUP BY 1
+    )
+    SELECT o.mon,
+           CAST(sum(CASE WHEN o.mon = f.fmon THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN o.mon <> f.fmon THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning,
+           CAST(sum(CASE WHEN o.mon = f.fmon THEN price_c ELSE 0 END)
+                AS BIGINT) / 100.0 AS new_revenue,
+           CAST(sum(CASE WHEN o.mon <> f.fmon THEN price_c ELSE 0 END)
+                AS BIGINT) / 100.0 AS returning_revenue
+    FROM o JOIN first_mon f USING (o_custkey)
+    GROUP BY o.mon ORDER BY o.mon
+    """,
+)
+def mart_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("mon"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    first_mon = o.groupBy("o_custkey").agg(F.min("mon").alias("fmon"))
+    j = o.join(F.broadcast(first_mon), "o_custkey")
+    is_new = F.col("mon") == F.col("fmon")
+    return (
+        j.groupBy("mon")
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new"),
+            F.sum(F.when(~is_new, 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+            (
+                F.sum(F.when(is_new, F.col("price_c")).otherwise(0)).cast("long")
+                / 100.0
+            ).alias("new_revenue"),
+            (
+                F.sum(F.when(~is_new, F.col("price_c")).otherwise(0)).cast(
+                    "long"
+                )
+                / 100.0
+            ).alias("returning_revenue"),
+        )
+        .orderBy("mon")
+    )

@@ -741,3 +741,78 @@ def stats_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("total")
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Robust outlier gate: median absolute deviation (MAD)
+# --------------------------------------------------------------------------
+@query(
+    "stats_mad_outliers",
+    tier="T2",
+    doc="Robust outlier gate per event type: |x − median| > 3·MAD — "
+    "immune to the outliers themselves, unlike the z-score gate "
+    "(stats_anomaly_zscore), hence the pair of them. Values are exact "
+    "1e-4 integer units; medians of integers are exact halves in "
+    "binary64 on both engines, and the 3·MAD comparison doubles "
+    "through 2× so every operand stays an exact binary64 value — no "
+    "rounding guard needed. Two passes over the per-type slices "
+    "(median, then deviations) + one broadcast of the 5-row stats "
+    "side; at 100 TB the medians come from approx_percentile or a "
+    "two-pass exact selection, same join shape.",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS xu
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, median(xu) AS med FROM u GROUP BY 1
+    ),
+    dev AS (
+      SELECT u.event_type, abs(u.xu - m.med) AS adev
+      FROM u JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT u.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(any_value(m.med) / 10000.0, 6) AS median_v,
+           round(any_value(d.mad) / 10000.0, 6) AS mad_v,
+           CAST(sum(CASE WHEN 2 * abs(u.xu - m.med) > 2 * 3 * d.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM u
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY u.event_type
+    ORDER BY u.event_type
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 10000).cast("long").alias("xu")
+    )
+    med = u.groupBy("event_type").agg(F.median("xu").alias("med"))
+    dev = u.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("xu") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    j = u.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.any_value("med") / 10000.0, 6).alias("median_v"),
+            F.round(F.any_value("mad") / 10000.0, 6).alias("mad_v"),
+            F.sum(
+                F.when(
+                    2 * F.abs(F.col("xu") - F.col("med")) > 2 * 3 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
