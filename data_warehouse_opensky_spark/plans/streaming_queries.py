@@ -473,3 +473,75 @@ def streaming_hopping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win_start_s", "event_type", "n")
         .orderBy("win_start_s")
     )
+
+
+@query(
+    "streaming_upsert_sink_snapshot",
+    tier="T2",
+    doc="The partition-scoped upsert SINK under the gate end-to-end "
+    "(T1.6/T1.7/T2.16): stream events through foreachBatch into a "
+    "bucket-partitioned parquet target (latest-wins per user on the "
+    "exact epoch-s·1e7+event_id version; streaming/sink.py merges and "
+    "atomically swaps ONLY touched buckets), then read the snapshot "
+    "back. The returned frame is the MERGED TARGET, not a memory "
+    "sink — a green row proves write path, bucket layout, merge rule "
+    "and swap all compose to batch latest-per-key semantics.",
+    oracle="""
+    SELECT user_id,
+           max_by(CAST(round(value * 10000) AS BIGINT),
+                  CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id)
+             AS last_value_e4,
+           max_by(event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id)
+             AS last_event_type,
+           count(*) AS n_events_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.sink import CURRENT, upsert_parquet_sink
+
+    stream = _stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts")).cast("long") * 10000000
+            + F.col("event_id")
+        ).alias("version"),
+        F.round(F.col("value") * 10000).cast("long").alias("last_value_e4"),
+        F.lit(1).cast("long").alias("n_events_seen"),
+    )
+    # The sink keeps ONE row per key (latest-wins), so a per-key event
+    # COUNT cannot ride the merged row; n_events_seen is derived from
+    # the batch table below — the SINK gates key identity + latest
+    # value/type. The tmp dir must outlive this function: the returned
+    # frame reads the snapshot lazily (driver collects later).
+    root = tempfile.mkdtemp(prefix="upsert_gate_")
+    q = upsert_parquet_sink(
+        stream.drop("n_events_seen"),
+        root,
+        key_cols=["user_id"],
+        order_col="version",
+        checkpoint_dir=os.path.join(root, "_chk"),
+    )
+    q.awaitTermination(300)
+    snap = spark.read.option("basePath", os.path.join(root, CURRENT)).parquet(
+        os.path.join(root, CURRENT)
+    )
+    batch_counts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events_seen"))
+    )
+    return (
+        snap.select("user_id", "last_value_e4", "event_type")
+        .withColumnRenamed("event_type", "last_event_type")
+        .join(batch_counts, "user_id")
+        .select("user_id", "last_value_e4", "last_event_type", "n_events_seen")
+        .orderBy("user_id")
+    )
