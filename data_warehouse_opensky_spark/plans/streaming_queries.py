@@ -545,3 +545,79 @@ def streaming_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
         .select("user_id", "last_value_e4", "last_event_type", "n_events_seen")
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_timeout_sessions",
+    tier="T2",
+    doc="EventTimeTimeout sessions under the gate (T2.16 state "
+    "EXPIRY): events replay as two slabs (split at the CDC watermark, "
+    "slab order pinned by explicit file mtimes; maxFilesPerTrigger=1 "
+    "→ two micro-batches, plus Spark's closing no-data batch that "
+    "advances the watermark to the global max event time), sessions "
+    "keyed by (user, day) emit ONLY when the watermark closes them: "
+    "the final closure set is every key whose last event + 60 s lies "
+    "strictly before the global max — which the oracle computes "
+    "exactly; the last day's stragglers stay open and do NOT emit. "
+    "Green row = watermark-driven state expiry is replayable, "
+    "not just configured (the bounded-state guarantee at 100 TB: "
+    "every idle key leaves the store one watermark advance later).",
+    oracle="""
+    WITH a AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT)
+               AS day_s
+      FROM events
+    ),
+    wm AS (SELECT max(ts_s) AS w FROM a),
+    k AS (
+      SELECT user_id, day_s, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(ts_s) AS BIGINT) AS start_s,
+             CAST(max(ts_s) AS BIGINT) AS end_s
+      FROM a GROUP BY 1, 2
+    )
+    SELECT user_id, day_s, n_events, start_s, end_s
+    FROM k, wm WHERE k.end_s + 60 < wm.w
+    ORDER BY user_id, day_s
+    """,
+)
+def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import load_table
+    from ..streaming.stateful import timeout_day_sessions
+
+    cut = "2024-01-04"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+        F.unix_timestamp(F.to_date("ts").cast("timestamp"))
+        .cast("long")
+        .alias("day_s"),
+        "ts",
+    )
+    slabs = tempfile.mkdtemp(prefix="timeout_slabs_")
+    a = ev.filter(F.col("ts") < F.lit(cut).cast("timestamp")).drop("ts")
+    b = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp")).drop("ts")
+    pa, pb = os.path.join(slabs, "a.parquet"), os.path.join(slabs, "b.parquet")
+    a.toPandas().to_parquet(pa)
+    b.toPandas().to_parquet(pb)
+    # The file source orders micro-batches by modification time — pin it
+    # explicitly so slab A's watermark is the one batch 2 times out
+    # against, on any filesystem mtime granularity.
+    os.utime(pa, (1_000_000, 1_000_000))
+    os.utime(pb, (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_s long, day_s long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(slabs)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+        .withWatermark("ts", "0 seconds")
+    )
+    sink = _drain_to_memory(timeout_day_sessions(stream), mode="append")
+    return sink.select(
+        "user_id", "day_s", "n_events", "start_s", "end_s"
+    ).orderBy("user_id", "day_s")

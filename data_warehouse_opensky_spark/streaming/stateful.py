@@ -145,3 +145,59 @@ def timeout_sessions(events: DataFrame, *, gap_s: int = SESSION_GAP_S) -> DataFr
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+DAY_SESSION_OUTPUT_SCHEMA = (
+    "user_id long, day_s long, n_events long, start_s long, end_s long"
+)
+
+
+def _close_day_session(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    empty = pd.DataFrame(
+        {"user_id": [], "day_s": [], "n_events": [], "start_s": [], "end_s": []}
+    )
+    if state.hasTimedOut:
+        n, mn, mx = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "day_s": [key[1]],
+                "n_events": [n],
+                "start_s": [mn],
+                "end_s": [mx],
+            }
+        )
+        return
+    n, mn, mx = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        bmn, bmx = int(pdf["ts_s"].min()), int(pdf["ts_s"].max())
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+    state.update((n, mn, mx))
+    state.setTimeoutTimestamp((mx + SESSION_GAP_S) * 1000)
+    yield empty
+
+
+def timeout_day_sessions(events: DataFrame) -> DataFrame:
+    """`timeout_sessions` on the composite (user_id, day_s) key — the
+    catalog-gated variant: day-scoped keys give every stream position a
+    bounded lifetime, so a multi-slab replay deterministically closes
+    all keys whose day ended more than the gap before the watermark.
+    `events` needs (user_id, day_s, ts_s) and a caller watermark on
+    `ts`.
+    """
+    return events.groupBy("user_id", "day_s").applyInPandasWithState(
+        _close_day_session,
+        outputStructType=DAY_SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
