@@ -408,3 +408,82 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.4 — classifier evaluation: lang-ID confusion matrix vs labels
+# --------------------------------------------------------------------------
+@query(
+    "text_langid_confusion",
+    tier="T3",
+    doc="Model-eval shape: the heuristic language-ID's CONFUSION "
+    "MATRIX against the labeled `lang` column — per (actual, "
+    "predicted) cell, count and recall-within-actual (round-6), the "
+    "evaluation every classifier-in-the-pipeline needs before its "
+    "predictions feed downstream filters. Rides the existing lang_id "
+    "operator output; one |labels|²-row agg + a broadcast of per-"
+    "actual totals. At 100 TB the eval runs on a held-out sample "
+    "(corpus_split_assign) — same plan.",
+    oracle=f"""
+    WITH lex(t, lang_guess) AS (VALUES {_LEX_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang_guess, count(*) AS n_hits
+      FROM tok JOIN lex USING (t)
+      GROUP BY doc_id, lang_guess
+    ),
+    best AS (
+      SELECT doc_id, lang_guess FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY n_hits DESC, lang_guess) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    ),
+    cell AS (
+      SELECT d.lang AS actual_lang,
+             coalesce(b.lang_guess, 'unknown') AS pred_lang,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents d LEFT JOIN best b USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT actual_lang, CAST(sum(n_docs) AS BIGINT) AS n_actual
+      FROM cell GROUP BY 1
+    )
+    SELECT c.actual_lang, c.pred_lang, c.n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / t.n_actual, 6) AS frac_of_actual
+    FROM cell c JOIN tot t USING (actual_lang)
+    ORDER BY c.actual_lang, c.pred_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    pred = X.lang_id(d).select(
+        "doc_id", F.col("pred_lang")
+    )
+    cell = (
+        d.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, "doc_id", "left")
+        .groupBy(
+            "actual_lang",
+            F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = cell.groupBy("actual_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_actual")
+    )
+    return (
+        cell.join(F.broadcast(tot), "actual_lang")
+        .select(
+            "actual_lang",
+            "pred_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_actual"), 6
+            ).alias("frac_of_actual"),
+        )
+        .orderBy("actual_lang", "pred_lang")
+    )
