@@ -561,7 +561,11 @@ def streaming_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     "exactly; the last day's stragglers stay open and do NOT emit. "
     "Green row = watermark-driven state expiry is replayable, "
     "not just configured (the bounded-state guarantee at 100 TB: "
-    "every idle key leaves the store one watermark advance later).",
+    "every idle key leaves the store one watermark advance later). "
+    "Cost driver: applyInPandasWithState invokes the Python fn once "
+    "PER KEY per batch, so wall time scales with live-key count "
+    "(~40k (user,day) keys ≈ 30 s at sf0.1 — sweep-only; production "
+    "sizes the key grain and state partitions to live-key volume).",
     oracle="""
     WITH a AS (
       SELECT user_id,
