@@ -100,6 +100,7 @@ HEADLINE = [
     "mart_sequence_patterns",
     "cdc_apply_log",
     "text_char_entropy",
+    "embedding_covariance_audit",
 ]
 
 
