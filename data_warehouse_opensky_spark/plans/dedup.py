@@ -613,3 +613,78 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_matching_hashes")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — asymmetric containment (subset/quote detection)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_containment_pairs",
+    tier="T3",
+    doc="Asymmetric CONTAINMENT on LSH candidate pairs: C(A→B) = "
+    "|A∩B| / |A| — near-1 when doc A is substantially QUOTED INSIDE "
+    "doc B even though symmetric Jaccard stays low (the subset/"
+    "boilerplate case plain near-dup misses). Rides the existing "
+    "candidate set with the cached shingle arrays (one row-local "
+    "array_intersect per pair, both directions from one "
+    "intersection); emits pairs where either direction ≥ 0.9. The "
+    "complement to dedup_ngram_jaccard at 100 TB — same O(candidates) "
+    "cost, different dedup policy.",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 6) AS contain_a_in_b,
+           round(CAST(i.n_inter AS DOUBLE) / sb.n_sh, 6) AS contain_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(CAST(i.n_inter AS DOUBLE) / sa.n_sh, 6) >= 0.9
+       OR round(CAST(i.n_inter AS DOUBLE) / sb.n_sh, 6) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures_arrays(
+        d, n=_MINHASH_N, num_hashes=_MINHASH_K
+    ).persist()
+    cand = D.bucket_pairs(D.band_signatures(sigs, _MINHASH_K, _MINHASH_RPB))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    j = (
+        cand.select("doc_a", "doc_b")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    c_ab = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+        .filter(
+            (F.col("contain_a_in_b") >= 0.9) | (F.col("contain_b_in_a") >= 0.9)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
