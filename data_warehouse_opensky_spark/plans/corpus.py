@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..operators import text as X
 from ..sources import load_table
 from .catalog import query
+from .dedup import _MINHASH_CTES as _DEDUP_MINHASH_CTES
 
 _RATES_SQL = ", ".join(f"('{s}', {r})" for s, r in X.STRATA_RATES)
 _STOP_SQL = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -645,4 +646,56 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel.cast("double") / F.count("*"), 4).alias("novelty"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T3 — cross-source duplication matrix (provenance analytics)
+# --------------------------------------------------------------------------
+@query(
+    "corpus_cross_source_dups",
+    tier="T3",
+    doc="WHO copies from WHOM: near-dup candidate pairs rolled up to "
+    "the (source_a, source_b) matrix with ordered source labels — the "
+    "provenance view that tells a crawl operator which feeds "
+    "syndicate each other (high off-diagonal mass = mirrored feeds; "
+    "diagonal = internal duplication). Rides the existing LSH "
+    "candidate set joined twice against the broadcast doc→source "
+    "map; O(candidates) on top of the standard signature pass.",
+    oracle=f"""
+    WITH {_DEDUP_MINHASH_CTES},
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(pa.source, pb.source) AS source_x,
+           greatest(pa.source, pb.source) AS source_y,
+           count(*) AS n_pairs,
+           CAST(sum(c.n_shared_bands) AS BIGINT) AS sum_shared_bands
+    FROM cand c
+    JOIN src pa ON pa.doc_id = c.doc_a
+    JOIN src pb ON pb.doc_id = c.doc_b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from .dedup import _MINHASH_K, _MINHASH_N, _MINHASH_RPB, _spread
+
+    d = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sigs = D.minhash_signatures_arrays(d, n=_MINHASH_N, num_hashes=_MINHASH_K)
+    cand = D.bucket_pairs(D.band_signatures(sigs, _MINHASH_K, _MINHASH_RPB))
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("n_shared_bands").cast("long").alias("sum_shared_bands"),
+        )
+        .orderBy("source_x", "source_y")
     )

@@ -1775,3 +1775,101 @@ def mart_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — cohort lifetime-value triangle
+# --------------------------------------------------------------------------
+@query(
+    "mart_cohort_ltv",
+    tier="T2",
+    doc="LTV triangle: customers cohorted by first-order month, "
+    "cumulative spend per customer tracked by months-since-first "
+    "(0..5) — retention's revenue twin and the payback-period mart. "
+    "Exact integers end to end: cents spend, month offsets via "
+    "integer month arithmetic, the cumulative sum a window over the "
+    "(cohort, offset) AGGREGATED series. First-month agg broadcast "
+    "back; one shuffle of the fact on the customer key.",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(year(CAST(o_orderdate AS DATE)) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS monnum,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    f AS (SELECT o_custkey, min(monnum) AS cohort_mon FROM o GROUP BY 1),
+    sz AS (SELECT cohort_mon, CAST(count(*) AS BIGINT) AS n_cust
+           FROM f GROUP BY 1),
+    m AS (
+      SELECT f.cohort_mon, o.monnum - f.cohort_mon AS offset_m,
+             CAST(sum(o.price_c) AS BIGINT) AS spend_c
+      FROM o JOIN f USING (o_custkey)
+      WHERE o.monnum - f.cohort_mon BETWEEN 0 AND 5
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT cohort_mon, offset_m,
+             CAST(sum(spend_c) OVER (PARTITION BY cohort_mon
+                  ORDER BY offset_m ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_spend_c
+      FROM m
+    )
+    SELECT printf('%04d-%02d', c.cohort_mon // 12, c.cohort_mon % 12 + 1)
+             AS cohort,
+           c.offset_m,
+           s.n_cust,
+           round(CAST(c.cum_spend_c AS DOUBLE) / s.n_cust / 100.0, 2)
+             AS cum_ltv
+    FROM c JOIN sz s USING (cohort_mon)
+    ORDER BY cohort, offset_m
+    """,
+)
+def mart_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.to_date("o_orderdate")) * 12
+            + F.month(F.to_date("o_orderdate"))
+            - 1
+        )
+        .cast("long")
+        .alias("monnum"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("monnum").alias("cohort_mon"))
+    sz = f.groupBy("cohort_mon").agg(F.count("*").cast("long").alias("n_cust"))
+    m = (
+        o.join(F.broadcast(f), "o_custkey")
+        .withColumn("offset_m", F.col("monnum") - F.col("cohort_mon"))
+        .filter(F.col("offset_m").between(0, 5))
+        .groupBy("cohort_mon", "offset_m")
+        .agg(F.sum("price_c").cast("long").alias("spend_c"))
+    )
+    w = (
+        Window.partitionBy("cohort_mon")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = m.select(
+        "cohort_mon",
+        "offset_m",
+        F.sum("spend_c").over(w).cast("long").alias("cum_spend_c"),
+    )
+    return (
+        c.join(F.broadcast(sz), "cohort_mon")
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("cohort_mon div 12"),
+                (F.col("cohort_mon") % 12 + 1),
+            ).alias("cohort"),
+            "offset_m",
+            "n_cust",
+            F.round(
+                F.col("cum_spend_c").cast("double") / F.col("n_cust") / 100.0,
+                2,
+            ).alias("cum_ltv"),
+        )
+        .orderBy("cohort", "offset_m")
+    )
