@@ -699,3 +699,68 @@ def corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_x", "source_y")
     )
+
+
+# --------------------------------------------------------------------------
+# T3 — vocabulary growth curve (Heaps-law saturation audit)
+# --------------------------------------------------------------------------
+@query(
+    "corpus_vocab_growth",
+    tier="T3",
+    doc="Vocabulary-growth curve over character 5-grams: corpus "
+    "ordered by doc_id splits into 10 equal-width id tranches; each "
+    "distinct gram counts once at its FIRST-seen tranche, and the "
+    "running cumsum gives |vocab| after each — the Heaps-law "
+    "saturation audit that tells a crawl operator when new data "
+    "stops buying new vocabulary (token vocab saturates instantly on "
+    "this templated corpus; grams keep growing, which is exactly the "
+    "curve worth watching). One gram-keyed min-agg + a 10-row "
+    "cumsum — the same inverted-index pass novelty runs.",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [substring(text, i, 5)
+                for i in range(1, greatest(length(text) - 4, 1) + 1)]
+             )) AS t
+      FROM documents
+    ),
+    nd AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+    first_seen AS (
+      SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t
+    ),
+    b AS (
+      SELECT least(first_doc * 10 // n_docs, 9) AS bucket,
+             CAST(count(*) AS BIGINT) AS new_terms
+      FROM first_seen, nd GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+    FROM b ORDER BY bucket
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    n_docs = d.agg(F.max("doc_id") + 1).collect()[0][0]
+    first_seen = (
+        d.select("doc_id", F.explode(shingle_array("text", 5)).alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    b = first_seen.groupBy(
+        F.least(
+            (F.col("first_doc") * 10 / n_docs).cast("long"), F.lit(9).cast("long")
+        ).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("new_terms"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        "bucket",
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+    ).orderBy("bucket")

@@ -1873,3 +1873,54 @@ def mart_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "offset_m")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — burst-rate audit (rate-limit / abuse screen)
+# --------------------------------------------------------------------------
+@query(
+    "audit_burst_rate",
+    tier="T2",
+    doc="Rate audit: each user's busiest MINUTE (events in a tumbling "
+    "60 s bucket; exact epoch-minute keys, busiest bucket via max_by "
+    "with an earliest-minute tiebreak folded into the exact composite) "
+    "plus a flag for exceeding 5 events/min — the abuse/rate-limit "
+    "screen. Two map-side-combined aggs (minute grain, then per "
+    "user); no windows, no joins.",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute_bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS peak_per_min,
+           CAST(min_by(minute_bucket, (10000000 - n) * 100000000 + minute_bucket)
+                AS BIGINT) AS peak_minute,
+           max(n) > 5 AS burst_flag
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+)
+def audit_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("cast(floor(unix_timestamp(ts)) as bigint) div 60").alias(
+            "minute_bucket"
+        ),
+    )
+    m = e.groupBy("user_id", "minute_bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    # Busiest minute with deterministic earliest-minute tiebreak: one
+    # composite min_by key (rank on -n, then minute).
+    comp = (F.lit(10000000) - F.col("n")) * 100000000 + F.col("minute_bucket")
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("peak_per_min"),
+            F.min_by("minute_bucket", comp).cast("long").alias("peak_minute"),
+            (F.max("n") > 5).alias("burst_flag"),
+        )
+        .orderBy("user_id")
+    )
