@@ -406,21 +406,25 @@ def bucket_pairs(sig: DataFrame, count_col: str = "n_shared_bands") -> DataFrame
     )
 
 
-def jaccard_verify_arrays(
+def attach_pair_shingles(
     sigs: DataFrame,
     candidates: DataFrame,
-    threshold: float = 0.25,
     broadcast_docs: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs via array_intersect.
+    """Attach both docs' shingle stats to each candidate pair.
+
+    The shared kernel under exact-Jaccard verify, MinHash calibration,
+    and containment scoring: each (doc_a, doc_b) pair picks up both
+    shingle arrays and intersects them ROW-LOCALLY — no inverted-index
+    re-join, no groupBy. Returns (doc_a, doc_b, n_a, n_b, n_inter).
 
     `sigs` must carry (doc_id, sh, n_sh) — the persisted output of
-    `minhash_signatures_arrays`. Each candidate pair picks up both
-    shingle arrays and intersects them row-locally: no inverted-index
-    re-join, no groupBy. `broadcast_docs=True` broadcasts the
+    `minhash_signatures_arrays`. `broadcast_docs=True` broadcasts the
     (doc_id, sh, n_sh) projection — right whenever the doc corpus's
     shingle arrays fit in executor memory (bench scale); at 100 TB
-    pass False and the two joins become shuffle hash joins on doc id.
+    pass False and the two attaches become shuffle hash joins on the
+    doc id (both shapes plan-pinned in
+    tests/test_plans.py::test_jaccard_verify_join_strategies).
 
     The candidate frame is re-spread round-robin first: candidates are
     BYTES-tiny (two ids) so AQE coalesces their shuffle to ~1
@@ -449,6 +453,24 @@ def jaccard_verify_arrays(
         .join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_inter")
+    )
+
+
+def jaccard_verify_arrays(
+    sigs: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.25,
+    broadcast_docs: bool = True,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via array_intersect.
+
+    Thin policy layer over `attach_pair_shingles` (see its docstring
+    for the broadcast-vs-shuffle contract): J = |A∩B| / |A∪B| with
+    inclusion-exclusion for the union, filtered at `threshold`.
+    """
+    return (
+        attach_pair_shingles(sigs, candidates, broadcast_docs=broadcast_docs)
         .withColumn(
             "jaccard",
             F.round(

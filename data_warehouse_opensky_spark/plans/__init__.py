@@ -18,89 +18,87 @@ from . import graph  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
-# to cycle driver coverage across the whole catalog. Round-3 front
-# (VERDICT r2 directive #2): the 5 queries that hash-failed in r2 —
-# all one bug class, DuckDB integer sum() → HUGEINT → pandas float64;
-# oracles now CAST(sum(...) AS BIGINT) on the OUTSIDE — plus the 37
-# queries whose only green driver row is round 1 (rotated out of the
-# r2 window; code unchanged since) — plus eight queries new this
-# round. Exactly 50 slots; after this round every catalog query has a
-# green row within the last two rounds. All LATER round-3 additions
-# (corpus_length_buckets, mart_incremental_merge, the HLL/CDC/funnel/
-# retention/span/mixture/stream-enrich family, the stats_* profiling
-# marts, embedding_kmeans, text_heavy_hitters, lateral/except-all/
-# null-safe joins, mart_weekly_top_gainer, corpus_split_assign /
-# _reservoir_per_source, streaming_hopping_topk) register AFTER the
-# front and rotate into the r4 window; until then they are gated by
-# tests/test_oracle.py at sf0.001 and the verify sweep at sf0.01.
-# (Also registering after the front, added later in round 3: the
-# dedup_incremental_minhash / dedup_fuzzy_levenshtein /
-# text_inverted_index / audit_expectations / corpus_weighted_sample /
-# multimodal_phash_dedup wave, graph_pagerank, embedding_quantize_sq8,
-# mart_sequence_patterns, schema_evolution_union, cdc_apply_log,
-# mart_rolling_distinct_7d, stats_ks_drift, text_char_entropy,
-# corpus_ngram_novelty, mart_abc_pareto, stats_chi2_independence —
-# all sf0.001+sf0.01 oracle-verified in-session.)
+# to cycle driver coverage across the whole catalog. Round-4 front
+# (VERDICT r3 directive #1): all 50 slots drawn from the 71 catalog
+# queries that have NEVER been in a driver window (r1-r3 union of
+# CORRECTNESS files vs the registry). Ordering inside the window is
+# cheap-first (VERDICT r3 directive #7): simple relational/window
+# shapes, then corpus/text, then dedup/similarity/CDC/marts, then the
+# iterative (kmeans, pagerank) and stateful-streaming replay queries
+# LAST so a slow tail can never starve the cheap checks of their slot.
+#
+# The 21 never-windowed queries deliberately LEFT for the r5 window
+# (lowest-risk single-agg stats/marts/audits, all green in
+# tests/test_oracle.py at sf0.001 AND the r3 judge's sf0.01 sweep):
+#   stats_histogram_price, stats_corr_qty_price, stats_anomaly_zscore,
+#   stats_rolling_median, stats_profile_orders, stats_autocorr_lag1,
+#   stats_benford_firstdigit, stats_mad_outliers,
+#   stats_gapfill_interpolate, mart_cumulative_users,
+#   mart_trending_decay, mart_gini_concentration, mart_new_vs_returning,
+#   mart_weekly_top_gainer, mart_abc_pareto, mart_supplier_churn,
+#   mart_markov_transitions, mart_cohort_ltv, audit_key_skew,
+#   audit_k_anonymity, audit_burst_rate
 # Queries displaced past slot 50 stay covered by tests/test_oracle.py,
 # which runs ALL of them vs DuckDB at sf0.001.
 DRIVER_WINDOW_PRIORITY = [
-    # -- new this round -----------------------------------------------
-    # (corpus_length_buckets, also new, is NOT in the front: the window
-    # is exactly 50 and the r2 verdict's 5-fixed + 37-r1-only rotation
-    # takes precedence; it is oracle-gated by tests/test_oracle.py and
-    # rotates into the r4 window.)
-    "corpus_domain_cap",
-    "corpus_quality_funnel",
-    "opensky_per_file_profile",
-    "corpus_decontaminate",
-    "corpus_pack_sequences",
-    "corpus_contiguous_ids",
-    "agg_salted_hot_keys",
-    "join_salted_skew",
-    # -- red in r2, oracle CAST fixed this round ---------------------
-    "opensky_clean_parity",
-    "opensky_latest_position",
-    "json_extract_props",
-    "unpivot_nation_metrics",
-    "map_funcs",
-    # -- green in r1 only (rotated out of the r2 window) -------------
-    "set_ops_except",
-    "count_distinct_users",
-    "agg_rollup",
-    "agg_cube",
-    "grouping_sets",
-    "string_funcs",
-    "datetime_funcs",
-    "math_funcs",
-    "case_when_buckets",
-    "join_right_outer",
-    "join_full_outer",
-    "sample_hash_5pct",
-    "percentile_disc_price",
-    "latest_event_per_user",
-    "window_lag_delta",
-    "window_rolling_avg",
-    "rank_topn_per_group",
-    "asof_click_before_purchase",
-    "window_rank_dense_ntile",
-    "session_window_stats",
-    "window_value_functions",
-    "date_spine_daily_orders",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_components_canonical",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "ann_brute_force_topk",
-    "embedding_neardup_pairs",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_lsh_recall",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
+    # -- cheap relational / window shapes ------------------------------
+    "window_percent_rank_cume_dist",
+    "join_asof_nearest",
+    "join_null_safe",
+    "set_ops_except_all",
+    "lateral_top3_per_segment",
+    "schema_evolution_union",
+    "agg_mode_deterministic",
+    # -- corpus prep ---------------------------------------------------
+    "corpus_length_buckets",
+    "corpus_split_assign",
+    "corpus_mixture_weights",
+    "corpus_duplicated_spans",
+    "corpus_reservoir_per_source",
+    "corpus_weighted_sample",
+    "corpus_ngram_novelty",
+    "corpus_cross_source_dups",
+    "corpus_vocab_growth",
+    # -- text analysis -------------------------------------------------
+    "text_bigram_logprob",
+    "text_heavy_hitters",
+    "text_inverted_index",
+    "text_char_entropy",
+    "text_langid_confusion",
+    # -- multimodal / opensky ------------------------------------------
+    "multimodal_phash_dedup",
+    "opensky_grid_density",
+    "opensky_airline_traffic",
+    # -- dedup / similarity --------------------------------------------
+    "dedup_incremental_minhash",
+    "dedup_fuzzy_levenshtein",
+    "dedup_impact_report",
+    "dedup_minhash_calibration",
+    "dedup_containment_pairs",
+    "embedding_quantize_sq8",
+    "embedding_covariance_audit",
+    "approx_distinct_hll_mart",
+    # -- CDC / marts / audits ------------------------------------------
+    "cdc_snapshot_diff",
+    "cdc_apply_log",
+    "mart_incremental_merge",
+    "mart_event_funnel",
+    "mart_retention_cohorts",
+    "mart_sequence_patterns",
+    "mart_rolling_distinct_7d",
+    "mart_market_basket",
+    "audit_referential_integrity",
+    "audit_expectations",
+    "stats_ks_drift",
+    "stats_chi2_independence",
+    # -- iterative (engine-divergence-likeliest) -----------------------
+    "embedding_kmeans",
+    "graph_pagerank",
+    # -- stateful streaming replay: LAST (slowest per query) -----------
+    "streaming_static_enrich",
+    "streaming_hopping_topk",
+    "streaming_upsert_sink_snapshot",
+    "streaming_timeout_sessions",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

@@ -19,6 +19,14 @@ value-hash, so cross-engine determinism rules apply:
   tiebreaker (`event_id`), because Spark's µs truncation of the ns
   event timestamps can create ties DuckDB doesn't see.
 * Every computed column is aliased identically in both programs.
+
+Cache lifecycle contract: query fns may persist() shared subtrees
+(iterative ranks, dedup signatures, sampling bases) and never
+unpersist them — the returned DataFrame is lazy, so the cache must
+survive past the fn() call. The SESSION OWNER (bench.py, the oracle
+harness, the external driver) is responsible for
+`spark.catalog.clearCache()` after it has run its action; both
+in-repo harnesses do.
 """
 
 from __future__ import annotations

@@ -568,33 +568,19 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", n_match.alias("n_match"))
     )
 
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        F.col("n_sh").alias("n_b"),
-    )
-    je = (
-        cand.select("doc_a", "doc_b")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                1000000.0
-                * F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            )
-            .cast("long")
-            .alias("j_e6"),
+    # Shared pair-attach kernel (operators/dedup.py) so the
+    # broadcast_docs=False shuffle-join fallback stays available here
+    # too — no inline re-implementation with a hardcoded broadcast.
+    je = D.attach_pair_shingles(sigs, cand).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            1000000.0
+            * F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         )
+        .cast("long")
+        .alias("j_e6"),
     )
     return (
         mm.join(je, ["doc_a", "doc_b"], "left")
@@ -657,23 +643,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, n=_MINHASH_N, num_hashes=_MINHASH_K
     ).persist()
     cand = D.bucket_pairs(D.band_signatures(sigs, _MINHASH_K, _MINHASH_RPB))
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        F.col("n_sh").alias("n_b"),
-    )
-    j = (
-        cand.select("doc_a", "doc_b")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-    )
+    # Shared pair-attach kernel — keeps the non-broadcast 100 TB path.
+    j = D.attach_pair_shingles(sigs, cand)
     c_ab = F.round(F.col("n_inter") / F.col("n_a"), 6)
     c_ba = F.round(F.col("n_inter") / F.col("n_b"), 6)
     return (

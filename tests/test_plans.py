@@ -804,3 +804,87 @@ def test_covariance_cached_scan_two_codegen_aggs(spark):
     assert "InMemoryTableScan" in body, body  # both aggs reuse the cache
     assert "SortMergeJoin" not in body, body  # only the 1-row crossJoin
     assert "Generate" in body, body
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: un-pinned fact broadcasts, co-partitioned pagerank,
+# dedup-verify join strategies (VERDICT r3 #2/#4/#5)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_no_forced_rank_broadcast(spark):
+    """PageRank must not HINT a broadcast of the |V|-row rank table —
+    at 100 TB that table is the customer∪supplier universe and a
+    per-round broadcast is a driver OOM. With size-based broadcast
+    disabled the whole iteration must compile to shuffled joins (the
+    co-partitioned shape: cached deg/ed partitioning reused, one
+    dst-space exchange per round); at default conf AQE is still free
+    to broadcast from runtime sizes (next test)."""
+    from data_warehouse_opensky_spark.plans.graph import PR_ITERS
+
+    df = QUERIES["graph_pagerank"].fn(spark, SF)
+    # No HARD hint anywhere in the query: the analyzed logical plan
+    # carries a ResolvedHint node for every F.broadcast() — pagerank
+    # must have zero (size-based/AQE broadcast stays allowed).
+    # (join_star_revenue keeps its dim hints, proving the probe sees
+    # hints when present.)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    control = (
+        QUERIES["join_star_revenue"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" in control  # probe validity
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # With size-based broadcast off, every per-round join
+        # (ed⋈ranks inner + deg⋈acc left, ×PR_ITERS) compiles to a
+        # shuffled join — the co-partitioned 100 TB shape. (Exact
+        # BroadcastExchange counts are untestable here: formatted
+        # explain re-expands persisted subtrees at every reference.)
+        body = explain_str(df).split("== Physical Plan ==")[-1]
+        n_shuffled = body.count("SortMergeJoin") + body.count(
+            "ShuffledHashJoin"
+        )
+        assert n_shuffled >= 2 * PR_ITERS, body
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.catalog.clearCache()
+
+
+def test_pagerank_bench_scale_still_broadcasts(spark):
+    """Dropping the F.broadcast hints must NOT change the bench-scale
+    plan: the size-based threshold (64 MB) still broadcasts the
+    2-column orders projection for the edge build (VERDICT r3 #4
+    'done' criterion)."""
+    body = plan_of(spark, "graph_pagerank").split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, body
+    spark.catalog.clearCache()
+
+
+def test_jaccard_verify_join_strategies(spark):
+    """attach_pair_shingles: broadcast attach by default (corpus
+    shingle arrays fit in executor memory at bench scale); with
+    broadcast_docs=False and size-based broadcast off, BOTH attaches
+    must be shuffled joins on the doc id — the 100 TB path where the
+    arrays cannot broadcast (VERDICT r3 #5)."""
+    from data_warehouse_opensky_spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    sigs = D.minhash_signatures_arrays(docs, n=5, num_hashes=16)
+    cand = D.bucket_pairs(D.band_signatures(sigs, 16, 4))
+
+    plan_b = explain_str(D.jaccard_verify_arrays(sigs, cand))
+    assert "BroadcastExchange" in plan_b, plan_b
+
+    df_s = D.jaccard_verify_arrays(sigs, cand, broadcast_docs=False)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        body = explain_str(df_s).split("== Physical Plan ==")[-1]
+        assert "BroadcastExchange" not in body, body
+        assert "SortMergeJoin" in body or "ShuffledHashJoin" in body, body
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
