@@ -131,7 +131,7 @@ def _recompute(assigned: DataFrame, k: int, dim: int) -> list[list[int]]:
     return cents
 
 
-def kmeans(
+def kmeans_assign(
     df: DataFrame,
     *,
     k: int = 8,
@@ -140,12 +140,11 @@ def kmeans(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Run `iters` Lloyd rounds; return (cluster, n_vecs, inertia_q).
-
-    inertia_q = exact integer sum of squared quantized distances of
-    each vector to its FINAL centroid (the usual k-means objective,
-    in 1e-12 units of the original scale).
-    """
+    """Run `iters` Lloyd rounds; return the final per-vector assignment
+    (vid, xq, cluster, d) — the building block under both the kmeans
+    summary query and cluster-scoped downstream work (semantic dedup
+    prunes near-dups WITHIN clusters, turning the all-pairs problem
+    into Σ cluster² — the whole point of bucketing at 100 TB)."""
     # Quantization is an interpreted HOF over 64 elements; the loop
     # below runs 2·iters+2 jobs over `base`, so cache the quantized
     # vectors once (50k rows × 64 longs ≈ 25 MB at sf0.1 — at 100 TB
@@ -168,7 +167,27 @@ def kmeans(
     for _ in range(iters):
         centroids = _recompute(_assign(base, centroids), k, dim)
 
-    final = _assign(base, centroids)
+    return _assign(base, centroids)
+
+
+def kmeans(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(cluster, n_vecs, inertia_q) summary over `kmeans_assign`.
+
+    inertia_q = exact integer sum of squared quantized distances of
+    each vector to its FINAL centroid (the usual k-means objective,
+    in 1e-12 units of the original scale).
+    """
+    final = kmeans_assign(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     return (
         final.groupBy("cluster")
         .agg(
@@ -176,4 +195,86 @@ def kmeans(
             F.sum("d").cast("long").alias("inertia_q"),
         )
         .orderBy("cluster")
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization: codes + per-subspace quality summary.
+
+    PQ is the memory-side companion to SQ8 (operators above): the
+    vector splits into `m` subspaces of dim/m, each encoded as the id
+    of its nearest sub-centroid from a `ksub`-entry codebook — 64
+    float32 dims become 8 bytes, and ANN scans read codes via lookup
+    tables instead of raw vectors. Same determinism contract as
+    `kmeans`: e6-quantized integers, exact int64 distances (≤ 2^45
+    for 8-dim e6 subvectors), md5-seeded codebooks (the ksub seed
+    vectors' subvectors — production would Lloyd-refine per subspace;
+    seeding keeps the oracle replayable and the shape identical),
+    argmin ties to the smaller code id.
+
+    Scale: encoding is ROW-LOCAL against the (ksub·dim)-int codebook
+    literal — the same control-plane budget and Arrow-matmul kernel
+    rationale as `_assign` (one (batch×dim)@(dim×ksub) int64 matmul
+    per subspace per Arrow batch). The only shuffle is the final
+    (subspace) summary agg: m rows out.
+    """
+    ds = dim // m
+    base = df.select(
+        F.col(id_col).alias("vid"), quantize(vec_col).alias("xq")
+    ).persist()
+    seed_rows = (
+        base.withColumn("_h", F.md5(F.col("vid").cast("string")))
+        .orderBy("_h", "vid")
+        .limit(ksub)
+        .collect()
+    )
+    C = np.asarray([list(r["xq"]) for r in seed_rows], dtype=np.int64)
+    C3 = C.reshape(ksub, m, ds)  # (ksub, m, ds)
+    c2 = (C3 * C3).sum(axis=2)  # (ksub, m)
+
+    @F.pandas_udf(
+        "struct<codes: array<bigint>, errs: array<bigint>>"
+    )
+    def encode_udf(xq: pd.Series) -> pd.DataFrame:
+        if len(xq) == 0:
+            return pd.DataFrame({"codes": [], "errs": []})
+        X = np.stack(xq.to_numpy()).astype(np.int64, copy=False)
+        X3 = X.reshape(len(X), m, ds)  # (b, m, ds)
+        codes = np.empty((len(X), m), dtype=np.int64)
+        errs = np.empty((len(X), m), dtype=np.int64)
+        for s in range(m):
+            Xs = X3[:, s, :]  # (b, ds)
+            dist = (
+                (Xs * Xs).sum(axis=1)[:, None]
+                + c2[:, s][None, :]
+                - 2 * (Xs @ C3[:, s, :].T)
+            )  # (b, ksub)
+            codes[:, s] = dist.argmin(axis=1)
+            errs[:, s] = dist[np.arange(len(X)), codes[:, s]]
+        return pd.DataFrame(
+            {"codes": list(codes), "errs": list(errs)}
+        )
+
+    enc = base.withColumn("_e", encode_udf("xq"))
+    z = enc.select(
+        F.posexplode(F.arrays_zip("_e.codes", "_e.errs")).alias(
+            "subspace", "ce"
+        )
+    )
+    return (
+        z.groupBy(F.col("subspace").cast("long").alias("subspace"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.countDistinct("ce.codes").cast("long").alias("n_codes_used"),
+            F.sum("ce.errs").cast("long").alias("sq_err_total"),
+        )
+        .orderBy("subspace")
     )

@@ -1,0 +1,98 @@
+"""Distributed prefix sums over totally-ordered series.
+
+The catalog's cumulative queries (mart_cumulative_users, the ABC
+cumsum, the KS value CDF) run an unpartitioned window over a
+PRE-AGGREGATED series — fine while the series is one day/value per
+row, documented as such in each query. This module is the
+generalization those docstrings promise: a running total over a
+series too large for one partition, without ever putting the whole
+order on one core.
+
+Two-phase algorithm (the textbook parallel scan, e.g. Blelloch):
+
+1. Range-partition the rows by the total order (one RangePartitioning
+   exchange — the same shuffle a global window would need anyway),
+   then compute each partition's LOCAL running sum with a window
+   partitioned by the physical partition id: every partition scans
+   its own rows once, in parallel.
+2. Aggregate one total per partition (num_partitions rows — control
+   plane), prefix-sum THOSE on the driver, and broadcast-join the
+   per-partition offsets back: final = local running sum + offset of
+   all earlier partitions.
+
+Cost: one range exchange + one partition-local window + one
+broadcast join of `num_partitions` rows. A single-partition window
+costs the same exchange but then serializes the entire scan onto one
+task — the difference IS the 100 TB story.
+
+Determinism: `spark_partition_id()` is stable here because
+repartitionByRange assigns ascending key ranges to ascending
+partition ids, and the order key must be made UNIQUE by the caller
+(tiebreak column) so range boundaries cannot split equal keys
+nondeterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running sum of `value_col` over the `order_cols` total
+    order, computed with the two-phase parallel scan above.
+
+    `order_cols` must be a UNIQUE key (include a tiebreaker). The
+    value column should be an integer type for cross-engine exactness
+    (catalog doctrine: float running sums are fold-order-dependent).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # Persist BEFORE the totals collect: the returned frame reuses the
+    # same materialized partitioning, so the offsets provably describe
+    # the rows they are joined back to (range-boundary sampling is
+    # deterministic, but the cache makes it airtight and saves a
+    # second scan). Session owner clears the cache (catalog contract).
+    local = local.persist()
+    # Control plane: one row per partition; prefix-summed on the
+    # driver (n values), re-enters the plan as a broadcast join.
+    totals = sorted(
+        local.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["_pid"], acc))
+        acc += r["_t"]
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def running_total_column(
+    df: DataFrame, order_cols: list[str], value_col: str
+) -> Column:
+    """Single-partition window running sum — ONLY for pre-aggregated
+    series (≤ ~1e6 rows); larger series must use distributed_cumsum."""
+    return F.sum(value_col).over(
+        Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+    )

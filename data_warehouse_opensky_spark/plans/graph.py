@@ -184,3 +184,119 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_q"), "node_type", "node_key")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# T3 — triangle counting (degree-ordered orientation)
+# --------------------------------------------------------------------------
+_TRI_ORACLE = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS dd
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v
+    ),
+    w AS (
+      SELECT o1.dst AS v, o2.dst AS w
+      FROM o o1 JOIN o o2 ON o1.src = o2.src
+      WHERE (o1.dd, o1.dst) < (o2.dd, o2.dst)
+    ),
+    t AS (
+      SELECT count(*) AS n_triangles
+      FROM w JOIN o ON o.src = w.v AND o.dst = w.w
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles
+    FROM t
+    """
+
+
+@query(
+    "graph_triangle_count",
+    tier="T3",
+    doc="Exact triangle count over the part co-purchase graph (parts "
+    "sharing an order; edges deduped, a<b) via DEGREE-ORDERED "
+    "orientation — the canonical distributed algorithm: orient every "
+    "edge from the (degree, id)-smaller endpoint to the larger, "
+    "enumerate wedges only among each node's ORIENTED out-neighbors, "
+    "then semi-check the closing edge. Orientation bounds every "
+    "out-degree by O(sqrt(2m)), so wedge fan-out is O(m^1.5) worst "
+    "case instead of the O(Σ deg²) a naive wedge join pays on skewed "
+    "degree distributions — at 100 TB the hub node that breaks the "
+    "naive plan is exactly the one orientation defuses. Three "
+    "shuffles total (edge distinct, wedge join key, closing join); "
+    "counts are exact BIGINTs.",
+    oracle=_TRI_ORACLE,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    # (deg, id) total order decides direction; ties on degree break by id.
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        pairs.join(du, F.col("du.node") == F.col("u"))
+        .join(dv, F.col("dv.node") == F.col("v"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("dd"),
+        )
+        .persist()
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    w = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .filter(
+            (F.col("o1.dd") < F.col("o2.dd"))
+            | (
+                (F.col("o1.dd") == F.col("o2.dd"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        )
+        .select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    )
+    oc = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = w.join(oc, ["v", "w"]).agg(F.count("*").alias("n_triangles"))
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    n_wedges = w.agg(F.count("*").alias("n_wedges"))
+    return (
+        n_edges.crossJoin(n_wedges)
+        .crossJoin(tri)
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )

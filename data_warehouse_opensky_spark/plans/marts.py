@@ -1933,3 +1933,137 @@ def audit_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — batch sessionization by inactivity gap
+# --------------------------------------------------------------------------
+@query(
+    "mart_sessionize_gaps",
+    tier="T2",
+    doc="Batch sessionization: split each user's event stream into "
+    "sessions at >30 min inactivity gaps (lag + running sum of "
+    "session-start flags), then aggregate one row per session. The "
+    "batch twin of the streaming session_window query — same "
+    "semantics, replayable on history. Scale: BOTH windows partition "
+    "by user_id (no global window anywhere), so the whole query is "
+    "one shuffle on the user key followed by partition-local window "
+    "evaluation + a map-side-combinable agg on (user, session). "
+    "Ordering carries the event_id tiebreak (catalog doctrine: µs "
+    "truncation can tie timestamps).",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, event_id, ts_s,
+             lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+               AS prev_s
+      FROM a
+    ),
+    f AS (
+      SELECT user_id, event_id, ts_s,
+             CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts_s,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM f
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(ts_s) AS BIGINT) AS start_s,
+           CAST(max(ts_s) AS BIGINT) AS end_s,
+           CAST(max(ts_s) - min(ts_s) AS BIGINT) AS duration_s
+    FROM s GROUP BY 1, 2
+    ORDER BY user_id, session_seq
+    """,
+)
+def mart_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_s").over(w).isNull()
+            | ((F.col("ts_s") - F.lag("ts_s").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts_s").cast("long").alias("start_s"),
+            F.max("ts_s").cast("long").alias("end_s"),
+            (F.max("ts_s") - F.min("ts_s")).cast("long").alias("duration_s"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2 — distributed prefix sum (running revenue over the full fact scan)
+# --------------------------------------------------------------------------
+@query(
+    "mart_cumulative_revenue_scan",
+    tier="T2",
+    doc="Running revenue total over EVERY order, ordered by "
+    "(order date, key) — computed with the two-phase distributed "
+    "prefix sum (operators/prefix.py: range-partition on the order, "
+    "partition-LOCAL running sums in parallel, driver prefix over the "
+    "per-partition totals, broadcast offsets back). This is the scale "
+    "path the catalog's pre-aggregated cumulative queries document: "
+    "no single-partition window ever touches the fact-sized series "
+    "(plan-pinned in tests/test_plans.py). Revenue in exact cents; "
+    "output sampled to every 100th order key AFTER the scan so the "
+    "result stays checkable while the cumsum covers all rows.",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  OVER (ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running_revenue_c
+      FROM orders
+    )
+    SELECT o_orderkey, order_date, running_revenue_c
+    FROM r WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def mart_cumulative_revenue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import distributed_cumsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").cast("string").alias("order_date"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("rev_c"),
+    )
+    out = distributed_cumsum(
+        o,
+        order_cols=["order_date", "o_orderkey"],
+        value_col="rev_c",
+        out_col="running_revenue_c",
+    )
+    return (
+        out.filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "order_date", "running_revenue_c")
+        .orderBy("o_orderkey")
+    )

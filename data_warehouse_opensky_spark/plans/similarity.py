@@ -304,10 +304,12 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # T3.2 — iterative embedding clustering (exact-integer Lloyd's k-means)
 # --------------------------------------------------------------------------
-def _kmeans_oracle(k: int = 8, dim: int = DIM) -> str:
-    """SQL twin of operators.clustering.kmeans (k=8, iters=2): the same
-    quantize→seed→assign→update→assign→update→assign sequence in exact
-    integer arithmetic; empty clusters zero-fill on both engines."""
+def _kmeans_assign_ctes(k: int = 8, dim: int = DIM) -> str:
+    """WITH-body (no `WITH`, no final SELECT) replaying
+    operators.clustering.kmeans (k, iters=2) up to the final assignment
+    CTE `a3(vec_id, cluster, d)`, with `qv(vec_id, xq)` the quantized
+    vectors — shared by the kmeans oracle and every oracle that builds
+    on cluster assignments (semantic dedup)."""
     idx = f"generate_series(1, {dim})"
     zeros = f"[CAST(0 AS BIGINT) for i in {idx}]"
 
@@ -348,8 +350,7 @@ def _kmeans_oracle(k: int = 8, dim: int = DIM) -> str:
       LEFT JOIN c{n}_raw c USING (cid)
     )"""
 
-    return f"""
-    WITH qv AS (
+    return f"""qv AS (
       SELECT vec_id,
              [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
               for i in {idx}] AS xq
@@ -364,7 +365,15 @@ def _kmeans_oracle(k: int = 8, dim: int = DIM) -> str:
     ),
     c0 AS (
       SELECT s.cid, q.xq AS cu FROM seeds s JOIN qv q USING (vec_id)
-    ),{assign(1, 'c0')},{update(1, 'a1')},{assign(2, 'c1')},{update(2, 'a2')},{assign(3, 'c2')}
+    ),{assign(1, 'c0')},{update(1, 'a1')},{assign(2, 'c1')},{update(2, 'a2')},{assign(3, 'c2')}"""
+
+
+def _kmeans_oracle(k: int = 8, dim: int = DIM) -> str:
+    """SQL twin of operators.clustering.kmeans (k=8, iters=2): the same
+    quantize→seed→assign→update→assign→update→assign sequence in exact
+    integer arithmetic; empty clusters zero-fill on both engines."""
+    return f"""
+    WITH {_kmeans_assign_ctes(k, dim)}
     SELECT cluster, count(*) AS n_vecs, CAST(sum(d) AS BIGINT) AS inertia_q
     FROM a3 GROUP BY 1 ORDER BY 1
     """
@@ -604,4 +613,200 @@ def embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cov_e6")).desc(), "dim_i", "dim_j")
         .limit(_COV_TOPK)
         .select("dim_i", "dim_j", F.round("cov_e6", 4).alias("cov_q"))
+    )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — product quantization (the memory-side ANN compression path)
+# --------------------------------------------------------------------------
+_PQ_M, _PQ_KSUB, _PQ_DS = 8, 16, DIM // 8
+
+
+def _pq_oracle() -> str:
+    sub = (
+        f"list_sum([(q.xq[g.m * {_PQ_DS} + i] - c.xq[g.m * {_PQ_DS} + i])"
+        f" * (q.xq[g.m * {_PQ_DS} + i] - c.xq[g.m * {_PQ_DS} + i])"
+        f" for i in generate_series(1, {_PQ_DS})])"
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+              for i in generate_series(1, {DIM})] AS xq
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, rn - 1 AS sid FROM (
+        SELECT vec_id, row_number()
+                 OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= {_PQ_KSUB}
+    ),
+    cb AS (SELECT s.sid, q.xq FROM seeds s JOIN qv q USING (vec_id)),
+    d AS (
+      SELECT q.vec_id, g.m AS subspace, c.sid, {sub} AS d
+      FROM qv q
+      CROSS JOIN cb c
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+    ),
+    a AS (
+      SELECT vec_id, subspace, sid AS code, d FROM (
+        SELECT *, row_number()
+                 OVER (PARTITION BY vec_id, subspace ORDER BY d, sid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT CAST(subspace AS BIGINT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used,
+           CAST(sum(d) AS BIGINT) AS sq_err_total
+    FROM a GROUP BY subspace ORDER BY subspace
+    """
+
+
+@query(
+    "embedding_pq_codes",
+    tier="T3",
+    doc=f"Product quantization ({_PQ_M} subspaces × {_PQ_KSUB}-entry "
+    "codebooks): each embedding's subvectors encode as nearest-sub-"
+    "centroid ids — 64 float dims become 8 code bytes, the compression "
+    "that makes 100 TB of vectors ANN-scannable from memory (lookup-"
+    "table distances over codes; SQ8's row-wise cousin). Exact-integer "
+    "determinism throughout (e6 grid, int64 distances, md5-seeded "
+    "codebooks, argmin ties to the smaller code) so the SQL oracle "
+    "replays bit-for-bit. Encoding is row-local against the codebook "
+    "literal (Arrow int-matmul kernel, control-plane ksub·dim "
+    "collect); one m-row summary agg gates code utilization and "
+    "quantization error per subspace.",
+    oracle=_pq_oracle(),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering as C
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.pq_codes(emb, m=_PQ_M, ksub=_PQ_KSUB, dim=DIM)
+
+
+# --------------------------------------------------------------------------
+# T3.2 — semantic dedup (SemDeDup shape: near-dups WITHIN kmeans buckets)
+# --------------------------------------------------------------------------
+_SEM_K = 8
+_SEM_RED_THR = 0.3
+
+
+def _semantic_dedup_oracle() -> str:
+    idx = f"generate_series(1, {DIM})"
+    return f"""
+    WITH {_kmeans_assign_ctes(_SEM_K, DIM)},
+    v AS (
+      SELECT a.vec_id, a.cluster, q.xq,
+             sqrt(CAST(list_sum([x * x for x in q.xq]) AS DOUBLE)) AS nrm
+      FROM a3 a JOIN qv q USING (vec_id)
+    ),
+    p AS (
+      SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+             round(CAST(list_sum([x.xq[i] * y.xq[i] for i in {idx}])
+                        AS DOUBLE) / (x.nrm * y.nrm), 6) AS cos_q
+      FROM v x JOIN v y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ),
+    top AS (
+      SELECT cluster, vec_a, vec_b, cos_q FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster
+                 ORDER BY cos_q DESC, vec_a, vec_b) AS rn
+        FROM p
+      ) WHERE rn = 1
+    ),
+    cnt AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN cos_q >= {_SEM_RED_THR} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_redundant
+      FROM p GROUP BY cluster
+    ),
+    cl AS (SELECT DISTINCT cluster FROM a3)
+    SELECT cl.cluster,
+           coalesce(c.n_pairs, 0) AS n_pairs,
+           coalesce(c.n_redundant, 0) AS n_redundant,
+           t.vec_a, t.vec_b, t.cos_q
+    FROM cl
+    LEFT JOIN cnt c USING (cluster)
+    LEFT JOIN top t USING (cluster)
+    ORDER BY cl.cluster
+    """
+
+
+@query(
+    "embedding_semantic_dedup",
+    tier="T3",
+    doc=f"Semantic-dedup audit (the SemDeDup shape): kmeans buckets "
+    "the corpus (exact-integer Lloyd's, md5 seeds, 2 rounds — the "
+    "shared assignment replayed by the oracle), then near-duplicate "
+    "scoring runs only WITHIN each bucket — the clustering turns the "
+    "all-pairs O(n²) cosine problem into Σ cluster², which is the "
+    "only way semantic dedup scales to 100 TB of embeddings. Per "
+    f"cluster: pair count, count of redundant pairs (cos ≥ "
+    f"{_SEM_RED_THR}), and the single most-similar pair. The kernel "
+    "is one exact int64 X·Xᵀ matmul per cluster group "
+    "(applyInPandas; cluster sizes are the operator's unit of work — "
+    "a skewed bucket is re-split by a coarser k upstream). Cosines "
+    "round at 6 dp before any comparison so both engines rank "
+    "identically.",
+    oracle=_semantic_dedup_oracle(),
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import clustering as C
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = C.kmeans_assign(emb, k=_SEM_K, iters=2, dim=DIM)
+
+    schema = (
+        "cluster long, n_pairs long, n_redundant long, "
+        "vec_a long, vec_b long, cos_q double"
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = int(pdf["cluster"].iloc[0])
+        pdf = pdf.sort_values("vid")
+        vids = pdf["vid"].to_numpy()
+        if len(vids) < 2:
+            return pd.DataFrame(
+                [[cluster, 0, 0, None, None, None]],
+                columns=[
+                    "cluster", "n_pairs", "n_redundant",
+                    "vec_a", "vec_b", "cos_q",
+                ],
+            )
+        X = np.stack(pdf["xq"].to_numpy()).astype(np.int64, copy=False)
+        dots = X @ X.T  # exact: |dot| <= 64e12 < 2^53
+        nrm = np.sqrt(np.diag(dots).astype(np.float64))
+        cos = np.round(dots / np.outer(nrm, nrm), 6)
+        iu, ju = np.triu_indices(len(vids), k=1)
+        c = cos[iu, ju]
+        # top pair by (cos desc, vec_a, vec_b) on the ROUNDED value —
+        # identical to the oracle's row_number ordering.
+        order = np.lexsort((vids[ju], vids[iu], -c))
+        b = order[0]
+        return pd.DataFrame(
+            [[
+                cluster,
+                int(len(c)),
+                int((c >= _SEM_RED_THR).sum()),
+                int(vids[iu[b]]),
+                int(vids[ju[b]]),
+                float(c[b]),
+            ]],
+            columns=[
+                "cluster", "n_pairs", "n_redundant",
+                "vec_a", "vec_b", "cos_q",
+            ],
+        )
+
+    return (
+        a.select("cluster", "vid", "xq")
+        .groupBy("cluster")
+        .applyInPandas(per_cluster, schema)
+        .orderBy("cluster")
     )

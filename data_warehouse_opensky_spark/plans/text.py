@@ -487,3 +487,102 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual_lang", "pred_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.4 — Zipf rank-frequency fit (corpus-health diagnostic)
+# --------------------------------------------------------------------------
+_ZIPF_TOPN = 100
+
+
+@query(
+    "text_zipf_slope",
+    tier="T3",
+    doc="Zipf's-law fit: least-squares slope of log(freq) vs log(rank) "
+    f"over the top-{_ZIPF_TOPN} tokens — natural text sits near −1; a "
+    "slope far off flags template/boilerplate corpora or tokenizer "
+    "bugs before training data ships. Counts and ranking are exact "
+    "integers with a (count desc, token) total order; the regression "
+    f"sums are doubles over only {_ZIPF_TOPN} pre-aggregated terms "
+    "(the char-entropy doctrine: bounded-cardinality log sums with a "
+    "round-6 guard; the top frame is coalesced so the fold order is "
+    "fixed). Scale: one token-explode shuffle + one count agg — the "
+    f"global sort stops at a {_ZIPF_TOPN}-row TakeOrdered; the window "
+    "runs on that tiny frame only.",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    c AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok WHERE t <> '' GROUP BY t
+    ),
+    top AS (
+      SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rnk
+      FROM c ORDER BY cnt DESC, t LIMIT {_ZIPF_TOPN}
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(ln(CAST(rnk AS DOUBLE))) AS sx,
+             sum(ln(CAST(cnt AS DOUBLE))) AS sy,
+             sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS sxy,
+             sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))) AS sxx
+      FROM top
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_terms,
+           t1.t AS top_token,
+           t1.cnt AS top_count,
+           round((s.n * s.sxy - s.sx * s.sy)
+                 / (s.n * s.sxx - s.sx * s.sx), 6) AS zipf_slope,
+           round((s.sy - (s.n * s.sxy - s.sx * s.sy)
+                         / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n, 6)
+             AS zipf_intercept
+    FROM s, (SELECT t, cnt FROM top WHERE rnk = 1) t1
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # TakeOrderedAndProject stops the global sort at TOPN rows; the
+    # single-partition window below runs on that tiny frame only
+    # (pre-aggregated-series exemption, plans/catalog.py doctrine).
+    top = (
+        c.orderBy(F.desc("cnt"), "t")
+        .limit(_ZIPF_TOPN)
+        .coalesce(1)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "t")),
+        )
+    )
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    s = top.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    t1 = top.filter(F.col("rnk") == 1).select(
+        F.col("t").alias("top_token"), F.col("cnt").alias("top_count")
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.crossJoin(t1).select(
+        F.col("n").cast("long").alias("n_terms"),
+        "top_token",
+        F.col("top_count").cast("long").alias("top_count"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("zipf_intercept"),
+    )

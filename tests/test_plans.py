@@ -888,3 +888,18 @@ def test_jaccard_verify_join_strategies(spark):
         assert "SortMergeJoin" in body or "ShuffledHashJoin" in body, body
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_distributed_cumsum_two_phase_shape(spark):
+    """The fact-scan running total must be the two-phase parallel scan:
+    a RangePartitioning exchange on the total order, a Window
+    partitioned by the physical partition id (parallel local scans —
+    never an unpartitioned window over the fact), and a broadcast of
+    the per-partition offsets."""
+    body = plan_of(spark, "mart_cumulative_revenue_scan").split(
+        "== Physical Plan =="
+    )[-1]
+    assert "rangepartitioning" in body.lower(), body
+    assert "windowspecdefinition(_pid" in body, body
+    assert "BroadcastHashJoin" in body or "BroadcastExchange" in body, body
+    spark.catalog.clearCache()
