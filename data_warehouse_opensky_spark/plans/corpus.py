@@ -764,3 +764,61 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_terms",
         F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
     ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# Token-budget selection (greedy fill under a corpus-wide budget)
+# --------------------------------------------------------------------------
+@query(
+    "corpus_budget_select",
+    tier="T3",
+    doc="Token-budget selection: order docs by (tokens desc, doc_id) "
+    "and keep the prefix whose running token total fits a 60% corpus "
+    "budget — the 'fill the training budget with the longest docs "
+    "first' selection policy. The running total is the two-phase "
+    "distributed prefix sum (operators/prefix.py — no global window "
+    "over the doc table); the budget check is exact integer cross-"
+    "multiplication (10·cum ≤ 6·total), no float ratios. One extra "
+    "control-plane scalar (the corpus token total).",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens)
+                  OVER (ORDER BY n_tokens DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running_tokens
+      FROM t
+    )
+    SELECT c.doc_id, c.n_tokens, c.running_tokens
+    FROM c, tot
+    WHERE 10 * c.running_tokens <= 6 * tot.total
+    ORDER BY c.doc_id
+    """,
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import distributed_cumsum
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    # Control-plane scalar: the corpus token total (one map-side agg).
+    total = t.agg(F.sum("n_tokens")).collect()[0][0]
+    c = distributed_cumsum(
+        t.withColumn("neg_tokens", -F.col("n_tokens")),
+        order_cols=["neg_tokens", "doc_id"],
+        value_col="n_tokens",
+        out_col="running_tokens",
+    )
+    return (
+        c.filter(10 * F.col("running_tokens") <= 6 * F.lit(total))
+        .select("doc_id", "n_tokens", "running_tokens")
+        .orderBy("doc_id")
+    )

@@ -2067,3 +2067,84 @@ def mart_cumulative_revenue_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "order_date", "running_revenue_c")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — point-in-time (PIT) lookup against SCD2 validity intervals
+# --------------------------------------------------------------------------
+@query(
+    "scd2_point_in_time",
+    tier="T2",
+    doc="Point-in-time correctness: for one probe instant per user "
+    "(the integer midpoint of their activity span), return the "
+    "attribute version valid AT that instant from the SCD2 intervals "
+    "— the lookup every feature-store/backtest pipeline needs (using "
+    "today's attribute for yesterday's prediction is label leakage). "
+    "The validity predicate (valid_from ≤ t < valid_to, open-ended "
+    "tip) rides the user-key EQUI-join as a residual filter — never a "
+    "cross/range join — so fan-out is bounded by versions-per-user. "
+    "Exactly one interval matches each probe by construction "
+    "(intervals partition the span, zero-length same-second intervals "
+    "self-exclude). Probes are exact integer midpoints (div 2).",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_c,
+             CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+             lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS valid_to_s
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             (min(CAST(floor(epoch(ts)) AS BIGINT))
+              + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS probe_s
+      FROM events GROUP BY user_id
+    )
+    SELECT p.user_id, p.probe_s,
+           iv.event_type AS type_at, iv.value_c AS value_at_c
+    FROM p JOIN iv ON iv.user_id = p.user_id
+     AND iv.valid_from_s <= p.probe_s
+     AND (iv.valid_to_s IS NULL OR p.probe_s < iv.valid_to_s)
+    ORDER BY p.user_id
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        cents("value").alias("value_c"),
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    iv = e.select(
+        F.col("user_id").alias("iv_user"),
+        "event_type",
+        "value_c",
+        F.col("ts_s").alias("valid_from_s"),
+        F.lead("ts_s").over(w).alias("valid_to_s"),
+    )
+    p = e.groupBy("user_id").agg(
+        F.expr("(min(ts_s) + max(ts_s)) div 2").alias("probe_s")
+    )
+    return (
+        p.join(
+            iv,
+            (F.col("iv_user") == F.col("user_id"))
+            & (F.col("valid_from_s") <= F.col("probe_s"))
+            & (
+                F.col("valid_to_s").isNull()
+                | (F.col("probe_s") < F.col("valid_to_s"))
+            ),
+        )
+        .select(
+            "user_id",
+            "probe_s",
+            F.col("event_type").alias("type_at"),
+            F.col("value_c").alias("value_at_c"),
+        )
+        .orderBy("user_id")
+    )

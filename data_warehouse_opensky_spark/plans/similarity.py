@@ -810,3 +810,45 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(per_cluster, schema)
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — retrieval with metadata (the RAG lookup join)
+# --------------------------------------------------------------------------
+@query(
+    "ann_topk_with_metadata",
+    tier="T3",
+    doc="Retrieval join: exact cosine top-5 for the query vector, then "
+    "the k-row result joins the documents table for display metadata "
+    "(lang, source, length) — the lookup shape every retrieval "
+    "pipeline ends with. The expensive half (scoring) never touches "
+    "the wide table: TakeOrdered stops at k rows and only THOSE join "
+    "metadata (broadcast of the k-row side; at 100 TB the metadata "
+    "join is a point-lookup pattern against a keyed store).",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    topk AS (
+      SELECT e.vec_id,
+             round({_cos_sql('e.embedding', 'q.qvec')}, 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id != 0
+      ORDER BY cos_sim DESC, e.vec_id
+      LIMIT 5
+    )
+    SELECT t.vec_id, t.cos_sim, d.lang, d.source, d.n_chars
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    ORDER BY t.cos_sim DESC, t.vec_id
+    """,
+)
+def ann_topk_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    topk = S.brute_force_topk(e, query_id=0, k=5)
+    return (
+        F.broadcast(topk)
+        .join(d, topk.vec_id == d.doc_id)
+        .select("vec_id", "cos_sim", "lang", "source", "n_chars")
+        .orderBy(F.desc("cos_sim"), "vec_id")
+    )

@@ -816,3 +816,149 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median (grouped selection statistic)
+# --------------------------------------------------------------------------
+@query(
+    "stats_weighted_median",
+    tier="T2",
+    doc="Exact lower weighted median of extended price per return "
+    "flag, weighted by quantity: aggregate weight per (flag, price) "
+    "grain, running weight via a window over the PRE-AGGREGATED value "
+    "grains (bounded by distinct prices per flag — the documented "
+    "exemption; the fact-sized path would use operators/prefix.py), "
+    "then pick the smallest price whose doubled cumulative weight "
+    "reaches the flag total. All selection logic is exact integer "
+    "cross-multiplication — no float quantiles, so both engines agree "
+    "bit-for-bit (contrast approx_percentile_gate, which is "
+    "tolerance-gated).",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, price_c, w,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY price_c
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT flag,
+           CAST(min(price_c) AS BIGINT) AS weighted_median_c,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY flag ORDER BY flag
+    """,
+)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    g = li.groupBy("flag", "price_c").agg(F.sum("q").alias("w"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "flag",
+        "price_c",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_c").cast("long").alias("weighted_median_c"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal baseline + residual anomaly (day-of-week decomposition)
+# --------------------------------------------------------------------------
+@query(
+    "stats_seasonal_anomaly",
+    tier="T2",
+    doc="Seasonality-aware anomaly screen: daily order counts vs their "
+    "DAY-OF-WEEK baseline — z = (n·m − Σn) / sqrt(m·Σn² − (Σn)²) per "
+    "dow cohort, i.e. the population z-score written as one exact-"
+    "integer numerator over the sqrt of an exact-integer variance "
+    "term, so the only float op is the final division (round-6, "
+    "continuous). Catches a spike that looks normal against the "
+    "global mean but is 3σ for a Sunday. Two map-side-combined aggs "
+    "(day grain, then dow cohort) + one broadcast-back join; top-10 "
+    "by |z| via TakeOrdered. DOW convention pinned to DuckDB's "
+    "0=Sunday (Spark's dayofweek() − 1).",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS od,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(n) AS BIGINT) AS sn,
+             CAST(sum(n * n) AS BIGINT) AS sn2
+      FROM d GROUP BY dow
+    )
+    SELECT CAST(d.od AS VARCHAR) AS order_date,
+           CAST(d.dow AS BIGINT) AS dow,
+           d.n AS n_orders,
+           round(CAST(d.n * b.m - b.sn AS DOUBLE)
+                 / sqrt(CAST(b.m * b.sn2 - b.sn * b.sn AS DOUBLE)), 6)
+             AS z_score
+    FROM d JOIN b USING (dow)
+    WHERE b.m * b.sn2 - b.sn * b.sn > 0
+    ORDER BY abs(round(CAST(d.n * b.m - b.sn AS DOUBLE)
+                 / sqrt(CAST(b.m * b.sn2 - b.sn * b.sn AS DOUBLE)), 6)) DESC,
+             order_date
+    LIMIT 10
+    """,
+)
+def stats_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("od")
+    )
+    d = o.groupBy(
+        "od", (F.dayofweek("od") - 1).cast("long").alias("dow")
+    ).agg(F.count("*").cast("long").alias("n"))
+    b = d.groupBy("dow").agg(
+        F.count("*").alias("m"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    z = F.round(
+        (F.col("n") * F.col("m") - F.col("sn")).cast("double")
+        / F.sqrt(
+            (F.col("m") * F.col("sn2") - F.col("sn") * F.col("sn")).cast(
+                "double"
+            )
+        ),
+        6,
+    )
+    return (
+        d.join(b, "dow")
+        .filter(F.col("m") * F.col("sn2") - F.col("sn") * F.col("sn") > 0)
+        .select(
+            F.col("od").cast("string").alias("order_date"),
+            "dow",
+            F.col("n").alias("n_orders"),
+            z.alias("z_score"),
+        )
+        .orderBy(F.abs(F.col("z_score")).desc(), "order_date")
+        .limit(10)
+    )

@@ -189,3 +189,83 @@ def test_rolling_distinct_counts_trailing_window(spark, tmp_path):
         for r in QUERIES["mart_rolling_distinct_7d"].fn(spark, str(tmp_path)).collect()
     }
     assert out == {"1995-01-01": 1, "1995-01-04": 2, "1995-01-11": 1}
+
+
+def test_triangle_count_known_graph(spark, tmp_path):
+    """K4 plus a pendant edge via co-purchase orders: parts {1,2,3,4}
+    all share order 100 (K4 → 4 triangles), part 5 only shares order
+    200 with part 1 (pendant — no new triangle). n_edges = 6 + 1."""
+    rows = [(100, p) for p in (1, 2, 3, 4)] + [(200, 1), (200, 5)]
+    li = spark.createDataFrame(rows, "l_orderkey BIGINT, l_partkey BIGINT")
+    _write(li, tmp_path, "lineitem")
+    out = QUERIES["graph_triangle_count"].fn(spark, str(tmp_path)).collect()[0]
+    assert out["n_edges"] == 7, out
+    assert out["n_triangles"] == 4, out
+    spark.catalog.clearCache()
+
+
+def test_distributed_cumsum_equals_serial_window(spark):
+    """The two-phase parallel scan must equal a straight serial prefix
+    sum — including across range-partition boundaries and duplicate
+    order-key prefixes (ties broken by the unique second key)."""
+    from data_warehouse_opensky_spark.operators.prefix import (
+        distributed_cumsum,
+    )
+
+    rows = [(i % 7, i, (i * 13) % 101) for i in range(1000)]
+    df = spark.createDataFrame(rows, "grp BIGINT, uid BIGINT, v BIGINT")
+    out = {
+        r["uid"]: r["rt"]
+        for r in distributed_cumsum(
+            df, ["grp", "uid"], "v", out_col="rt", num_partitions=8
+        ).collect()
+    }
+    acc, expect = 0, {}
+    for grp, uid, v in sorted(rows):
+        acc += v
+        expect[uid] = acc
+    assert out == expect
+    spark.catalog.clearCache()
+
+
+def test_sessionize_gap_boundary(spark, tmp_path):
+    """Gap of EXACTLY 1800 s stays one session (> 1800 splits); a
+    1801 s gap starts session 2."""
+    T = datetime.datetime
+    base = T(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "click", 0.0, "{}"),
+        (2, base + datetime.timedelta(seconds=1800), 1, "click", 0.0, "{}"),
+        (3, base + datetime.timedelta(seconds=1800 + 1801), 1, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    _write(df, tmp_path, "events")
+    out = QUERIES["mart_sessionize_gaps"].fn(spark, str(tmp_path)).collect()
+    assert [(r["session_seq"], r["n_events"]) for r in out] == [(1, 2), (2, 1)]
+
+
+def test_pq_codes_reconstruction_invariants(spark, tmp_path):
+    """Seed vectors must encode to themselves with ZERO error in every
+    subspace (their subvectors ARE codebook entries), so a corpus of
+    exactly ksub distinct vectors has sq_err_total = 0 and full code
+    utilization in every subspace."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(16, 64).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(16)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    _write(df, tmp_path, "embeddings")
+    out = QUERIES["embedding_pq_codes"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["n_vecs"] == 16
+        assert r["sq_err_total"] == 0, r
+        assert r["n_codes_used"] == 16, r
+    spark.catalog.clearCache()
