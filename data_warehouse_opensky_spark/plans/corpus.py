@@ -686,9 +686,13 @@ def corpus_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    # No broadcast pin on the doc_id->source map: it is DOC-cardinality,
+    # so a hard hint would OOM the driver at 100 TB. AQE broadcasts it
+    # at bench scale from stats; at scale this becomes a shuffle join
+    # on the candidate set (O(candidates), still never all-pairs).
     return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .groupBy(
             F.least("src_a", "src_b").alias("source_x"),
             F.greatest("src_a", "src_b").alias("source_y"),

@@ -561,10 +561,15 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
+    # No broadcast pin: ma/mb are DOC-cardinality (|docs| x K minhash
+    # columns) — AQE broadcasts them from the cached-relation stats at
+    # bench scale; at 100 TB the same code degrades to shuffle joins on
+    # doc_id instead of a driver OOM (the jaccard_verify_arrays
+    # broadcast_docs=False argument, applied by default).
     mm = (
         cand.select("doc_a", "doc_b")
-        .join(F.broadcast(ma), "doc_a")
-        .join(F.broadcast(mb), "doc_b")
+        .join(ma, "doc_a")
+        .join(mb, "doc_b")
         .select("doc_a", "doc_b", n_match.alias("n_match"))
     )
 

@@ -162,16 +162,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("acc"))
         )
-        ranks = (
-            deg.select("node")
-            .join(acc, deg.node == acc.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_q)
-                    + F.expr("(85 * coalesce(acc, 0)) div 100")
-                ).alias("rank_q"),
-            )
+        # No per-round backfill join: the edge list is SYMMETRIC (both
+        # directions unioned above), so every node in deg has in-degree
+        # >= 1 and acc already carries the full node set — the oracle's
+        # LEFT JOIN deg never fires its NULL arm. Dropping the join
+        # removes one |V|-join per round (3 total) from the plan; a
+        # directed-graph variant would need it back (dangling mass).
+        ranks = acc.select(
+            F.col("dst").alias("node"),
+            (F.lit(base_q) + F.expr("(85 * acc) div 100")).alias("rank_q"),
         )
     return (
         ranks.select(

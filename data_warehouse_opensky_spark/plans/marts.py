@@ -1757,7 +1757,10 @@ def mart_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("o_totalprice").alias("price_c"),
     )
     first_mon = o.groupBy("o_custkey").agg(F.min("mon").alias("fmon"))
-    j = o.join(F.broadcast(first_mon), "o_custkey")
+    # first_mon is CUSTOMER-cardinality — no hard broadcast pin (AQE
+    # broadcasts it at bench scale; at 100 TB both sides shuffle once
+    # on the shared customer key and co-partition).
+    j = o.join(first_mon, "o_custkey")
     is_new = F.col("mon") == F.col("fmon")
     return (
         j.groupBy("mon")
@@ -1843,8 +1846,11 @@ def mart_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = o.groupBy("o_custkey").agg(F.min("monnum").alias("cohort_mon"))
     sz = f.groupBy("cohort_mon").agg(F.count("*").cast("long").alias("n_cust"))
+    # f is CUSTOMER-cardinality — no hard broadcast pin (AQE decides at
+    # bench scale; at 100 TB fact and cohort frames co-partition on the
+    # customer key). sz stays pinned: it is #cohort-months rows.
     m = (
-        o.join(F.broadcast(f), "o_custkey")
+        o.join(f, "o_custkey")
         .withColumn("offset_m", F.col("monnum") - F.col("cohort_mon"))
         .filter(F.col("offset_m").between(0, 5))
         .groupBy("cohort_mon", "offset_m")
