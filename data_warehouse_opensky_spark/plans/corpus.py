@@ -826,3 +826,65 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "running_tokens")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Epoch upsampling (repetition factors toward a balanced language mix)
+# --------------------------------------------------------------------------
+@query(
+    "corpus_upsample_epochs",
+    tier="T3",
+    doc="Epoch upsampling: each language's documents repeat "
+    "ceil(max_lang_chars / lang_chars) times (capped at 4 epochs) so "
+    "rare languages close the gap to the largest — the repetition-"
+    "factor half of data mixing (multiple epochs over small "
+    "high-value sources is standard pretraining practice; the cap is "
+    "the 'don't repeat past ~4 epochs' rule of thumb). The factor "
+    "comes from a #langs-row aggregate joined back (bounded "
+    "cardinality); the repeat itself is a row-local sequence+explode "
+    "— fan-out ≤ 4, zero extra shuffles. Per (lang, epoch) counts "
+    "prove the explode end-to-end; exact integers throughout.",
+    oracle="""
+    WITH lc AS (
+      SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang
+    ),
+    f AS (
+      SELECT lang, chars,
+             least(4, CAST(((SELECT max(chars) FROM lc) + chars - 1) // chars
+                           AS BIGINT)) AS factor
+      FROM lc
+    )
+    SELECT d.lang, CAST(ep.epoch AS BIGINT) AS epoch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(f.factor) AS BIGINT) AS repeat_factor
+    FROM documents d
+    JOIN f USING (lang),
+    LATERAL (SELECT unnest(range(f.factor)) AS epoch) ep
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    lc = d.groupBy("lang").agg(F.sum("n_chars").alias("chars"))
+    # Control-plane scalar: the largest language's char mass.
+    mx = lc.agg(F.max("chars")).collect()[0][0]
+    f = lc.select(
+        "lang",
+        F.least(
+            F.lit(4), F.expr(f"({int(mx)} + chars - 1) div chars")
+        ).alias("factor"),
+    )
+    return (
+        d.join(f, "lang")  # #langs-row side; AQE broadcasts it
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("factor") - 1)))
+        .groupBy("lang", F.col("epoch").cast("long").alias("epoch"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("factor").cast("long").alias("repeat_factor"),
+        )
+        .orderBy("lang", "epoch")
+    )

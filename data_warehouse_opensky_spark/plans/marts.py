@@ -2154,3 +2154,159 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — marketing attribution (last-touch within a lookback window)
+# --------------------------------------------------------------------------
+@query(
+    "mart_attribution_last_touch",
+    tier="T2",
+    doc="Last-touch attribution: every purchase is credited to the "
+    "same user's most recent click strictly before it, if that click "
+    "is within a 7-day lookback — the standard marketing-attribution "
+    "mart. ONE shuffle on user_id, then a running max(click composite) "
+    "window (ROWS ... 1 PRECEDING for the strictness) carries the "
+    "last-click identity to each purchase row; the composite "
+    "epoch-s*1e7+event_id key packs time AND identity so one window "
+    "answers both 'when' and 'which click' (bounds: event_id < 1e7 — "
+    "catalog packing doctrine, see audit_burst_rate). Scan prunes to "
+    "the two event types before the shuffle.",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS comp
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, event_id, event_type, ts_s,
+             max(CASE WHEN event_type = 'click' THEN comp END) OVER (
+               PARTITION BY user_id ORDER BY comp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_comp
+      FROM e
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN last_click_comp IS NOT NULL
+                 AND ts_s - last_click_comp // 10000000 <= 604800
+                THEN last_click_comp % 10000000 END AS click_id,
+           CASE WHEN last_click_comp IS NOT NULL
+                 AND ts_s - last_click_comp // 10000000 <= 604800
+                THEN ts_s - last_click_comp // 10000000 END AS gap_s
+    FROM w WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def mart_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        )
+        .withColumn(
+            "comp", F.col("ts_s") * F.lit(10000000) + F.col("event_id")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("comp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("comp"))
+    ).over(w)
+    # Reference the MATERIALIZED column, not the window expression —
+    # re-using `last_click` here would re-evaluate the window over the
+    # already-filtered (purchases-only) rows, where no click exists.
+    attributed = F.col("last_click_comp").isNotNull() & (
+        F.col("ts_s") - F.expr("last_click_comp div 10000000") <= 604800
+    )
+    return (
+        e.withColumn("last_click_comp", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(
+                attributed, F.col("last_click_comp") % 10000000
+            ).alias("click_id"),
+            F.when(
+                attributed,
+                F.col("ts_s") - F.expr("last_click_comp div 10000000"),
+            ).alias("gap_s"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# T2 — incremental SCD2 rebuild (MERGE-scoped recompute)
+# --------------------------------------------------------------------------
+@query(
+    "scd2_incremental_rebuild",
+    tier="T2",
+    doc="Incremental SCD2 maintenance: a change batch (events at or "
+    "after the 80%-span watermark T) arrives against the stored "
+    "pre-T interval table; ONLY the touched users' histories are "
+    "rebuilt (semi-join prune), untouched users' stored intervals "
+    "pass through unread (anti-join), and the union provably equals "
+    "a full-history rebuild — the oracle IS the full rebuild. This "
+    "is the MERGE-scoped recompute every warehouse dimension load "
+    "runs: cost O(|touched histories| + passthrough), never "
+    "O(|history|) recompute. T derives from min/max epoch seconds by "
+    "exact integer arithmetic; both interval builds use the lead() "
+    "window with the (ts_s, event_id) unique order.",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+           lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+           ) AS valid_to_s
+    FROM events
+    ORDER BY user_id, valid_from_s, event_id
+    """,
+)
+def scd2_incremental_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        cents("value").alias("value_c"),
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    # Watermark T at 80% of the event-time span — control-plane
+    # scalars (one min/max agg), exact integer arithmetic so the
+    # oracle-side split replays identically.
+    lo, hi = e.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
+    t_split = lo + ((hi - lo) * 4) // 5
+
+    def intervals(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        return df.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value_c",
+            F.col("ts_s").alias("valid_from_s"),
+            F.lead("ts_s").over(w).alias("valid_to_s"),
+        )
+
+    # Stored state: the pre-T interval table (in production a table on
+    # disk; recomputed here only because the gate needs a closed form).
+    base = intervals(e.filter(F.col("ts_s") < t_split))
+    touched = e.filter(F.col("ts_s") >= t_split).select("user_id").distinct()
+    # Untouched users: stored intervals pass through byte-for-byte.
+    passthrough = base.join(touched, "user_id", "left_anti")
+    # Touched users: rebuild from their FULL history (semi-join prune
+    # keeps the recompute proportional to the touched slice).
+    rebuilt = intervals(e.join(touched, "user_id", "left_semi"))
+    return passthrough.unionByName(rebuilt).orderBy(
+        "user_id", "valid_from_s", "event_id"
+    )

@@ -852,3 +852,73 @@ def ann_topk_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cos_sim", "lang", "source", "n_chars")
         .orderBy(F.desc("cos_sim"), "vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — hard-negative mining (contrastive-training data prep)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_hard_negatives",
+    tier="T3",
+    doc="Hard-negative mining: for each of 5 anchor vectors, the 3 "
+    "most-similar vectors with a DIFFERENT label — the contrastive-"
+    "training data-prep step (high-similarity cross-label pairs are "
+    "the negatives that actually teach the margin). The 5-row anchor "
+    "side broadcasts; scoring is one scan of the corpus (fan-out 5, "
+    "row-local cosine fold); per-anchor top-3 rides the rank window "
+    "(WindowGroupLimit pushes k into the shuffle). At 100 TB the scan "
+    "narrows to each anchor's LSH bucket first (ann_lsh_topk's path) "
+    "— same ranking, candidate-bounded cost. Cosines round at 6 dp "
+    "with a vec_id tiebreak (catalog doctrine).",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS avec, label AS albl
+      FROM embeddings WHERE vec_id < 5
+    ),
+    s AS (
+      SELECT a.anchor_id, e.vec_id,
+             round({_cos_sql('e.embedding', 'a.avec')}, 6) AS cos_sim
+      FROM embeddings e, a
+      WHERE e.label != a.albl
+    ),
+    r AS (
+      SELECT anchor_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM s
+    )
+    SELECT anchor_id, CAST(rk AS BIGINT) AS rk,
+           vec_id AS negative_id, cos_sim
+    FROM r WHERE rk <= 3
+    ORDER BY anchor_id, rk
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("avec"),
+        F.col("label").alias("albl"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(a))
+        .filter(F.col("label") != F.col("albl"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("avec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("anchor_id", "rk", F.col("vec_id").alias("negative_id"), "cos_sim")
+        .orderBy("anchor_id", "rk")
+    )

@@ -962,3 +962,72 @@ def stats_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z_score")).desc(), "order_date")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth (quantile) histogram via the distributed prefix sum
+# --------------------------------------------------------------------------
+@query(
+    "stats_equidepth_histogram",
+    tier="T2",
+    doc="Equi-depth 10-bucket histogram of order price: each bucket "
+    "holds ~1/10 of the ROWS (equal mass, data-driven boundaries) — "
+    "the optimizer/skew statistic, vs the fixed-boundary equi-width "
+    "histogram (stats_histogram_price). Bucket assignment is exact "
+    "integer selection: bucket = (10 * rows-before-this-value) div "
+    "total, computed from a running count over the (price, count) "
+    "value grains. Order prices are near-unique, so the grain series "
+    "is FACT-sized — the running count therefore uses the two-phase "
+    "distributed prefix sum (operators/prefix.py), never a "
+    "single-partition global window (the scale trap the pre-aggregated "
+    "cumsum queries are exempt from). Ties (equal prices) land in one "
+    "grain, hence one bucket — depths are near-equal, boundaries "
+    "exact. One control-plane scalar (total row count).",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(count(*) AS BIGINT) AS w
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT price_c, w,
+             CAST(sum(w) OVER (ORDER BY price_c
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(sum(w) OVER () AS BIGINT) AS total
+      FROM g
+    )
+    SELECT CAST((10 * (cw - w)) // total AS BIGINT) AS bucket,
+           CAST(sum(w) AS BIGINT) AS n_orders,
+           CAST(min(price_c) AS BIGINT) AS lo_c,
+           CAST(max(price_c) AS BIGINT) AS hi_c
+    FROM c
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import distributed_cumsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("price_c")
+    )
+    g = o.groupBy("price_c").agg(F.count("*").cast("long").alias("w"))
+    total = g.agg(F.sum("w")).collect()[0][0]
+    c = distributed_cumsum(g, order_cols=["price_c"], value_col="w", out_col="cw")
+    return (
+        c.select(
+            "price_c",
+            "w",
+            # Integer floor division (div), NOT float `/` + cast —
+            # catalog doctrine: bucket boundaries must be exact.
+            F.expr(f"(10 * (cw - w)) div {int(total)}")
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("w").cast("long").alias("n_orders"),
+            F.min("price_c").cast("long").alias("lo_c"),
+            F.max("price_c").cast("long").alias("hi_c"),
+        )
+        .orderBy("bucket")
+    )

@@ -643,3 +643,44 @@ def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.select(
         "user_id", "day_s", "n_events", "start_s", "end_s"
     ).orderBy("user_id", "day_s")
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    tier="T2",
+    doc="Bounded-state streaming dedup: the event stream UNIONED with "
+    "itself (every event arrives exactly twice) flows through "
+    "dropDuplicatesWithinWatermark(event_id) under a 2-hour "
+    "watermark; per-type counts over the drained sink equal the "
+    "plain batch counts — proof each duplicate was dropped exactly "
+    "once. The WithinWatermark variant is the 100 TB shape: its "
+    "dedup state EVICTS once keys age past the watermark (asserted "
+    "from stateOperators metrics in tests/test_streaming.py), where "
+    "plain dropDuplicates retains every key forever and OOMs on an "
+    "unbounded stream. Duplicates here share an identical event "
+    "time, so they always land inside the horizon and the dedup is "
+    "exact, not best-effort.",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _stream_events(spark, sf_dir)
+    doubled = stream.unionByName(_stream_events(spark, sf_dir))
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = _drain_to_memory(deduped, mode="append")
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

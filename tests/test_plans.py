@@ -903,3 +903,76 @@ def test_distributed_cumsum_two_phase_shape(spark):
     assert "windowspecdefinition(_pid" in body, body
     assert "BroadcastHashJoin" in body or "BroadcastExchange" in body, body
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions
+# ---------------------------------------------------------------------------
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Catalyst's InjectRuntimeFilter must be reachable with our session
+    confs: a selective dim filter joined to a pre-aggregated fact (the
+    shape whose fact-side shuffle a bloom filter prunes) injects
+    might_contain(bloom_filter_agg(...)) into the fact scan. At 100 TB
+    this is the optimizer sending the dim predicate to the fact BEFORE
+    the shuffle — rows that can't join never leave the mappers. The
+    rule requires (a) a probable shuffle join (broadcast disabled here
+    to force it at sf0.001), (b) a shuffle below the application side,
+    (c) scan sizes past thresholds (application-side threshold lowered
+    — test data is small; defaults apply in production)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    o = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+
+
+def test_equidepth_histogram_uses_distributed_prefix_sum(spark):
+    """The equi-depth histogram's running count must ride the two-phase
+    prefix sum: a RangePartitioning exchange, and NO SinglePartition
+    exchange anywhere (the global-window trap on near-unique prices)."""
+    plan = plan_of(spark, "stats_equidepth_histogram")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_hard_negatives_broadcasts_anchors_only(spark):
+    """Anchor side (5 rows) broadcasts; the corpus scan is never
+    exchanged before scoring; top-3 per anchor rides a window group
+    limit, not a global sort of all scored pairs."""
+    plan = plan_of(spark, "embedding_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_attribution_single_shuffle_on_user(spark):
+    """Last-touch attribution: exactly one exchange, keyed on user_id
+    (the window's partition key) — the scan prunes to two event types
+    before the shuffle."""
+    plan = plan_of(spark, "mart_attribution_last_touch")
+    hash_args = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert len(hash_args) == 1, plan
+    assert "user_id" in hash_args[0], hash_args
+    # Pruned scan: only the two touched event types reach the shuffle.
+    assert "In(event_type, [click,purchase])" in plan, plan

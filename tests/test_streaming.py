@@ -531,3 +531,58 @@ def test_timeout_sessions_close_on_watermark(spark, tmp_path):
     rows = spark.table("timeout_sessions_sink").collect()
     closed = {r.user_id: (r.n_events, r.start_s, r.end_s) for r in rows}
     assert closed == {0: (3, 1000, 1010)}, rows
+
+
+def test_dedup_within_watermark_evicts_and_dedups(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must (a) drop a duplicate arriving
+    in a later micro-batch while its key is inside the horizon, and
+    (b) EVICT aged-out keys — the bounded-state guarantee plain
+    dropDuplicates lacks. Both asserted from stateOperators metrics
+    over a 3-slab replay with 6 h jumps (watermark delay 2 h)."""
+    from datetime import datetime, timedelta
+
+    from data_warehouse_opensky_spark.plans.streaming_queries import (
+        drain_with_state_metrics,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    cols = ["user_id", "event_id", "event_type", "ts"]
+
+    def slab(file_no, base, n=30):
+        rows = []
+        for i in range(n):
+            ts = base + timedelta(minutes=i)
+            rows.append((i % 5, file_no * 1000 + i, "click", ts))
+            rows.append((i % 5, file_no * 1000 + i, "click", ts))  # dup
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            str(src / f"slab{file_no}")
+        )
+
+    for fno, hours in ((0, 0), (1, 6), (2, 12)):
+        slab(fno, t0 + timedelta(hours=hours))
+
+    schema = spark.read.parquet(str(src / "slab0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    deduped = stream.withWatermark(
+        "ts", "2 hours"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    sink, metrics = drain_with_state_metrics(deduped, "append")
+
+    # (a) exactly-once: each (slab, i) key emits exactly one row.
+    assert sink.count() == 90, sink.count()
+    # (b) bounded state: keys from old slabs are removed as the
+    # watermark jumps 6 h per slab.
+    with_state = [m for m in metrics if m["stateOperators"]]
+    assert len(with_state) >= 2, f"need >=2 stateful micro-batches: {metrics}"
+    removed = sum(
+        so["numRowsRemoved"] for m in with_state for so in m["stateOperators"]
+    )
+    assert removed > 0, f"watermark never evicted dedup state: {with_state}"
+    final_total = with_state[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_total < 90, f"state grew unbounded: {with_state}"
