@@ -299,3 +299,62 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — recursive CTE: hierarchical rollup (BOM / org-chart shape)
+# --------------------------------------------------------------------------
+@query(
+    "graph_hierarchy_rollup",
+    tier="T2",
+    doc="Recursive-CTE hierarchical rollup (Spark 4 WITH RECURSIVE): "
+    "part revenue aggregated up a 10-ary ancestor tree (parent = "
+    "partkey div 10 — an arithmetic hierarchy, so both engines agree "
+    "on the edges), reporting the top 2 tree levels (node < 100). The "
+    "BOM-explosion / org-chart rollup every warehouse eventually "
+    "needs, here on the recursive-SQL surface: each iteration is one "
+    "equi-projection of the previous frontier (upward out-degree is "
+    "exactly 1, so the recursion is LINEAR — rows x depth <= 7, no "
+    "fan-out blowup; contrast BFS over a co-purchase graph, where the "
+    "frontier needs per-level dedup and the iterative-join form "
+    "(graph_pagerank's shape) is the scale path). Revenue in exact "
+    "cents; contribution counts exact BIGINTs.",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT l_partkey AS node,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c
+      FROM lineitem
+    ),
+    up AS (
+      SELECT node, rev_c, 0 AS depth FROM base
+      UNION ALL
+      SELECT node // 10, rev_c, depth + 1 FROM up WHERE node > 0
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_contrib,
+           CAST(max(depth) AS BIGINT) AS max_depth,
+           CAST(sum(rev_c) AS BIGINT) AS subtree_rev_c
+    FROM up WHERE node < 100
+    GROUP BY node ORDER BY node
+    """,
+)
+def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        WITH RECURSIVE base AS (
+          SELECT l_partkey AS node,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c
+          FROM lineitem
+        ),
+        up AS (
+          SELECT node, rev_c, 0 AS depth FROM base
+          UNION ALL
+          SELECT node div 10, rev_c, depth + 1 FROM up WHERE node > 0
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_contrib,
+               CAST(max(depth) AS BIGINT) AS max_depth,
+               CAST(sum(rev_c) AS BIGINT) AS subtree_rev_c
+        FROM up WHERE node < 100
+        GROUP BY node ORDER BY node
+        """
+    )

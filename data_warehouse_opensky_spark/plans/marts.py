@@ -2310,3 +2310,67 @@ def scd2_incremental_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passthrough.unionByName(rebuilt).orderBy(
         "user_id", "valid_from_s", "event_id"
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — gaps-and-islands: longest consecutive-day activity streak
+# --------------------------------------------------------------------------
+@query(
+    "mart_longest_streak",
+    tier="T2",
+    doc="Gaps-and-islands: each user's longest run of CONSECUTIVE "
+    "active days — the engagement-streak mart. The classic rewrite: "
+    "reduce to distinct (user, epoch-day) grains, then island_id = "
+    "day - row_number() per user (consecutive days share a constant "
+    "difference), one agg per (user, island), max per user. Two "
+    "shuffles, BOTH keyed on user_id (grain distinct, then the "
+    "window+aggs ride the same partitioning — exchange-free after "
+    "the first); never a self-join on dates. Days are exact "
+    "epoch-day integers (UTC floor).",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_no
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day_no,
+             day_no - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY day_no) AS island
+      FROM g
+    ),
+    runs AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(run_len) AS BIGINT) AS longest_streak_days,
+           CAST(sum(run_len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def mart_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "cast(floor(unix_timestamp(ts)) as bigint) div 86400"
+            ).alias("day_no"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    runs = (
+        g.withColumn("island", F.col("day_no") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").cast("long").alias("run_len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").cast("long").alias("longest_streak_days"),
+            F.sum("run_len").cast("long").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )

@@ -572,3 +572,63 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nearest_click_id"),
         F.when(pick_back, -db).when(ok_f, df_).alias("delta_s"),
     ).orderBy("purchase_id")
+
+
+# --------------------------------------------------------------------------
+# T2.9 — ntile bucketing within groups
+# --------------------------------------------------------------------------
+@query(
+    "window_ntile_quartiles",
+    tier="T2",
+    doc="ntile(4) spend quartiles within each market segment: "
+    "customers ranked by exact-cents order spend (custkey tiebreak — "
+    "ntile is deterministic only under a total order), bucketed into "
+    "4 near-equal-count tiles, then per-(segment, quartile) stats. "
+    "The window runs over the PRE-AGGREGATED per-customer frame "
+    "(bounded by |customers| per segment — the documented exemption "
+    "class; the fact table itself is reduced by one map-side-combined "
+    "agg first). The per-segment partitioning keys the shuffle.",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend_c
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT segment, c_custkey, spend_c,
+             ntile(4) OVER (PARTITION BY segment
+                            ORDER BY spend_c DESC, c_custkey) AS quartile
+      FROM s
+    )
+    SELECT segment, CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(min(spend_c) AS BIGINT) AS min_spend_c,
+           CAST(max(spend_c) AS BIGINT) AS max_spend_c
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"), "c_custkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("price_c")
+    )
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("segment", "c_custkey")
+        .agg(F.sum("price_c").cast("long").alias("spend_c"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("spend_c"), "c_custkey")
+    return (
+        s.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("segment", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.min("spend_c").cast("long").alias("min_spend_c"),
+            F.max("spend_c").cast("long").alias("max_spend_c"),
+        )
+        .orderBy("segment", "quartile")
+    )

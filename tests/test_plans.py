@@ -976,3 +976,23 @@ def test_attribution_single_shuffle_on_user(spark):
     assert "user_id" in hash_args[0], hash_args
     # Pruned scan: only the two touched event types reach the shuffle.
     assert "In(event_type, [click,purchase])" in plan, plan
+
+
+def test_longest_streak_single_user_partitioning(spark):
+    """Gaps-and-islands: every hashpartitioning exchange keys on
+    user_id — the distinct, the island window, and both aggs reuse one
+    partitioning; no date self-join anywhere."""
+    plan = plan_of(spark, "mart_longest_streak")
+    hash_args = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert hash_args, plan
+    assert all("user_id" in l for l in hash_args), hash_args
+    assert "Join" not in plan, plan
+
+
+def test_hierarchy_rollup_recursion_is_linear(spark):
+    """The recursive CTE must compile to a loop over UnionLoop/CTE
+    iterations with NO join inside the recursive step (upward
+    out-degree 1 ⇒ each level is a projection of the previous)."""
+    plan = plan_of(spark, "graph_hierarchy_rollup")
+    assert "UnionLoop" in plan or "CTERelation" in plan or "Loop" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
