@@ -101,6 +101,21 @@ HEADLINE = [
     "cdc_apply_log",
     "text_char_entropy",
     "embedding_covariance_audit",
+    # -- round-4 additions ------------------------------------------------
+    "graph_triangle_count",
+    "mart_cumulative_revenue_scan",
+    "embedding_pq_codes",
+    "embedding_semantic_dedup",
+    "mart_attribution_last_touch",
+    "stats_equidepth_histogram",
+    "mart_longest_streak",
+    "graph_hierarchy_rollup",
+    "corpus_budget_select",
+    "stats_weighted_median",
+    "embedding_hard_negatives",
+    "streaming_dedup_within_watermark",
+    "mart_sessionize_gaps",
+    "corpus_upsample_epochs",
 ]
 
 

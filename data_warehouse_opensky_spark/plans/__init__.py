@@ -27,9 +27,9 @@ from . import graph  # noqa: E402,F401
 # iterative (kmeans, pagerank) and stateful-streaming replay queries
 # LAST so a slow tail can never starve the cheap checks of their slot.
 #
-# The 21 never-windowed queries deliberately LEFT for the r5 window
-# (lowest-risk single-agg stats/marts/audits, all green in
-# tests/test_oracle.py at sf0.001 AND the r3 judge's sf0.01 sweep):
+# The r5 window backlog (never driver-windowed; all green in
+# tests/test_oracle.py at sf0.001 and the local sf0.01 sweep):
+# 21 carried from r3 (lowest-risk single-agg stats/marts/audits):
 #   stats_histogram_price, stats_corr_qty_price, stats_anomaly_zscore,
 #   stats_rolling_median, stats_profile_orders, stats_autocorr_lag1,
 #   stats_benford_firstdigit, stats_mad_outliers,
@@ -38,6 +38,16 @@ from . import graph  # noqa: E402,F401
 #   mart_weekly_top_gainer, mart_abc_pareto, mart_supplier_churn,
 #   mart_markov_transitions, mart_cohort_ltv, audit_key_skew,
 #   audit_k_anonymity, audit_burst_rate
+# plus the 19 round-4 additions:
+#   graph_triangle_count, embedding_pq_codes, embedding_semantic_dedup,
+#   mart_cumulative_revenue_scan, mart_sessionize_gaps, text_zipf_slope,
+#   corpus_budget_select, scd2_point_in_time, ann_topk_with_metadata,
+#   stats_weighted_median, stats_seasonal_anomaly,
+#   mart_attribution_last_touch, scd2_incremental_rebuild,
+#   stats_equidepth_histogram, embedding_hard_negatives,
+#   corpus_upsample_epochs, streaming_dedup_within_watermark,
+#   graph_hierarchy_rollup, window_ntile_quartiles, mart_longest_streak
+# (40 total: fills the r5 window with 10 slots spare for r5 additions).
 # Queries displaced past slot 50 stay covered by tests/test_oracle.py,
 # which runs ALL of them vs DuckDB at sf0.001.
 DRIVER_WINDOW_PRIORITY = [

@@ -274,9 +274,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # The wedge stream is the O(m^1.5) cost center (~35M rows at
+    # sf0.1) — touch it exactly ONCE, as the probe side of the closing
+    # INNER join, counted without materializing wide rows. Three
+    # plan-level choices keep it cheap:
+    #  * n_wedges never scans the wedge stream: it is Σ outdeg·(outdeg
+    #    − 1)/2 over the ORIENTED degree table (|V| rows, closed form).
+    #  * the wedge (v, w) pair packs into ONE long (shiftleft 32 —
+    #    node keys are 32-bit by data contract, documented bound), so
+    #    the closing join hashes/compares a single word, not a struct.
+    #  * shuffle_hash hints (NOT broadcast — edges are fact-derived)
+    #    keep the 35M-row stream from being SORTED: sort-merge would
+    #    sort the wedges; a shuffled hash join builds on the 1.2M-edge
+    #    side and streams the wedges through probe-side counting.
     o1, o2 = o.alias("o1"), o.alias("o2")
     w = (
-        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        o1.join(o2.hint("shuffle_hash"), F.col("o1.src") == F.col("o2.src"))
         .filter(
             (F.col("o1.dd") < F.col("o2.dd"))
             | (
@@ -284,12 +297,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("o1.dst") < F.col("o2.dst"))
             )
         )
-        .select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+        .select(
+            (
+                F.shiftleft(F.col("o1.dst"), 32) + F.col("o2.dst")
+            ).alias("wk")
+        )
     )
-    oc = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = w.join(oc, ["v", "w"]).agg(F.count("*").alias("n_triangles"))
+    # Closing join: NO hint — AQE broadcasts the packed edge side from
+    # runtime stats at bench scale (~15 MB, measured 1.5 s faster than
+    # a hinted shuffle-hash join because the 35M-row wedge stream then
+    # never shuffles); at 100 TB the size gate fails and the same code
+    # degrades to the shuffled hash join on the packed key.
+    oc = o.select((F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("wk"))
+    tri = w.join(oc, "wk").agg(F.count("*").alias("n_triangles"))
+    odeg = o.groupBy("src").agg(F.count("*").alias("od"))
+    n_wedges = odeg.agg(
+        F.expr("sum((od * (od - 1)) div 2)").cast("long").alias("n_wedges")
+    )
     n_edges = pairs.agg(F.count("*").alias("n_edges"))
-    n_wedges = w.agg(F.count("*").alias("n_wedges"))
     return (
         n_edges.crossJoin(n_wedges)
         .crossJoin(tri)
@@ -318,12 +343,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fan-out blowup; contrast BFS over a co-purchase graph, where the "
     "frontier needs per-level dedup and the iterative-join form "
     "(graph_pagerank's shape) is the scale path). Revenue in exact "
-    "cents; contribution counts exact BIGINTs.",
+    "cents; contribution counts exact BIGINTs. The recursion input is "
+    "AGGREGATED FIRST (one map-side-combined agg to |parts| rows) — "
+    "recursing over raw lineitems would push |facts|·depth rows "
+    "through the loop and trip Spark's cteRecursionRowLimit (1e6) at "
+    "sf0.1 already; aggregate-before-recurse bounds loop traffic by "
+    "|parts|·7 at ANY fact scale.",
     oracle="""
     WITH RECURSIVE base AS (
       SELECT l_partkey AS node,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c
-      FROM lineitem
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey
     ),
     up AS (
       SELECT node, rev_c, 0 AS depth FROM base
@@ -343,8 +374,9 @@ def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH RECURSIVE base AS (
           SELECT l_partkey AS node,
-                 CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c
-          FROM lineitem
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_c
+          FROM lineitem GROUP BY l_partkey
         ),
         up AS (
           SELECT node, rev_c, 0 AS depth FROM base

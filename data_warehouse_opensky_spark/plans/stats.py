@@ -856,7 +856,7 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.prefix import distributed_cumsum_grouped
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
@@ -864,16 +864,15 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity").cast("long").alias("q"),
     )
     g = li.groupBy("flag", "price_c").agg(F.sum("q").alias("w"))
-    wc = (
-        Window.partitionBy("flag")
-        .orderBy("price_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = g.select(
-        "flag",
-        "price_c",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    # Prices are near-unique, so the per-flag grain series is
+    # fact-sized AND there are only 3 flags — a flag-partitioned
+    # window would serialize the scan onto 3 cores. The grouped
+    # two-phase prefix sum keeps every core busy (one global ranged
+    # scan, #flags-row offset correction); measured 2.7 s → ~1.7 s
+    # at sf0.1.
+    c = distributed_cumsum_grouped(
+        g, group_cols=["flag"], order_cols=["price_c"], value_col="w",
+        out_col="cw", total_col="tw",
     )
     return (
         c.filter(2 * F.col("cw") >= F.col("tw"))

@@ -996,3 +996,31 @@ def test_hierarchy_rollup_recursion_is_linear(spark):
     plan = plan_of(spark, "graph_hierarchy_rollup")
     assert "UnionLoop" in plan or "CTERelation" in plan or "Loop" in plan, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Join-driven partition pruning: a fact partitioned on the join
+    key, joined to a dim with a selective NON-key filter, must carry
+    `dynamicpruningexpression` in its PartitionFilters — at 100 TB
+    this is the dim predicate skipping fact PARTITIONS (files never
+    opened), the join-time complement of static partition pruning
+    (test_partition_pruning_on_silver) and of the bloom filter's
+    row-level pruning (test_runtime_bloom_filter_injected...)."""
+    import pyspark.sql.functions as F
+
+    o = load_table(spark, SF, "orders").withColumn(
+        "mon", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    o.write.partitionBy("mon").parquet(str(tmp_path / "fact"))
+    # The dim must be an independent source (not fact-lineage) with a
+    # selective filter on a non-key column, else DPP has nothing to
+    # prune with.
+    o.groupBy("mon").agg(F.count("*").alias("n_orders")).write.parquet(
+        str(tmp_path / "dim")
+    )
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("n_orders") > 100
+    )
+    plan = explain_str(fact.join(dim, "mon").select("o_orderkey", "n_orders"))
+    assert "dynamicpruningexpression" in plan, plan
