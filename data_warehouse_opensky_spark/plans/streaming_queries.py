@@ -684,3 +684,98 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_outer_join_unmatched",
+    tier="T2",
+    doc="Stream-stream LEFT OUTER join with watermarked time-range "
+    "state: clicks (bounded 4 h before stream end — control-plane "
+    "cutoff) left-join purchases within the following hour; clicks "
+    "with no purchase emit a NULL row once the watermark proves no "
+    "match can still arrive. The oracle replicates Spark's emission "
+    "rule EXACTLY, in integer microseconds: global watermark = "
+    "min(max event time per input) − 2 h delay, and an unmatched "
+    "click emits iff click_ts + 1 h (the last instant a match could "
+    "exist) < watermark — the tail inside that horizon stays "
+    "buffered at termination BY DESIGN (outer results are complete "
+    "only up to WM − range; a production pipeline either keeps the "
+    "stream running or flushes state on a final punctuation). "
+    "Matched pairs emit unconditionally, exactly once. Validated "
+    "set-exact vs the batch replica at sf0.001 AND sf0.01.",
+    oracle="""
+    WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts, epoch_us(ts) AS cus
+      FROM events, mx
+      WHERE event_type = 'click' AND epoch_us(ts) <= mx.m - 14400000000
+    ),
+    p AS (
+      SELECT user_id AS pu, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT max(cus) FROM c),
+                   (SELECT max(epoch_us(pts)) FROM p))
+             - 7200000000 AS w
+    ),
+    m AS (
+      SELECT c.user_id, c.click_id, p.purchase_id
+      FROM c JOIN p ON c.user_id = p.pu AND p.pts >= c.cts
+            AND p.pts <= c.cts + INTERVAL 1 HOUR
+    )
+    SELECT user_id, click_id, purchase_id, true AS matched FROM m
+    UNION ALL
+    SELECT c.user_id, c.click_id, NULL, false AS matched
+    FROM c, wm
+    WHERE c.click_id NOT IN (SELECT click_id FROM m)
+      AND c.cus + 3600000000 < wm.w
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def streaming_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    # Control-plane scalar: the click-side cutoff (4 h before stream
+    # end), same closed form the oracle computes in SQL.
+    ev_max_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    cutoff_us = ev_max_us - 4 * 3600 * 1000000
+    stream = _stream_events(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .filter(F.unix_micros("click_ts") <= cutoff_us)
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND p_ts >= click_ts"
+            " AND p_ts <= click_ts + interval 1 hour"
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("matched"),
+    )
+    sink = _drain_to_memory(joined, mode="append")
+    return sink.orderBy("user_id", "click_id", "purchase_id")

@@ -227,3 +227,49 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — VARIANT semi-structured type (Spark 4)
+# --------------------------------------------------------------------------
+@query(
+    "json_variant_extract",
+    tier="T2",
+    doc="Spark 4 VARIANT path for semi-structured data: props parses "
+    "ONCE to a VARIANT (binary-encoded, typed) and every access is "
+    "try_variant_get with a typed path — vs json_extract_props, "
+    "which re-parses the JSON string per access. At 100 TB the "
+    "VARIANT column is stored parsed (write once, read many), so "
+    "repeated field access never re-tokenizes text; the null arm "
+    "(try_ on a missing path) is exercised alongside the hit path. "
+    "All extraction stays JVM-side in codegen.",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(count(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+                AS BIGINT) AS n_missing_hits
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get("v", "$.k", "bigint")
+    miss = F.try_variant_get("v", "$.missing", "bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.count(miss).alias("n_missing_hits"),
+        )
+        .orderBy("event_type")
+    )
