@@ -116,6 +116,7 @@ HEADLINE = [
     "streaming_dedup_within_watermark",
     "mart_sessionize_gaps",
     "corpus_upsample_epochs",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -198,7 +198,7 @@ def kmeans(
     )
 
 
-def pq_codes(
+def pq_encode(
     df: DataFrame,
     *,
     m: int = 8,
@@ -206,25 +206,15 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-) -> DataFrame:
-    """Product quantization: codes + per-subspace quality summary.
+):
+    """Shared PQ encoder: returns (enc_frame, codebook).
 
-    PQ is the memory-side companion to SQ8 (operators above): the
-    vector splits into `m` subspaces of dim/m, each encoded as the id
-    of its nearest sub-centroid from a `ksub`-entry codebook — 64
-    float32 dims become 8 bytes, and ANN scans read codes via lookup
-    tables instead of raw vectors. Same determinism contract as
-    `kmeans`: e6-quantized integers, exact int64 distances (≤ 2^45
-    for 8-dim e6 subvectors), md5-seeded codebooks (the ksub seed
-    vectors' subvectors — production would Lloyd-refine per subspace;
-    seeding keeps the oracle replayable and the shape identical),
-    argmin ties to the smaller code id.
-
-    Scale: encoding is ROW-LOCAL against the (ksub·dim)-int codebook
-    literal — the same control-plane budget and Arrow-matmul kernel
-    rationale as `_assign` (one (batch×dim)@(dim×ksub) int64 matmul
-    per subspace per Arrow batch). The only shuffle is the final
-    (subspace) summary agg: m rows out.
+    enc_frame has (vid, xq, codes array<bigint>, errs array<bigint>);
+    the codebook is the (ksub, m, ds) int64 ndarray of md5-seeded
+    sub-centroids (control-plane ksub*dim ints). Factored out of
+    `pq_codes` so the ADC scan (plans/similarity.py:ann_pq_adc_topk)
+    reuses the per-vector codes instead of re-deriving them.
+    Determinism contract documented on `pq_codes`.
     """
     ds = dim // m
     base = df.select(
@@ -263,11 +253,45 @@ def pq_codes(
             {"codes": list(codes), "errs": list(errs)}
         )
 
-    enc = base.withColumn("_e", encode_udf("xq"))
+    enc = base.withColumn("_e", encode_udf("xq")).select(
+        "vid", "xq", F.col("_e.codes").alias("codes"), F.col("_e.errs").alias("errs")
+    )
+    return enc, C3
+
+
+def pq_codes(
+    df: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization: codes + per-subspace quality summary.
+
+    PQ is the memory-side companion to SQ8 (operators above): the
+    vector splits into `m` subspaces of dim/m, each encoded as the id
+    of its nearest sub-centroid from a `ksub`-entry codebook — 64
+    float32 dims become 8 bytes, and ANN scans read codes via lookup
+    tables instead of raw vectors. Same determinism contract as
+    `kmeans`: e6-quantized integers, exact int64 distances (≤ 2^45
+    for 8-dim e6 subvectors), md5-seeded codebooks (the ksub seed
+    vectors' subvectors — production would Lloyd-refine per subspace;
+    seeding keeps the oracle replayable and the shape identical),
+    argmin ties to the smaller code id.
+
+    Scale: encoding is ROW-LOCAL against the (ksub·dim)-int codebook
+    literal — the same control-plane budget and Arrow-matmul kernel
+    rationale as `_assign` (one (batch×dim)@(dim×ksub) int64 matmul
+    per subspace per Arrow batch). The only shuffle is the final
+    (subspace) summary agg: m rows out.
+    """
+    enc, _ = pq_encode(
+        df, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     z = enc.select(
-        F.posexplode(F.arrays_zip("_e.codes", "_e.errs")).alias(
-            "subspace", "ce"
-        )
+        F.posexplode(F.arrays_zip("codes", "errs")).alias("subspace", "ce")
     )
     return (
         z.groupBy(F.col("subspace").cast("long").alias("subspace"))

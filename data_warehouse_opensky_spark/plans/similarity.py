@@ -922,3 +922,156 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "rk", F.col("vec_id").alias("negative_id"), "cos_sim")
         .orderBy("anchor_id", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — PQ asymmetric-distance scan (the memory-resident ANN query path)
+# --------------------------------------------------------------------------
+def _pq_adc_oracle() -> str:
+    sub = (
+        f"list_sum([(q.xq[g.m * {_PQ_DS} + i] - c.xq[g.m * {_PQ_DS} + i])"
+        f" * (q.xq[g.m * {_PQ_DS} + i] - c.xq[g.m * {_PQ_DS} + i])"
+        f" for i in generate_series(1, {_PQ_DS})])"
+    )
+    exact = (
+        f"list_sum([(a.xq[i] - q0.xq[i]) * (a.xq[i] - q0.xq[i])"
+        f" for i in generate_series(1, {DIM})])"
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+              for i in generate_series(1, {DIM})] AS xq
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, rn - 1 AS sid FROM (
+        SELECT vec_id, row_number()
+                 OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= {_PQ_KSUB}
+    ),
+    cb AS (SELECT s.sid, q.xq FROM seeds s JOIN qv q USING (vec_id)),
+    d AS (
+      SELECT q.vec_id, g.m AS subspace, c.sid, {sub} AS d
+      FROM qv q
+      CROSS JOIN cb c
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+    ),
+    a AS (
+      SELECT vec_id, subspace, sid AS code FROM (
+        SELECT *, row_number()
+                 OVER (PARTITION BY vec_id, subspace ORDER BY d, sid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT g.m AS subspace, c.sid, {sub} AS d
+      FROM (SELECT xq FROM qv WHERE vec_id = 0) q
+      CROSS JOIN cb c
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
+    ),
+    adc AS (
+      SELECT a.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_d
+      FROM a JOIN lut l ON l.subspace = a.subspace AND l.sid = a.code
+      WHERE a.vec_id != 0
+      GROUP BY a.vec_id
+    ),
+    ex AS (
+      SELECT a.vec_id, CAST({exact} AS BIGINT) AS exact_d
+      FROM qv a, (SELECT xq FROM qv WHERE vec_id = 0) q0
+      WHERE a.vec_id != 0
+    ),
+    extop AS (SELECT vec_id FROM ex ORDER BY exact_d, vec_id LIMIT 10),
+    r AS (
+      SELECT adc.vec_id, adc.adc_d, ex.exact_d,
+             row_number() OVER (ORDER BY adc.adc_d, adc.vec_id) AS rk
+      FROM adc JOIN ex USING (vec_id)
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, vec_id, adc_d, exact_d,
+           vec_id IN (SELECT vec_id FROM extop) AS in_exact_top10
+    FROM r WHERE rk <= 10 ORDER BY rk
+    """
+
+
+@query(
+    "ann_pq_adc_topk",
+    tier="T3",
+    doc="PQ asymmetric-distance (ADC) scan: the query vector builds an "
+    f"({_PQ_M}×{_PQ_KSUB})-entry lookup table of exact int64 distances "
+    "to every sub-centroid, and each corpus vector's approximate "
+    "distance is the sum of 8 TABLE LOOKUPS on its code bytes — no "
+    "vector arithmetic in the scan. This is how 100 TB of embeddings "
+    "is actually searched: codes live in memory (8 B/vector), the LUT "
+    "is query-local (control-plane m·ksub ints), and the scan is "
+    "row-local + one TakeOrdered — no shuffle, no global window. Each "
+    "of the top-10 rows carries its exact quantized distance and an "
+    "in_exact_top10 flag, so the result IS the recall audit of the "
+    "compression (the ann_lsh_recall gate pattern). Exact integer "
+    "arithmetic end to end; ADC ties break on vec_id.",
+    oracle=_pq_adc_oracle(),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.clustering import pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    enc, C3 = pq_encode(e, m=_PQ_M, ksub=_PQ_KSUB, dim=DIM)
+    enc = enc.persist()
+    # Query subvectors → LUT (control plane: m·ksub int64 cells).
+    q = np.asarray(
+        enc.filter(F.col("vid") == 0).select("xq").collect()[0][0],
+        dtype=np.int64,
+    ).reshape(_PQ_M, _PQ_DS)
+    lut = ((C3.transpose(1, 0, 2) - q[:, None, :]) ** 2).sum(axis=2)  # (m, ksub)
+    lut_lit = F.array(
+        *[
+            F.array(*[F.lit(int(v)) for v in lut[s]])
+            for s in range(_PQ_M)
+        ]
+    )
+    adc = sum(
+        (
+            F.element_at(
+                F.element_at(lut_lit, s + 1),
+                (F.element_at("codes", s + 1) + 1).cast("int"),
+            )
+            for s in range(_PQ_M)
+        ),
+        F.lit(0),
+    )
+    q0 = enc.filter(F.col("vid") == 0).select(F.col("xq").alias("q0"))
+    scored = (
+        enc.filter(F.col("vid") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            F.col("vid").alias("vec_id"),
+            adc.cast("long").alias("adc_d"),
+            F.aggregate(
+                F.zip_with("xq", "q0", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("exact_d"),
+        )
+    )
+    topk = scored.orderBy("adc_d", "vec_id").limit(10)
+    extop = scored.orderBy("exact_d", "vec_id").limit(10).select("vec_id")
+    from pyspark.sql import Window
+
+    return (
+        topk.join(
+            F.broadcast(extop.withColumn("_hit", F.lit(True))), "vec_id", "left"
+        )
+        .select(
+            F.row_number()
+            .over(Window.orderBy("adc_d", "vec_id"))
+            .cast("long")
+            .alias("rk"),
+            "vec_id",
+            "adc_d",
+            "exact_d",
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("in_exact_top10"),
+        )
+        .orderBy("rk")
+    )

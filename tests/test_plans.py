@@ -1024,3 +1024,13 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     plan = explain_str(fact.join(dim, "mon").select("o_orderkey", "n_orders"))
     assert "dynamicpruningexpression" in plan, plan
+
+
+def test_pq_adc_scan_is_takeordered_no_shuffle(spark):
+    """The ADC scan must be row-local lookups + TakeOrderedAndProject:
+    no hash exchange of the encoded corpus, no window over it (the
+    query-side LUT is a literal; ranking stops at k rows)."""
+    plan = plan_of(spark, "ann_pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    hash_args = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert not hash_args, hash_args
