@@ -2374,3 +2374,65 @@ def mart_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — cross-replica table checksum (anti-entropy audit)
+# --------------------------------------------------------------------------
+@query(
+    "audit_table_checksum",
+    tier="T2",
+    doc="Cross-replica anti-entropy checksum: every orders row folds "
+    "to an md5 over its canonicalized fields (exact cents, epoch-day "
+    "date — raw doubles/timestamps would never agree across "
+    "engines), rows bucket by hash(pk) % 64, and each bucket emits "
+    "count + a COMMUTATIVE checksum (sum of the md5's leading-12-hex "
+    "int, order-insensitive, no overflow: 64-bit sums of 48-bit "
+    "terms). Two replicas compare 64 rows instead of the table; a "
+    "mismatched bucket narrows re-sync to 1/64 of the keys — the "
+    "Merkle-lite shape of every replica-repair protocol. One scan, "
+    "one map-side-combined agg; at 100 TB buckets scale to 2^k with "
+    "the same plan.",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey % 64 AS bucket,
+             CAST(('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               || '|' ||
+               CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+                    AS VARCHAR)
+             ), 1, 12)) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+)
+def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents("o_totalprice").cast("string"),
+        F.expr(
+            "cast(cast(floor(unix_timestamp(o_orderdate)) as bigint)"
+            " div 86400 as string)"
+        ),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return (
+        o.select((F.col("o_orderkey") % 64).alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("h").cast("long").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )

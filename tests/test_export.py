@@ -203,3 +203,56 @@ def test_export_jsonl_shards_deterministic_and_complete(spark, tmp_path):
     out2 = str(tmp_path / "j2")
     export_jsonl_shards(docs.repartition(13), out2, shard_key="doc_id", n_shards=4)
     assert read_all(out2) == r1  # shard assignment is partitioning-independent
+
+
+def test_columnar_format_round_trips(spark, tmp_path):
+    """Sink-format breadth: the same frame round-trips bit-exact
+    through ORC (built-in columnar alternative to parquet) and JSON
+    (with explicit schema on read — JSON alone cannot carry types).
+    Avro is attempted and skipped where the spark-avro connector jar
+    is absent (it is an external package, not shipped with pyspark)."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_opensky_spark.sources import load_table
+
+    src = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        )
+        .orderBy("o_orderkey")
+    )
+    want = [tuple(r) for r in src.collect()]
+
+    orc_path = str(tmp_path / "orc")
+    src.write.orc(orc_path)
+    got_orc = [
+        tuple(r) for r in spark.read.orc(orc_path).orderBy("o_orderkey").collect()
+    ]
+    assert got_orc == want
+
+    json_path = str(tmp_path / "json")
+    src.write.json(json_path)
+    got_json = [
+        tuple(r)
+        for r in spark.read.schema(src.schema)
+        .json(json_path)
+        .orderBy("o_orderkey")
+        .collect()
+    ]
+    assert got_json == want
+
+    try:
+        src.write.format("avro").save(str(tmp_path / "avro"))
+    except Exception:
+        return  # connector jar absent — documented boundary
+    got_avro = [
+        tuple(r)
+        for r in spark.read.format("avro")
+        .load(str(tmp_path / "avro"))
+        .orderBy("o_orderkey")
+        .collect()
+    ]
+    assert got_avro == want
