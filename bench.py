@@ -117,6 +117,10 @@ HEADLINE = [
     "mart_sessionize_gaps",
     "corpus_upsample_epochs",
     "ann_pq_adc_topk",
+    "report_local_supplier_volume",
+    "report_volume_shipping",
+    "report_returned_items",
+    "report_promo_effect",
 ]
 
 

