@@ -632,3 +632,72 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "quartile")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.9 — RANGE frame over event time (value-based window, not row-based)
+# --------------------------------------------------------------------------
+@query(
+    "window_range_trailing_1h",
+    tier="T2",
+    doc="RANGE-frame window: for every purchase, the count and exact "
+    "cent-sum of the SAME user's events in the trailing hour — "
+    "`RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW` over integer "
+    "epoch seconds. RANGE frames bound by VALUE, not row count (a "
+    "burst of 500 events in a minute is all inside the frame; a "
+    "ROWS 500 frame would be wrong), and rows with EQUAL ordering "
+    "values share one frame by definition — so no tiebreak column "
+    "is needed for cross-engine agreement, unlike every ROWS frame "
+    "in the catalog. One shuffle on user_id; the frame scan is "
+    "partition-local and incremental (Spark's sliding aggregation "
+    "over a sorted run).",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, event_type,
+             CAST(count(*) OVER fr AS BIGINT) AS n_trailing_1h,
+             CAST(sum(value_c) OVER fr AS BIGINT) AS sum_trailing_c
+      FROM e
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts_s
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, n_trailing_1h, sum_trailing_c
+    FROM w WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def window_range_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        cents("value").alias("value_c"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.count("*").over(fr).cast("long").alias("n_trailing_1h"),
+            F.sum("value_c").over(fr).cast("long").alias("sum_trailing_c"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "n_trailing_1h",
+            "sum_trailing_c",
+        )
+        .orderBy("purchase_id")
+    )
