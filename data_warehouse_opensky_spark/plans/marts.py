@@ -2436,3 +2436,99 @@ def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — item-item recommendations (co-occurrence cosine, top-k per item)
+# --------------------------------------------------------------------------
+@query(
+    "mart_item_recs_topk",
+    tier="T2",
+    doc="Item-item collaborative filtering: co-purchase counts become "
+    "cosine scores n_ab / sqrt(n_a·n_b) and every part gets its top-3 "
+    "most-associated parts — the 'customers also bought' mart, and "
+    "the batch shape of every item-CF recommender. Pair generation is "
+    "the bounded within-order self-join (Σ items²/order, one shuffle "
+    "on the order key — market-basket's plan); item totals broadcast "
+    "back; per-item top-3 rides WindowGroupLimit after the pair set "
+    "UNIONS both directions. Cosine rounds at 6 dp (continuous) with "
+    "a rec-partkey tiebreak; counts stay exact BIGINTs.",
+    oracle="""
+    WITH po AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_ab
+      FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    ),
+    ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM po GROUP BY 1),
+    sym AS (
+      SELECT pa AS item, pb AS rec, n_ab FROM pairs
+      UNION ALL
+      SELECT pb AS item, pa AS rec, n_ab FROM pairs
+    ),
+    scored AS (
+      SELECT s.item, s.rec, s.n_ab,
+             round(CAST(s.n_ab AS DOUBLE)
+                   / sqrt(CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)), 6)
+               AS cos_sim
+      FROM sym s
+      JOIN ic ia ON ia.pk = s.item
+      JOIN ic ib ON ib.pk = s.rec
+    ),
+    r AS (
+      SELECT item, rec, n_ab, cos_sim,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY cos_sim DESC, rec) AS rk
+      FROM scored
+    )
+    SELECT item, CAST(rk AS BIGINT) AS rk, rec, n_ab, cos_sim
+    FROM r WHERE rk <= 3
+    ORDER BY item, rk
+    """,
+)
+def mart_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .persist()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    ic = po.groupBy(F.col("pk")).agg(F.count("*").cast("long").alias("n"))
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("rec"), "n_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("rec"), "n_ab"
+        )
+    )
+    ia = ic.select(F.col("pk").alias("item"), F.col("n").alias("n_i"))
+    ib = ic.select(F.col("pk").alias("rec"), F.col("n").alias("n_r"))
+    scored = (
+        sym.join(F.broadcast(ia), "item")
+        .join(F.broadcast(ib), "rec")
+        .select(
+            "item",
+            "rec",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("n_i").cast("double") * F.col("n_r").cast("double")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cos_sim"), "rec")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("item", "rk", "rec", "n_ab", "cos_sim")
+        .orderBy("item", "rk")
+    )
