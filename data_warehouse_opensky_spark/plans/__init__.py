@@ -39,7 +39,7 @@ from . import reports  # noqa: E402,F401
 #   mart_weekly_top_gainer, mart_abc_pareto, mart_supplier_churn,
 #   mart_markov_transitions, mart_cohort_ltv, audit_key_skew,
 #   audit_k_anonymity, audit_burst_rate
-# plus the 19 round-4 additions:
+# plus the 31 round-4 additions:
 #   graph_triangle_count, embedding_pq_codes, embedding_semantic_dedup,
 #   mart_cumulative_revenue_scan, mart_sessionize_gaps, text_zipf_slope,
 #   corpus_budget_select, scd2_point_in_time, ann_topk_with_metadata,
@@ -47,8 +47,15 @@ from . import reports  # noqa: E402,F401
 #   mart_attribution_last_touch, scd2_incremental_rebuild,
 #   stats_equidepth_histogram, embedding_hard_negatives,
 #   corpus_upsample_epochs, streaming_dedup_within_watermark,
-#   graph_hierarchy_rollup, window_ntile_quartiles, mart_longest_streak
-# (40 total: fills the r5 window with 10 slots spare for r5 additions).
+#   graph_hierarchy_rollup, window_ntile_quartiles, mart_longest_streak,
+#   streaming_outer_join_unmatched, json_variant_extract,
+#   ann_pq_adc_topk, audit_table_checksum, dedup_prefix_filter_jaccard,
+#   window_range_trailing_1h, mart_item_recs_topk,
+#   report_local_supplier_volume + report_volume_shipping +
+#   report_returned_items + report_promo_effect (count the reports as 4)
+# (52 total: the r5 window rotates the highest-risk 50 of these —
+# streaming/stateful/iterative and the new algorithmic families first,
+# single-agg stats/marts last; the overflow rides to r6.)
 # Queries displaced past slot 50 stay covered by tests/test_oracle.py,
 # which runs ALL of them vs DuckDB at sf0.001.
 DRIVER_WINDOW_PRIORITY = [
