@@ -1058,3 +1058,52 @@ def test_report_returned_items_aggregates_before_dim_join(spark):
     assert "PushedFilters" in plan
     assert "R" in plan  # returnflag filter reached the scan
     assert agg_pos < len(plan) and bc_pos < len(plan)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join split must actually FIRE under our session confs
+    — a hot key that dwarfs the median partition gets split into
+    multiple tasks at runtime (SortMergeJoin(skew=true) +
+    'AQEShuffleRead coalesced and skewed' in the executed plan). This
+    is the runtime half of the skew story; operators/skew.py's
+    deterministic salting is the planned half for keys so hot that
+    even split partitions overwhelm one executor. Thresholds are
+    lowered to make sf-test data exhibit 'skew'; production uses the
+    defaults with real partition sizes."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(400000).select(
+            F.when(F.col("id") < 300000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") * 17 % 1003).alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        j = (
+            fact.join(dim, "k")
+            .groupBy()
+            .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
