@@ -2386,9 +2386,11 @@ def mart_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to an md5 over its canonicalized fields (exact cents, epoch-day "
     "date — raw doubles/timestamps would never agree across "
     "engines), rows bucket by hash(pk) % 64, and each bucket emits "
-    "count + a COMMUTATIVE checksum (sum of the md5's leading-12-hex "
-    "int, order-insensitive, no overflow: 64-bit sums of 48-bit "
-    "terms). Two replicas compare 64 rows instead of the table; a "
+    "count + a COMMUTATIVE checksum: bit_xor of the md5's "
+    "leading-12-hex int — XOR is order- AND grouping-insensitive with "
+    "NO overflow at any row count (a 48-bit SUM would overflow int64 "
+    "past ~32k rows/bucket); the count column covers XOR's one blind "
+    "spot (duplicated row pairs cancel). Two replicas compare 64 rows instead of the table; a "
     "mismatched bucket narrows re-sync to 1/64 of the keys — the "
     "Merkle-lite shape of every replica-repair protocol. One scan, "
     "one map-side-combined agg; at 100 TB buckets scale to 2^k with "
@@ -2409,7 +2411,7 @@ def mart_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(h) AS BIGINT) AS checksum
+           CAST(bit_xor(h) AS BIGINT) AS checksum
     FROM r GROUP BY bucket ORDER BY bucket
     """,
 )
@@ -2432,7 +2434,7 @@ def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").cast("long").alias("n_rows"),
-            F.sum("h").cast("long").alias("checksum"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
         )
         .orderBy("bucket")
     )

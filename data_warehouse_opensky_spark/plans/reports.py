@@ -9,6 +9,13 @@ exact int64 `cents · (100 − discount%)` product (1e-4 dollar units) —
 `sum(extendedprice * (1 - discount))` in float would be
 partial-order-dependent and could never hash-match. Ratios divide
 exact integers at the end.
+
+Int64 headroom: e4-unit revenue is ~1e9/row, so a group's sum stays
+inside int64 up to ~10^9 rows per group — comfortable for nation/year
+grains at bench and mid scales. A true-100 TB deployment with
+billion-row groups lifts the accumulator to DECIMAL(38,0), exactly as
+plans/stats.py does for its sufficient statistics; the plan shape is
+unchanged.
 """
 
 from __future__ import annotations
