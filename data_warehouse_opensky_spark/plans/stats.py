@@ -900,7 +900,11 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global mean but is 3σ for a Sunday. Two map-side-combined aggs "
     "(day grain, then dow cohort) + one broadcast-back join; top-10 "
     "by |z| via TakeOrdered. DOW convention pinned to DuckDB's "
-    "0=Sunday (Spark's dayofweek() − 1).",
+    "0=Sunday (Spark's dayofweek() − 1). Packed-arithmetic bounds "
+    "(audit_burst_rate doctrine): the variance term m·Σn² − (Σn)² is "
+    "int64-exact while Σn per dow cohort < 3e9 events; past that a "
+    "deployment lifts the sufficient statistics to DECIMAL(38,0) as "
+    "this module's covariance/z-score gates already do.",
     oracle="""
     WITH d AS (
       SELECT CAST(o_orderdate AS DATE) AS od,
