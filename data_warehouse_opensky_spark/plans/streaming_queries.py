@@ -779,3 +779,83 @@ def streaming_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFram
     )
     sink = _drain_to_memory(joined, mode="append")
     return sink.orderBy("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "streaming_join_then_window",
+    tier="T2",
+    doc="CHAINED stateful operators in one streaming query (Spark "
+    "3.5+/4.x multi-stateful support): the watermarked click→purchase "
+    "stream-stream join feeds a 1-day tumbling window aggregate of "
+    "conversions — two state stores, one query, no intermediate sink. "
+    "Append mode emits a day only once the propagated watermark "
+    "passes its end; the oracle replicates that finalization rule in "
+    "integer microseconds (day_end ≤ min(per-input max event time) − "
+    "2 h delay), so the open tail day is absent from BOTH engines by "
+    "design — same emission doctrine as the outer-join gate. Before "
+    "multi-stateful support this pipeline needed two queries and a "
+    "durable intermediate topic; the fused form is one checkpoint "
+    "and no re-serialization of the join output.",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS cts, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS pu, ts AS pts, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT max(cus) FROM c), (SELECT max(pus) FROM p))
+             - 7200000000 AS w
+    ),
+    m AS (
+      SELECT p.pus FROM c JOIN p ON c.user_id = p.pu
+        AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+    ),
+    b AS (
+      SELECT CAST((pus // 86400000000) * 86400 AS BIGINT) AS day_start_s,
+             CAST(count(*) AS BIGINT) AS n_conversions
+      FROM m GROUP BY 1
+    )
+    SELECT day_start_s, n_conversions
+    FROM b, wm
+    WHERE (day_start_s + 86400) * 1000000 <= wm.w
+    ORDER BY day_start_s
+    """,
+)
+def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _stream_events(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND p_ts >= click_ts"
+            " AND p_ts <= click_ts + interval 1 hour"
+        ),
+    )
+    agg = joined.groupBy(F.window("p_ts", "1 day").alias("w")).agg(
+        F.count("*").alias("n_conversions")
+    )
+    sink = _drain_to_memory(agg, mode="append")
+    return sink.select(
+        F.unix_timestamp(F.col("w.start")).cast("long").alias("day_start_s"),
+        F.col("n_conversions").cast("long").alias("n_conversions"),
+    ).orderBy("day_start_s")
