@@ -409,7 +409,7 @@ def bucket_pairs(sig: DataFrame, count_col: str = "n_shared_bands") -> DataFrame
 def attach_pair_shingles(
     sigs: DataFrame,
     candidates: DataFrame,
-    broadcast_docs: bool = True,
+    broadcast_docs: bool | None = None,
 ) -> DataFrame:
     """Attach both docs' shingle stats to each candidate pair.
 
@@ -419,11 +419,14 @@ def attach_pair_shingles(
     re-join, no groupBy. Returns (doc_a, doc_b, n_a, n_b, n_inter).
 
     `sigs` must carry (doc_id, sh, n_sh) — the persisted output of
-    `minhash_signatures_arrays`. `broadcast_docs=True` broadcasts the
-    (doc_id, sh, n_sh) projection — right whenever the doc corpus's
-    shingle arrays fit in executor memory (bench scale); at 100 TB
-    pass False and the two attaches become shuffle hash joins on the
-    doc id (both shapes plan-pinned in
+    `minhash_signatures_arrays`. The DEFAULT (None) adds NO join hint:
+    the (doc_id, sh, n_sh) projection is DOC-cardinality, so a hard
+    broadcast pin would be a driver OOM at 100 TB — Catalyst/AQE
+    broadcast it from size stats at bench scale and degrade to shuffle
+    hash joins on the doc id past the threshold, with no code change.
+    `True` pins the broadcast (explicit opt-in for corpora known to
+    fit); `False` behaves like None (kept for the plan test that
+    asserts the shuffled shape with size-broadcast disabled —
     tests/test_plans.py::test_jaccard_verify_join_strategies).
 
     The candidate frame is re-spread round-robin first: candidates are
@@ -446,7 +449,7 @@ def attach_pair_shingles(
         F.col("sh").alias("sh_b"),
         F.col("n_sh").alias("n_b"),
     )
-    if broadcast_docs:
+    if broadcast_docs is True:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
         candidates.select("doc_a", "doc_b")
@@ -461,7 +464,7 @@ def jaccard_verify_arrays(
     sigs: DataFrame,
     candidates: DataFrame,
     threshold: float = 0.25,
-    broadcast_docs: bool = True,
+    broadcast_docs: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via array_intersect.
 

@@ -812,7 +812,7 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    )
+    ).persist()  # feeds the total AND the ranged scan — scan docs once
     # Control-plane scalar: the corpus token total (one map-side agg).
     total = t.agg(F.sum("n_tokens")).collect()[0][0]
     c = distributed_cumsum(

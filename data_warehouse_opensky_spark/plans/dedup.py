@@ -564,8 +564,8 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No broadcast pin: ma/mb are DOC-cardinality (|docs| x K minhash
     # columns) — AQE broadcasts them from the cached-relation stats at
     # bench scale; at 100 TB the same code degrades to shuffle joins on
-    # doc_id instead of a driver OOM (the jaccard_verify_arrays
-    # broadcast_docs=False argument, applied by default).
+    # doc_id instead of a driver OOM. attach_pair_shingles below now
+    # defaults to the same unhinted contract.
     mm = (
         cand.select("doc_a", "doc_b")
         .join(ma, "doc_a")

@@ -280,27 +280,26 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan-level choices keep it cheap:
     #  * n_wedges never scans the wedge stream: it is Σ outdeg·(outdeg
     #    − 1)/2 over the ORIENTED degree table (|V| rows, closed form).
-    #  * the wedge (v, w) pair packs into ONE long (shiftleft 32 —
-    #    node keys are 32-bit by data contract, documented bound), so
-    #    the closing join hashes/compares a single word, not a struct.
+    #  * the wedge (v, w) pair packs into ONE long (shiftleft 32) so
+    #    the closing join hashes/compares a single word, not a struct —
+    #    GUARDED, not assumed: the max node key is a control-plane
+    #    scalar off the cached degree table, and keys >= 2^31 fall
+    #    back to the two-column join (same result, one fewer codegen
+    #    trick) instead of silently colliding packed keys.
     #  * shuffle_hash hints (NOT broadcast — edges are fact-derived)
     #    keep the 35M-row stream from being SORTED: sort-merge would
     #    sort the wedges; a shuffled hash join builds on the 1.2M-edge
     #    side and streams the wedges through probe-side counting.
+    max_node = deg.agg(F.max("node")).collect()[0][0]
+    packable = max_node is not None and 0 <= max_node < (1 << 31)
     o1, o2 = o.alias("o1"), o.alias("o2")
-    w = (
-        o1.join(o2.hint("shuffle_hash"), F.col("o1.src") == F.col("o2.src"))
-        .filter(
-            (F.col("o1.dd") < F.col("o2.dd"))
-            | (
-                (F.col("o1.dd") == F.col("o2.dd"))
-                & (F.col("o1.dst") < F.col("o2.dst"))
-            )
-        )
-        .select(
-            (
-                F.shiftleft(F.col("o1.dst"), 32) + F.col("o2.dst")
-            ).alias("wk")
+    wedges = o1.join(
+        o2.hint("shuffle_hash"), F.col("o1.src") == F.col("o2.src")
+    ).filter(
+        (F.col("o1.dd") < F.col("o2.dd"))
+        | (
+            (F.col("o1.dd") == F.col("o2.dd"))
+            & (F.col("o1.dst") < F.col("o2.dst"))
         )
     )
     # Closing join: NO hint — AQE broadcasts the packed edge side from
@@ -308,8 +307,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a hinted shuffle-hash join because the 35M-row wedge stream then
     # never shuffles); at 100 TB the size gate fails and the same code
     # degrades to the shuffled hash join on the packed key.
-    oc = o.select((F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("wk"))
-    tri = w.join(oc, "wk").agg(F.count("*").alias("n_triangles"))
+    if packable:
+        w = wedges.select(
+            (F.shiftleft(F.col("o1.dst"), 32) + F.col("o2.dst")).alias("wk")
+        )
+        oc = o.select(
+            (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("wk")
+        )
+        tri = w.join(oc, "wk").agg(F.count("*").alias("n_triangles"))
+    else:
+        w = wedges.select(
+            F.col("o1.dst").alias("cv"), F.col("o2.dst").alias("cw")
+        )
+        oc = o.select(F.col("src").alias("cv"), F.col("dst").alias("cw"))
+        tri = w.join(oc, ["cv", "cw"]).agg(F.count("*").alias("n_triangles"))
     odeg = o.groupBy("src").agg(F.count("*").alias("od"))
     n_wedges = odeg.agg(
         F.expr("sum((od * (od - 1)) div 2)").cast("long").alias("n_wedges")

@@ -2385,7 +2385,10 @@ def mart_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Cross-replica anti-entropy checksum: every orders row folds "
     "to an md5 over its canonicalized fields (exact cents, epoch-day "
     "date — raw doubles/timestamps would never agree across "
-    "engines), rows bucket by hash(pk) % 64, and each bucket emits "
+    "engines; each field COALESCEs to an explicit null sentinel "
+    "before joining, because a concat that silently drops NULLs "
+    "lets shifted fields collide — the corruption a checksum exists "
+    "to catch), rows bucket by hash(pk) % 64, and each bucket emits "
     "count + a COMMUTATIVE checksum: bit_xor of the md5's "
     "leading-12-hex int — XOR is order- AND grouping-insensitive with "
     "NO overflow at any row count (a 48-bit SUM would overflow int64 "
@@ -2399,13 +2402,13 @@ def mart_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT o_orderkey % 64 AS bucket,
              CAST(('0x' || substring(md5(
-               CAST(o_orderkey AS VARCHAR) || '|' ||
-               CAST(o_custkey AS VARCHAR) || '|' ||
-               o_orderstatus || '|' ||
-               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
-               || '|' ||
-               CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
-                    AS VARCHAR)
+               coalesce(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+               coalesce(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+               coalesce(o_orderstatus, '<null>') || '|' ||
+               coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), '<null>') || '|' ||
+               coalesce(CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                             // 86400 AS VARCHAR), '<null>')
              ), 1, 12)) AS BIGINT) AS h
       FROM orders
     )
@@ -2417,15 +2420,23 @@ def mart_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # concat_ws silently SKIPS nulls (shifting later fields into
+    # earlier positions) — coalesce each field to a sentinel so a null
+    # is a distinct, position-stable value, matching the oracle's
+    # null-propagating '||' with the same coalesces.
+    sent = F.lit("<null>")
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        cents("o_totalprice").cast("string"),
-        F.expr(
-            "cast(cast(floor(unix_timestamp(o_orderdate)) as bigint)"
-            " div 86400 as string)"
+        F.coalesce(F.col("o_orderkey").cast("string"), sent),
+        F.coalesce(F.col("o_custkey").cast("string"), sent),
+        F.coalesce(F.col("o_orderstatus"), sent),
+        F.coalesce(cents("o_totalprice").cast("string"), sent),
+        F.coalesce(
+            F.expr(
+                "cast(cast(floor(unix_timestamp(o_orderdate)) as bigint)"
+                " div 86400 as string)"
+            ),
+            sent,
         ),
     )
     h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")

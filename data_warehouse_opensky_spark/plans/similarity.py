@@ -622,14 +622,22 @@ def embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_KSUB, _PQ_DS = 8, 16, DIM // 8
 
 
-def _pq_oracle() -> str:
-    sub = (
-        f"list_sum([(q.xq[g.m * {_PQ_DS} + i] - c.xq[g.m * {_PQ_DS} + i])"
-        f" * (q.xq[g.m * {_PQ_DS} + i] - c.xq[g.m * {_PQ_DS} + i])"
+def _pq_sub_dist(q: str = "q", c: str = "c") -> str:
+    """Squared int distance between one subvector pair (DuckDB)."""
+    return (
+        f"list_sum([({q}.xq[g.m * {_PQ_DS} + i] - {c}.xq[g.m * {_PQ_DS} + i])"
+        f" * ({q}.xq[g.m * {_PQ_DS} + i] - {c}.xq[g.m * {_PQ_DS} + i])"
         f" for i in generate_series(1, {_PQ_DS})])"
     )
-    return f"""
-    WITH qv AS (
+
+
+def _pq_assign_ctes() -> str:
+    """Shared WITH body: e6-quantized vectors -> md5-seeded codebook ->
+    per-(vector, subspace) nearest-code assignment. The single source
+    of truth for the PQ encoding contract — used by BOTH the code-
+    quality oracle (_pq_oracle) and the ADC-scan oracle
+    (_pq_adc_oracle) so the two can never desynchronize."""
+    return f"""qv AS (
       SELECT vec_id,
              [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
               for i in generate_series(1, {DIM})] AS xq
@@ -644,7 +652,7 @@ def _pq_oracle() -> str:
     ),
     cb AS (SELECT s.sid, q.xq FROM seeds s JOIN qv q USING (vec_id)),
     d AS (
-      SELECT q.vec_id, g.m AS subspace, c.sid, {sub} AS d
+      SELECT q.vec_id, g.m AS subspace, c.sid, {_pq_sub_dist()} AS d
       FROM qv q
       CROSS JOIN cb c
       CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
@@ -655,7 +663,12 @@ def _pq_oracle() -> str:
                  OVER (PARTITION BY vec_id, subspace ORDER BY d, sid) AS rn
         FROM d
       ) WHERE rn = 1
-    )
+    )"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_assign_ctes()}
     SELECT CAST(subspace AS BIGINT) AS subspace,
            CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used,
@@ -928,45 +941,14 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T3.2 — PQ asymmetric-distance scan (the memory-resident ANN query path)
 # --------------------------------------------------------------------------
 def _pq_adc_oracle() -> str:
-    sub = (
-        f"list_sum([(q.xq[g.m * {_PQ_DS} + i] - c.xq[g.m * {_PQ_DS} + i])"
-        f" * (q.xq[g.m * {_PQ_DS} + i] - c.xq[g.m * {_PQ_DS} + i])"
-        f" for i in generate_series(1, {_PQ_DS})])"
-    )
     exact = (
         f"list_sum([(a.xq[i] - q0.xq[i]) * (a.xq[i] - q0.xq[i])"
         f" for i in generate_series(1, {DIM})])"
     )
     return f"""
-    WITH qv AS (
-      SELECT vec_id,
-             [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
-              for i in generate_series(1, {DIM})] AS xq
-      FROM embeddings
-    ),
-    seeds AS (
-      SELECT vec_id, rn - 1 AS sid FROM (
-        SELECT vec_id, row_number()
-                 OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM embeddings
-      ) WHERE rn <= {_PQ_KSUB}
-    ),
-    cb AS (SELECT s.sid, q.xq FROM seeds s JOIN qv q USING (vec_id)),
-    d AS (
-      SELECT q.vec_id, g.m AS subspace, c.sid, {sub} AS d
-      FROM qv q
-      CROSS JOIN cb c
-      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g
-    ),
-    a AS (
-      SELECT vec_id, subspace, sid AS code FROM (
-        SELECT *, row_number()
-                 OVER (PARTITION BY vec_id, subspace ORDER BY d, sid) AS rn
-        FROM d
-      ) WHERE rn = 1
-    ),
+    WITH {_pq_assign_ctes()},
     lut AS (
-      SELECT g.m AS subspace, c.sid, {sub} AS d
+      SELECT g.m AS subspace, c.sid, {_pq_sub_dist()} AS d
       FROM (SELECT xq FROM qv WHERE vec_id = 0) q
       CROSS JOIN cb c
       CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) g

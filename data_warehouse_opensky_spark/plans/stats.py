@@ -1013,7 +1013,10 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         cents("o_totalprice").alias("price_c")
     )
-    g = o.groupBy("price_c").agg(F.count("*").cast("long").alias("w"))
+    # Persist the grain frame: it feeds BOTH the control-plane total
+    # and the ranged scan — unpersisted, the groupBy (and the orders
+    # scan under it) would run twice.
+    g = o.groupBy("price_c").agg(F.count("*").cast("long").alias("w")).persist()
     total = g.agg(F.sum("w")).collect()[0][0]
     c = distributed_cumsum(g, order_cols=["price_c"], value_col="w", out_col="cw")
     return (

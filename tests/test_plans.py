@@ -866,8 +866,9 @@ def test_pagerank_bench_scale_still_broadcasts(spark):
 
 
 def test_jaccard_verify_join_strategies(spark):
-    """attach_pair_shingles: broadcast attach by default (corpus
-    shingle arrays fit in executor memory at bench scale); with
+    """attach_pair_shingles: size-based broadcast attach at bench
+    scale (default adds NO hint — doc-cardinality frames never pin);
+    with
     broadcast_docs=False and size-based broadcast off, BOTH attaches
     must be shuffled joins on the doc id — the 100 TB path where the
     arrays cannot broadcast (VERDICT r3 #5)."""
@@ -1049,15 +1050,30 @@ def test_report_star_joins_broadcast_all_dims(spark):
 
 def test_report_returned_items_aggregates_before_dim_join(spark):
     """Q10 analog: the customer dim joins the AGGREGATED per-customer
-    frame, never the raw fact fan-out — the partial agg must appear
-    below the customer broadcast join; top-20 is TakeOrdered."""
+    frame, never the raw fact fan-out — in the printed tree the
+    per-customer HashAggregate must sit UNDER the first customer-dim
+    BroadcastHashJoin (deeper indentation, within its subtree), the
+    returnflag equality must reach the lineitem scan, and top-20 must
+    be TakeOrdered."""
     plan = plan_of(spark, "report_returned_items")
     assert "TakeOrderedAndProject" in plan, plan
-    agg_pos = plan.index("HashAggregate")
-    bc_pos = plan.index("BroadcastHashJoin")
-    assert "PushedFilters" in plan
-    assert "R" in plan  # returnflag filter reached the scan
-    assert agg_pos < len(plan) and bc_pos < len(plan)
+    # Pushed predicate on the scan, not a post-join filter.
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    # Tree prints parents above children: the first BroadcastHashJoin
+    # (customer dim) must have a HashAggregate BELOW it and no
+    # HashAggregate ABOVE it before the top-k (i.e. the agg is on the
+    # join's input side, not its output).
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    bc_line = next(
+        i for i, l in enumerate(lines) if "BroadcastHashJoin" in l
+    )
+    agg_lines = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert agg_lines, plan
+    assert all(i > bc_line for i in agg_lines), (
+        "aggregate above the dim join — fact fan-out joined the dim",
+        plan,
+    )
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
