@@ -553,3 +553,109 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("generation")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — ordered string aggregation (listagg, Spark 4 / SQL:2016)
+# --------------------------------------------------------------------------
+@query(
+    "agg_listagg_statuses",
+    tier="T2",
+    doc="Ordered string aggregation (SQL:2016 LISTAGG, new in Spark "
+    "4): per order priority, the comma-joined DISTINCT statuses in "
+    "lexical order plus supporting counts. String aggregation is "
+    "hash-unstable UNLESS the order is total — the WITHIN GROUP "
+    "(ORDER BY) clause is what makes the value deterministic and "
+    "cross-engine comparable (DuckDB twin: string_agg ... ORDER BY). "
+    "Map-side combinable only in its sorted-merge form; grouped on a "
+    "5-key dimension so the agg state is trivially bounded. The csv "
+    "aggregates a PRE-DISTINCTED (priority, status) frame and joins "
+    "the counts back: Spark 4.1's ListAgg(DISTINCT x ... ORDER BY x) "
+    "throws a ClassCastException in withNewChildrenInternal — the "
+    "rewrite is equivalent and engine-portable.",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS status_csv,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_listagg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__listagg_orders"
+    )
+    return spark.sql(
+        """
+        WITH ds AS (
+          SELECT DISTINCT o_orderpriority, o_orderstatus
+          FROM __listagg_orders
+        ),
+        csv AS (
+          SELECT o_orderpriority AS priority,
+                 listagg(o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS status_csv,
+                 CAST(count(*) AS BIGINT) AS n_statuses
+          FROM ds GROUP BY 1
+        ),
+        n AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM __listagg_orders GROUP BY 1
+        )
+        SELECT csv.priority, csv.status_csv, csv.n_statuses, n.n_orders
+        FROM csv JOIN n USING (priority)
+        ORDER BY priority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# T1.2/T2 — XML decode round-trip (from_xml, Spark 4)
+# --------------------------------------------------------------------------
+@query(
+    "xml_roundtrip_extract",
+    tier="T2",
+    doc="XML ingestion surface (from_xml, new in Spark 4) proven by "
+    "ROUND-TRIP: each order renders to an XML fragment "
+    "(format_string — row-local), from_xml parses it back against a "
+    "typed schema, and the aggregate over PARSED fields must equal "
+    "the aggregate over the originals (the oracle computes the "
+    "latter directly — any parse/type defect breaks the hash). The "
+    "JSON/VARIANT twin of the same pattern is json_extract_props / "
+    "json_variant_extract; together they cover the three "
+    "semi-structured decode paths a landing zone meets. Everything "
+    "stays JVM-side.",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.format_string(
+            "<o><k>%d</k><st>%s</st><pc>%d</pc></o>",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            cents("o_totalprice"),
+        ).alias("xml")
+    )
+    p = o.select(
+        F.from_xml("xml", "k BIGINT, st STRING, pc BIGINT").alias("p")
+    )
+    return (
+        p.groupBy(F.col("p.st").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("p.pc").cast("long").alias("sum_price_c"),
+            F.max("p.k").cast("long").alias("max_key"),
+        )
+        .orderBy("status")
+    )
