@@ -659,3 +659,65 @@ def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# T2.9/T2.10 — GROUP BY ALL over a window-filtered subquery
+# --------------------------------------------------------------------------
+@query(
+    "group_by_all_latest_order",
+    tier="T2",
+    doc="Each customer's single most recent order (row_number = 1 over "
+    "(customer, date desc, key desc) — WindowGroupLimit prunes to one "
+    "row per key before the full sort), rolled up with GROUP BY ALL "
+    "(Spark 4 + DuckDB sugar: grouping keys inferred from the "
+    "non-aggregate select list — zero plan difference from the "
+    "explicit form, asserted by the identical oracle using the same "
+    "sugar). QUALIFY is NOT in Spark 4.1's parser (tried and "
+    "ParseException'd — DuckDB-only for now), so the window filter "
+    "stays an explicit subquery. Dates emit as epoch days.",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+                  AS BIGINT) AS order_day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM orders
+    )
+    SELECT order_day % 7 AS day_mod7,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(price_c) AS BIGINT) AS sum_latest_price_c
+    FROM ranked WHERE rn = 1
+    GROUP BY ALL
+    ORDER BY day_mod7
+    """,
+)
+def group_by_all_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__gba_orders"
+    )
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(cast(floor(unix_timestamp(o_orderdate)) as bigint)
+                      div 86400 AS BIGINT) AS order_day,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+                 ) AS rn
+          FROM __gba_orders
+        )
+        SELECT order_day % 7 AS day_mod7,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(price_c) AS BIGINT) AS sum_latest_price_c
+        FROM ranked WHERE rn = 1
+        GROUP BY ALL
+        ORDER BY day_mod7
+        """
+    )
