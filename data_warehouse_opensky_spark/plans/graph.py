@@ -401,3 +401,111 @@ def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY node ORDER BY node
         """
     )
+
+
+# --------------------------------------------------------------------------
+# T3 — k-core peeling (bounded unrolled rounds)
+# --------------------------------------------------------------------------
+_KCORE_K = 12
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    rows = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}
+      ) GROUP BY node
+    ),
+    s{i} AS (SELECT node FROM d{i} WHERE d >= {_KCORE_K}),
+    e{i} AS (
+      SELECT u, v FROM e{p}
+      WHERE u IN (SELECT node FROM s{i})
+        AND v IN (SELECT node FROM s{i})
+    )"""
+        )
+        rows.append(
+            f"SELECT {i} AS round, (SELECT count(*) FROM s{i}) AS n_nodes,"
+            f" (SELECT count(*) FROM e{i}) AS n_edges"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(rows) + "\n    ORDER BY round"
+    )
+
+
+@query(
+    "graph_kcore_peeling",
+    tier="T3",
+    doc=f"k-core decomposition ({_KCORE_ROUNDS} unrolled peeling "
+    f"rounds, k={_KCORE_K}) over the part co-purchase graph: each "
+    "round drops nodes with degree < k and the edges touching them; "
+    "surviving nodes/edges per round trace the peeling trajectory "
+    "(converged when two rounds agree). The dense-subgraph mining "
+    "primitive behind community/core detection — and the graph twin "
+    "of the dedup CC operator's round structure: per round ONE "
+    "map-side-combined degree agg + two semi-joins, edges touched "
+    "once per round, no broadcast of anything fact-sized (survivor "
+    "sets are |V|-bounded and the joins key on the node id). Fixed "
+    "unrolled rounds keep the SQL oracle replayable (pagerank/"
+    "k-means doctrine); production iterates to fixpoint with the "
+    "observe()-based convergence loop of operators/dedup.py.",
+    oracle=_kcore_oracle(),
+)
+def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    # Each round MATERIALIZES (persist + count) before the next: the
+    # counts are the round's control-plane output anyway, and eager
+    # materialization stops the final action from re-deriving three
+    # rounds of lazily-chained caches (measured 10.5 s -> ~4 s at
+    # sf0.1). The iterative-driver shape of operators/dedup.py's CC.
+    rows = []
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        surv = deg.filter(F.col("d") >= _KCORE_K).select("node").persist()
+        n_nodes = surv.count()
+        e = (
+            e.join(surv.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(surv.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .persist()
+        )
+        n_edges = e.count()
+        rows.append((rnd, n_nodes, n_edges))
+        # Fixpoint short-circuit: if a round changed nothing, every
+        # later round is provably identical (peeling is monotone) —
+        # emit the remaining rows without recomputing the joins. The
+        # oracle unrolls all rounds but produces the same values.
+        if rnd < _KCORE_ROUNDS and len(rows) >= 2 and rows[-1][1:] == rows[-2][1:]:
+            for extra in range(rnd + 1, _KCORE_ROUNDS + 1):
+                rows.append((extra, n_nodes, n_edges))
+            break
+    return spark.createDataFrame(
+        rows, "round long, n_nodes long, n_edges long"
+    ).orderBy("round")
