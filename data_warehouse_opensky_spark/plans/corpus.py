@@ -888,3 +888,52 @@ def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "epoch")
     )
+
+
+# --------------------------------------------------------------------------
+# Intra-document repeated-sentence removal (boilerplate cleaning)
+# --------------------------------------------------------------------------
+@query(
+    "corpus_sentence_dedup",
+    tier="T3",
+    doc="Intra-document dedup: each doc splits into '. '-delimited "
+    "sentences and repeated sentences drop, KEEPING the first "
+    "occurrence in order — the boilerplate/navigation cleaner that "
+    "runs inside a doc, complementing the cross-doc dedup family. "
+    "Entirely ROW-LOCAL higher-order functions (split → indexed "
+    "filter keeping positions that are their sentence's first "
+    "occurrence → re-join): zero shuffles, zero Python; identity "
+    "gated by md5 of the cleaned text. Both engines evaluate the "
+    "same first-occurrence-index predicate, so order preservation "
+    "is by construction, not by engine-specific distinct semantics.",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(sents) - len(kept) AS BIGINT) AS n_removed,
+           md5(array_to_string(kept, '. ')) AS cleaned_md5
+    FROM (
+      SELECT doc_id, sents,
+             list_filter(sents, (x, i) -> list_position(sents, x) = i)
+               AS kept
+      FROM (
+        SELECT doc_id, string_split(text, '. ') AS sents FROM documents
+      )
+    )
+    ORDER BY doc_id
+    """,
+)
+def corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", "\\. ").alias("sents")
+    )
+    kept = F.expr(
+        "filter(sents, (x, i) -> array_position(sents, x) - 1 = i)"
+    )
+    return d.select(
+        "doc_id",
+        F.size("sents").cast("long").alias("n_sentences"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("sents") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, ". ")).alias("cleaned_md5"),
+    ).orderBy("doc_id")
