@@ -2545,3 +2545,76 @@ def mart_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "rk", "rec", "n_ab", "cos_sim")
         .orderBy("item", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — rapid-repeat-order audit (same payer, close in time, price delta)
+# --------------------------------------------------------------------------
+@query(
+    "audit_duplicate_payments",
+    tier="T2",
+    doc="Double-charge screen: pairs of orders from the SAME customer "
+    "placed within 7 days of each other, with the exact-cents price "
+    "delta — the accounts-payable audit every finance warehouse "
+    "runs (a zero/near-zero delta on a tight gap is the refund-or-"
+    "double-bill candidate). The pair join is an EQUI-join on the "
+    "customer key — fan-out is bounded by orders-per-customer "
+    "within the window (Sigma n^2 per customer, ~10 orders/customer "
+    "in this schema; hot payers get the standard salting treatment "
+    "at scale) — with the day-window and key-order predicates as "
+    "residuals; never a date-range join. One shuffle on the "
+    "customer key; all arithmetic in exact cents / epoch days. "
+    "Parity: reference audits clean rows per-file "
+    "(load_warehouse.py:120); this is the cross-row temporal twin.",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+                  AS BIGINT) AS day_no
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(abs(a.day_no - b.day_no) AS BIGINT) AS gap_days,
+           CAST(abs(a.price_c - b.price_c) AS BIGINT) AS price_delta_c
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.day_no - b.day_no) <= 7
+    ORDER BY custkey, order_a, order_b
+    """,
+)
+def audit_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        cents("o_totalprice").alias("price_c"),
+        F.expr(
+            "cast(cast(floor(unix_timestamp(o_orderdate)) as bigint)"
+            " div 86400 as bigint)"
+        ).alias("day_no"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (
+                F.abs(F.col("a.day_no") - F.col("b.day_no")) <= 7
+            ),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.abs(F.col("a.day_no") - F.col("b.day_no"))
+            .cast("long")
+            .alias("gap_days"),
+            F.abs(F.col("a.price_c") - F.col("b.price_c"))
+            .cast("long")
+            .alias("price_delta_c"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )
