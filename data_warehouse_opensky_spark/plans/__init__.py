@@ -53,7 +53,12 @@ from . import reports  # noqa: E402,F401
 #   window_range_trailing_1h, mart_item_recs_topk,
 #   report_local_supplier_volume + report_volume_shipping +
 #   report_returned_items + report_promo_effect (count the reports as 4)
-# (52 total: the r5 window rotates the highest-risk 50 of these —
+# plus the 7 late round-4 additions:
+#   streaming_join_then_window, agg_listagg_statuses,
+#   xml_roundtrip_extract, group_by_all_latest_order,
+#   corpus_sentence_dedup, graph_kcore_peeling,
+#   audit_duplicate_payments
+# (59 total: the r5 window rotates the highest-risk 50 of these —
 # streaming/stateful/iterative and the new algorithmic families first,
 # single-agg stats/marts last; the overflow rides to r6.)
 # Queries displaced past slot 50 stay covered by tests/test_oracle.py,
