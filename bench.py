@@ -121,6 +121,33 @@ HEADLINE = [
     "report_volume_shipping",
     "report_returned_items",
     "report_promo_effect",
+    # -- round-5 additions (VERDICT r4 directive #6: headline tracks the
+    # full catalog at flat per-query cost; dedup_prefix_filter_jaccard
+    # stays excluded — documented small-vocabulary degeneracy at sf0.1).
+    "graph_kcore_peeling",
+    "corpus_sentence_dedup",
+    "audit_table_checksum",
+    "mart_item_recs_topk",
+    "audit_duplicate_payments",
+    "scd2_incremental_rebuild",
+    "scd2_point_in_time",
+    "xml_roundtrip_extract",
+    "json_variant_extract",
+    "agg_listagg_statuses",
+    "group_by_all_latest_order",
+    "text_zipf_slope",
+    "ann_topk_with_metadata",
+    "window_ntile_quartiles",
+    "window_range_trailing_1h",
+    "stats_seasonal_anomaly",
+    "mart_markov_transitions",
+    "mart_cohort_ltv",
+    "mart_abc_pareto",
+    "mart_trending_decay",
+    "audit_key_skew",
+    "audit_k_anonymity",
+    "audit_burst_rate",
+    "streaming_join_then_window",
 ]
 
 

@@ -156,3 +156,105 @@ def distributed_cumsum_grouped(
     if total_col is not None:
         return out.withColumnRenamed("_gt", total_col)
     return out.drop("_gt")
+
+
+def distributed_cumsum_small_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Per-group running sum for a SMALL group domain, fully fused.
+
+    `distributed_cumsum_grouped` is the general shape (any number of
+    groups) but pays for it: a second scan of the input for the group
+    totals, a #groups-row window, and TWO joins back. When the group
+    domain is control-plane bounded (≤ ~1e3 groups — return flags,
+    statuses, buckets), everything the correction needs can ride the
+    ONE per-partition totals collect:
+
+    1. Range-partition by (group, order) — groups are then contiguous
+       in the global order — and window-scan each partition locally
+       (identical phase 1 to distributed_cumsum).
+    2. Collect per-(partition, group) sufficient statistics — total
+       mass `t` AND the mass strictly before the group's first row in
+       that partition (min(local − value)). n_partitions × n_groups
+       rows: control plane.
+    3. On the driver derive, per (pid, group): partition offset
+       (prefix over pids), group start offset (partition offset of the
+       group's FIRST pid + in-partition mass before it — no semantic
+       ordering of group values needed, so any orderable Spark type
+       works), and the group total. Broadcast ONE frame keyed
+       (pid, group) carrying `adjust = pid_offset − group_offset` and
+       the total; one broadcast join finishes.
+
+    Cost: one range exchange + one partition-local window + one
+    control-plane collect + one broadcast join — strictly less than
+    the general grouped scan (which adds an input persist, a totals
+    shuffle, and a second join). `group_cols + order_cols` must be a
+    UNIQUE key (same contract as distributed_cumsum).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    keys = group_cols + order_cols
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in keys])
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*keys)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # Persist before the collect so the broadcast-joined offsets
+    # describe exactly the materialized partitioning (and the scan
+    # runs once). Session owner clears the cache (catalog contract).
+    local = local.persist()
+    stats = local.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).alias("_t"),
+        F.min(F.col("_local") - F.col(value_col)).alias("_before"),
+    ).collect()
+    stats.sort(key=lambda r: r["_pid"])
+    # Partition offsets: mass of all earlier partitions.
+    pid_total: dict[int, int] = {}
+    for r in stats:
+        pid_total[r["_pid"]] = pid_total.get(r["_pid"], 0) + r["_t"]
+    pid_offset: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(pid_total):
+        pid_offset[pid] = acc
+        acc += pid_total[pid]
+    # Group start offsets + totals — derived from each group's FIRST
+    # partition (min pid), so group values never need driver-side
+    # ordering semantics.
+    gkey = lambda r: tuple(r[c] for c in group_cols)  # noqa: E731
+    g_start: dict[tuple, int] = {}
+    g_total: dict[tuple, int] = {}
+    for r in stats:  # pid-ascending
+        g = gkey(r)
+        if g not in g_start:
+            g_start[g] = pid_offset[r["_pid"]] + r["_before"]
+        g_total[g] = g_total.get(g, 0) + r["_t"]
+    rows = [
+        (r["_pid"], *gkey(r), pid_offset[r["_pid"]] - g_start[gkey(r)],
+         g_total[gkey(r)])
+        for r in stats
+    ]
+    schema = df.select(
+        F.lit(0).cast("int").alias("_pid"),
+        *group_cols,
+        F.lit(0).cast("long").alias("_adjust"),
+        F.lit(0).cast("long").alias("_gt"),
+    ).schema
+    adj = spark.createDataFrame(rows, schema)
+    out = (
+        local.join(F.broadcast(adj), ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_local") + F.col("_adjust")).cast("long"))
+        .drop("_pid", "_local", "_adjust")
+    )
+    if total_col is not None:
+        return out.withColumnRenamed("_gt", total_col)
+    return out.drop("_gt")

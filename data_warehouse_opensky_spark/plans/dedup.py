@@ -686,9 +686,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle IS brute force. Unit choice matters: WORD tokens "
     "degenerate on this 31-word vocabulary (every prefix collides — "
     "measured 155 s); 5-gram shingles have a large vocabulary, so "
-    "rarity-ordered prefixes are selective. The vocab rank window is "
-    "the dictionary-build exemption (generalizes via "
-    "corpus_contiguous_ids' bucketed renumbering). Jaccard as exact "
+    "rarity-ordered prefixes are selective. The rarity order needs no "
+    "rank at all: (df, shingle) is itself a unique total order, so "
+    "each doc sorts struct(df, tok) row-locally after a distributed "
+    "df join — zero windows anywhere in the plan (de-exempted r5; "
+    "previously a single-partition row_number over the vocabulary, "
+    "which at billions of web-text shingles would serialize onto one "
+    "task). Jaccard as exact "
     "e6 integer (floor). HONEST LIMIT, measured: prefix filtering "
     "presumes vocabulary >> corpus (true of real web text, ~billions "
     "of distinct shingles). THIS synthetic corpus has only ~2k "
@@ -720,8 +724,6 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = _spread(spark, load_table(spark, sf_dir, "documents"))
     docs = d.select(
         "doc_id", D.shingle_array("text", n=5).alias("toks")
@@ -729,16 +731,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode("toks").alias("tok")
     ).persist()
-    # Global rarity rank — the dictionary build (vocab-scale window;
-    # see docstring for the 100 TB generalization).
+    # Global rarity order — the dictionary build. No rank column is
+    # needed: (f, tok) is already a unique total order (tok is unique
+    # after the groupBy), so the per-doc sort below orders by the
+    # struct directly. The df attach is an ordinary distributed
+    # equi-join; the whole vocabulary never meets a single task.
     freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
-    rank = freq.select(
-        "tok",
-        F.row_number().over(Window.orderBy("f", "tok")).alias("rnk"),
-    )
-    ranked = toks.join(rank, "tok").select("doc_id", "tok", "rnk")
+    ranked = toks.join(freq, "tok").select("doc_id", "tok", "f")
     per_doc = ranked.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("rnk", "tok"))).alias("ordered"),
+        F.array_sort(F.collect_list(F.struct("f", "tok"))).alias("ordered"),
         F.count("*").alias("n"),
     )
     # prefix_len = n - ceil(0.8 n) + 1; ceil(8n/10) = (8n + 9) div 10.

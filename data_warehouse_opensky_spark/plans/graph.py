@@ -235,29 +235,49 @@ _TRI_ORACLE = """
     "out-degree by O(sqrt(2m)), so wedge fan-out is O(m^1.5) worst "
     "case instead of the O(Σ deg²) a naive wedge join pays on skewed "
     "degree distributions — at 100 TB the hub node that breaks the "
-    "naive plan is exactly the one orientation defuses. Three "
-    "shuffles total (edge distinct, wedge join key, closing join); "
-    "counts are exact BIGINTs.",
+    "naive plan is exactly the one orientation defuses. Edge build is "
+    "one fact groupBy + row-local ordered-pair explosion (bounded "
+    "basket size), then edge distinct, wedge join key, and the "
+    "closing join are the remaining shuffles; counts are exact "
+    "BIGINTs.",
     oracle=_TRI_ORACLE,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Edge build: ONE groupBy shuffle of the fact (6M rows → per-order
+    # part sets), then row-local ordered-pair explosion — replaces the
+    # r4 self-join, whose SMJ shuffled the fact TWICE and sorted both
+    # sides (measured 4.7 → 4.45 s at sf0.1). Row-local is safe
+    # because basket size is bounded (TPC-H ≤ 7 items/order; any
+    # real co-purchase feed is similarly bounded) — a pathological
+    # million-item group would need the self-join's streamed form
+    # instead of an in-row array.
+    grp = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x as u, y as v))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .select("p.u", "p.v")
         .distinct()
         .persist()
     )
+    # deg feeds THREE consumers (du, dv, max_node) — persist so the
+    # orientation join never re-aggregates the edge list (the r4 plan
+    # recomputed it; ReusedExchange only caught the du/dv twins).
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select("v"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        .persist()
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     # (deg, id) total order decides direction; ties on degree break by id.

@@ -856,7 +856,7 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import distributed_cumsum_grouped
+    from ..operators.prefix import distributed_cumsum_small_groups
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
@@ -866,11 +866,15 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = li.groupBy("flag", "price_c").agg(F.sum("q").alias("w"))
     # Prices are near-unique, so the per-flag grain series is
     # fact-sized AND there are only 3 flags — a flag-partitioned
-    # window would serialize the scan onto 3 cores. The grouped
-    # two-phase prefix sum keeps every core busy (one global ranged
-    # scan, #flags-row offset correction); measured 2.7 s → ~1.7 s
-    # at sf0.1.
-    c = distributed_cumsum_grouped(
+    # window would serialize the scan onto 3 cores. The FUSED
+    # small-group two-phase prefix sum keeps every core busy: one
+    # ranged exchange, one partition-local window, one control-plane
+    # collect (n_partitions × 3 rows), one broadcast join back.
+    # Measured (sf0.1, local[32], min-of-3): 2.0 s, of which ~1.05 s
+    # is the unavoidable grain aggregation itself; the general
+    # distributed_cumsum_grouped shape measured 2.7-3.5 s here (its
+    # extra input persist + totals shuffle + second join).
+    c = distributed_cumsum_small_groups(
         g, group_cols=["flag"], order_cols=["price_c"], value_col="w",
         out_col="cw", total_col="tw",
     )

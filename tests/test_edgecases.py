@@ -298,3 +298,33 @@ def test_distributed_cumsum_grouped_equals_per_group_serial(spark):
         tots[grp] = tots.get(grp, 0) + v
     assert out == {k: (rt, tots[k[0]]) for k, rt in expect.items()}
     spark.catalog.clearCache()
+
+
+def test_distributed_cumsum_small_groups_equals_per_group_serial(spark):
+    """The FUSED small-group scan (one collect, one broadcast join)
+    must equal a per-group serial prefix sum — groups straddling
+    range-partition boundaries, single-row groups, first group (zero
+    offset), and more partitions than some groups' row counts."""
+    from data_warehouse_opensky_spark.operators.prefix import (
+        distributed_cumsum_small_groups,
+    )
+
+    rows = [("g%02d" % (i % 5), i, (i * 7) % 53) for i in range(500)]
+    rows.append(("zz", 9999, 13))  # single-row trailing group
+    df = spark.createDataFrame(rows, "grp STRING, uid BIGINT, v BIGINT")
+    out = {
+        (r["grp"], r["uid"]): (r["rt"], r["tot"])
+        for r in distributed_cumsum_small_groups(
+            df, ["grp"], ["uid"], "v", out_col="rt",
+            num_partitions=8, total_col="tot",
+        ).collect()
+    }
+    expect = {}
+    acc: dict[str, int] = {}
+    tots: dict[str, int] = {}
+    for grp, uid, v in sorted(rows):
+        acc[grp] = acc.get(grp, 0) + v
+        expect[(grp, uid)] = acc[grp]
+        tots[grp] = tots.get(grp, 0) + v
+    assert out == {k: (rt, tots[k[0]]) for k, rt in expect.items()}
+    spark.catalog.clearCache()

@@ -1123,3 +1123,38 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_prefix_filter_vocab_has_no_window(spark):
+    """The prefix-filter join's rarity order must be windowless
+    (VERDICT r4 directive #2): the old plan ranked the vocabulary with
+    row_number() over an UNPARTITIONED window — at billions of
+    web-text shingles that serializes the dictionary onto one task.
+    The de-exempted plan sorts struct(df, tok) row-locally after a
+    distributed df join, so the whole plan must contain NO Window node
+    of any kind (and the candidate join must stay a real join)."""
+    plan = plan_of(spark, "dedup_prefix_filter_jaccard")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Window" not in body, plan
+    assert "Join" in body, plan
+
+
+def test_weighted_median_fused_scan_shape(spark):
+    """stats_weighted_median must run the FUSED small-group scan
+    (VERDICT r4 directive #3): one RangePartitioning exchange, local
+    scans windowed ONLY by the physical partition id (never by the
+    3-value flag — that serializes onto 3 cores), and a single
+    broadcast join back (the general grouped scan's totals shuffle +
+    second join must be gone)."""
+    plan = plan_of(spark, "stats_weighted_median")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "rangepartitioning" in body.lower(), body
+    specs = [
+        seg.split(")")[0]
+        for seg in body.split("windowspecdefinition(")[1:]
+    ]
+    assert specs and all(s.startswith("_pid") for s in specs), specs
+    assert "BroadcastHashJoin" in body, body
+    assert "SortMergeJoin" not in body, body
+    assert "ShuffledHashJoin" not in body, body
+    spark.catalog.clearCache()
