@@ -148,6 +148,17 @@ HEADLINE = [
     "audit_k_anonymity",
     "audit_burst_rate",
     "streaming_join_then_window",
+    # -- round-5 new-query families ---------------------------------------
+    "stats_linear_regression",
+    "stats_welch_ttest",
+    "stats_pmi_cells",
+    "graph_link_prediction_ra",
+    "graph_bfs_hops",
+    "text_bm25_topk",
+    "corpus_dsir_weights",
+    "sql_pipe_syntax_summary",
+    "mart_repeat_interval_median",
+    "embedding_power_iteration",
 ]
 
 

@@ -937,3 +937,141 @@ def corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("sents") - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.array_join(kept, ". ")).alias("cleaned_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (hashed-bigram n-gram importance sampling)
+# --------------------------------------------------------------------------
+#: Hashed-feature dimension for DSIR (Xie et al. 2023, "Data Selection
+#: for Language Models via Importance Resampling"): word bigrams hashed
+#: into _DSIR_BUCKETS buckets; weights are the add-one-smoothed
+#: log-likelihood ratio between a TARGET corpus (here source 'src0' —
+#: the in-domain proxy) and the RAW pool (all documents).
+_DSIR_BUCKETS = 512
+_DSIR_TARGET_SOURCE = "src0"
+
+
+@query(
+    "corpus_dsir_weights",
+    tier="T3",
+    doc="DSIR importance weights: every document scored by how much "
+    "its hashed-bigram distribution looks like the target domain — "
+    "weight(d) = Σ_bigram [ln p_target(bucket) − ln p_raw(bucket)] "
+    "with add-one smoothing, the published importance-resampling "
+    "recipe for pretraining data selection. Determinism design: the "
+    "per-bucket log-ratio collapses to ONE ln of an exact integer "
+    "ratio ((t+1)(rtot+B) / ((r+1)(ttot+B))), quantized to e6 fixed-"
+    "point BEFORE the per-doc sum, so document weights are exact "
+    "int64 sums (float folds over a doc's bigrams would be order-"
+    "dependent). Scale: one bigram explode (row-local indexed "
+    "transform), one agg to the B-row bucket table (control plane, "
+    "broadcast back), one agg per (doc, bucket), one broadcast join "
+    "— the raw fact is scanned once; at 100 TB the bucket table is "
+    "still 512 rows.",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, source,
+             unnest([ws[i] || ' ' || ws[i + 1]
+                     for i in generate_series(1, len(ws) - 1)]) AS bigram
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents)
+    ),
+    hb AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5(bigram), 1, 8)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket
+      FROM bg
+    ),
+    buckets AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN source = '{_DSIR_TARGET_SOURCE}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+             CAST(count(*) AS BIGINT) AS r_cnt
+      FROM hb GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(t_cnt) AS BIGINT) AS ttot,
+             CAST(sum(r_cnt) AS BIGINT) AS rtot
+      FROM buckets
+    ),
+    ratio AS (
+      SELECT bucket,
+             CAST(floor(1000000 * ln(
+               CAST((t_cnt + 1) * (rtot + {_DSIR_BUCKETS}) AS DOUBLE)
+               / CAST((r_cnt + 1) * (ttot + {_DSIR_BUCKETS}) AS DOUBLE)))
+               AS BIGINT) AS ratio_e6
+      FROM buckets CROSS JOIN tot
+    ),
+    db AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM hb GROUP BY 1, 2
+    )
+    SELECT db.doc_id,
+           CAST(sum(db.cnt) AS BIGINT) AS n_bigrams,
+           CAST(sum(db.cnt * ratio.ratio_e6) AS BIGINT) AS dsir_e6
+    FROM db JOIN ratio USING (bucket)
+    GROUP BY db.doc_id
+    ORDER BY doc_id
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1), "
+                "(w, i) -> concat(w, ' ', ws[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    hb = bg.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    buckets = hb.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET_SOURCE, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("t_cnt"),
+        F.count("*").cast("long").alias("r_cnt"),
+    )
+    tot = buckets.agg(
+        F.sum("t_cnt").cast("long").alias("ttot"),
+        F.sum("r_cnt").cast("long").alias("rtot"),
+    )
+    b = _DSIR_BUCKETS
+    ratio = buckets.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            1000000
+            * F.log(
+                ((F.col("t_cnt") + 1) * (F.col("rtot") + b)).cast("double")
+                / ((F.col("r_cnt") + 1) * (F.col("ttot") + b)).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("ratio_e6"),
+    )
+    db = hb.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return (
+        db.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("ratio_e6"))
+            .cast("long")
+            .alias("dsir_e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -721,3 +721,43 @@ def group_by_all_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day_mod7
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (|> operators)
+# --------------------------------------------------------------------------
+@query(
+    "sql_pipe_syntax_summary",
+    tier="T2",
+    doc="Spark 4 SQL pipe-operator surface (FROM ... |> WHERE |> "
+    "AGGREGATE ... GROUP BY |> ORDER BY): the linear query-authoring "
+    "syntax added in Spark 4.0, exercised on a real aggregate "
+    "(finished-order counts + exact-cents spend per priority). "
+    "Catalyst compiles pipes to the identical logical plan as the "
+    "nested form — this query pins that the surface EXISTS and "
+    "matches the classic-SQL oracle bit-for-bit. Exact integer "
+    "money per catalog doctrine.",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS spend_c
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS spend_c
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )

@@ -2618,3 +2618,71 @@ def audit_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "order_a", "order_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Repeat-purchase cadence (windowless per-customer order-gap profile)
+# --------------------------------------------------------------------------
+@query(
+    "mart_repeat_interval_median",
+    tier="T2",
+    doc="Per-customer repeat-purchase cadence for customers with >= 3 "
+    "orders: gaps in days between consecutive orders, reported as "
+    "(n_orders, min/median/max gap). WINDOWLESS by design: order "
+    "dates collect into a per-customer array (bounded by the per-"
+    "customer order count — tens, not fact-scale), are sorted row-"
+    "locally, and gaps + the lower median are exact integer array "
+    "ops — no lag window, no per-customer sort shuffle beyond the "
+    "one groupBy. The scale shape for billions of customers: one "
+    "map-side-combinable agg keyed on the high-cardinality customer "
+    "key, then row-local compute.",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey AS custkey,
+             list_sort(list(CAST(o_orderdate AS DATE))) AS ds
+      FROM orders GROUP BY 1 HAVING count(*) >= 3
+    ),
+    x AS (
+      SELECT custkey,
+             CAST(len(ds) AS BIGINT) AS n_orders,
+             list_sort([CAST(date_diff('day', ds[i], ds[i + 1]) AS BIGINT)
+                        for i in generate_series(1, len(ds) - 1)]) AS gaps
+      FROM g
+    )
+    SELECT custkey, n_orders,
+           gaps[1] AS min_gap_days,
+           gaps[CAST((len(gaps) + 1) // 2 AS INT)] AS median_gap_days,
+           gaps[CAST(len(gaps) AS INT)] AS max_gap_days
+    FROM x
+    ORDER BY custkey
+    """,
+)
+def mart_repeat_interval_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    g = (
+        o.groupBy("custkey")
+        .agg(F.array_sort(F.collect_list("od")).alias("ds"))
+        .filter(F.size("ds") >= 3)
+    )
+    x = g.select(
+        "custkey",
+        F.size("ds").cast("long").alias("n_orders"),
+        F.array_sort(
+            F.expr(
+                "transform(slice(ds, 1, size(ds) - 1), "
+                "(d, i) -> cast(datediff(ds[i + 1], d) as bigint))"
+            )
+        ).alias("gaps"),
+    )
+    return x.select(
+        "custkey",
+        "n_orders",
+        F.element_at("gaps", 1).alias("min_gap_days"),
+        F.expr(
+            "element_at(gaps, cast((size(gaps) + 1) div 2 as int))"
+        ).alias("median_gap_days"),
+        F.element_at("gaps", F.size("gaps")).alias("max_gap_days"),
+    ).orderBy("custkey")

@@ -1057,3 +1057,142 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — power iteration: top singular direction, exact integer replay
+# --------------------------------------------------------------------------
+_PI_DIMS = 8
+_PI_ROUNDS = 3
+_PI_GRID = 1_000_000
+
+
+def _pi_chain_sql(div_op: str) -> str:
+    """The shared iteration chain: second-moment agg -> 3 unrolled
+    matrix-vector rounds with e6 rescale. `div_op` is the engine's
+    integer-division token ('div' / '//') — only ever applied to
+    NON-NEGATIVE operands here (sign-split below), where Spark's
+    truncating `div` and DuckDB's flooring `//` agree.
+    """
+    k, g = _PI_DIMS, _PI_GRID
+    m = lambda i, j: f"m{min(i, j)}_{max(i, j)}"  # noqa: E731
+    parts = [
+        "s AS (SELECT "
+        + ", ".join(
+            f"CAST(sum(xq[{i + 1}] * xq[{j + 1}]) AS BIGINT) AS m{i}_{j}"
+            for i in range(k)
+            for j in range(i, k)
+        )
+        + " FROM q)",
+        "r0 AS (SELECT s.*, "
+        + ", ".join(f"CAST({g} AS BIGINT) AS v{i}" for i in range(k))
+        + " FROM s)",
+    ]
+    keep = ", ".join(f"m{i}_{j}" for i in range(k) for j in range(i, k))
+    for t in range(1, _PI_ROUNDS + 1):
+        wsum = {
+            i: " + ".join(f"{m(i, j)} * v{j}" for j in range(k))
+            for i in range(k)
+        }
+        parts.append(
+            f"w{t} AS (SELECT r{t - 1}.*, "
+            + ", ".join(f"({wsum[i]}) AS w{i}" for i in range(k))
+            + f" FROM r{t - 1})"
+        )
+        mx = "greatest(" + ", ".join(f"abs(w{i})" for i in range(k)) + ")"
+        parts.append(
+            f"x{t} AS (SELECT w{t}.*, "
+            f"greatest({mx} {div_op} {g}, 1) AS mxd FROM w{t})"
+        )
+        vdiv = ", ".join(
+            f"(CASE WHEN w{i} < 0 THEN -((-w{i}) {div_op} mxd) "
+            f"ELSE w{i} {div_op} mxd END) AS v{i}"
+            for i in range(k)
+        )
+        parts.append(f"r{t} AS (SELECT {keep}, {vdiv} FROM x{t})")
+    return ",\n    ".join(parts)
+
+
+def _pi_oracle() -> str:
+    k = _PI_DIMS
+    final = f"r{_PI_ROUNDS}"
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS dim, CAST(v{i} AS BIGINT) "
+        f"AS loading_e6 FROM {final}"
+        for i in range(k)
+    )
+    return f"""
+    WITH q AS (
+      SELECT [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+              for x in embedding[1:{k}]] AS xq
+      FROM embeddings
+    ),
+    {_pi_chain_sql('//')}
+    SELECT dim, loading_e6 FROM ({sel}) ORDER BY dim
+    """
+
+
+@query(
+    "embedding_power_iteration",
+    tier="T3",
+    doc=f"Top singular direction of the (quantized) embedding matrix "
+    f"via {_PI_ROUNDS} unrolled power-iteration rounds over the first "
+    f"{_PI_DIMS} dims — the PCA/spectral building block, built so an "
+    "independent SQL engine replays every round BIT-FOR-BIT: the "
+    "second-moment matrix is one exact-int64 aggregate (e3-quantized "
+    "products; 36 upper-triangle sums, map-side combinable — the ONLY "
+    "data-scale pass), and each round is a control-plane 1-row "
+    "matrix-vector product with an e6 integer rescale using sign-"
+    "split truncating division (Spark `div` truncates, DuckDB `//` "
+    "floors — sign-splitting makes them agree on negatives). int64 "
+    "bound: |M·v| <= dims·Σ|x_i x_j|·1e6, safe through ~1e6 rows at "
+    "e3 quantization; past that the chain lifts to DECIMAL(38,0) "
+    "unchanged. No collect, no loop over data — iterations live in "
+    "the plan exactly like graph_pagerank's unrolled rounds.",
+    oracle=_pi_oracle(),
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _PI_DIMS
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).selectExpr(
+        f"transform(slice(embedding, 1, {k}), x -> "
+        "cast(round(cast(x as double) * 1000) as bigint)) AS xq"
+    )
+    m = lambda i, j: f"m{min(i, j)}_{max(i, j)}"  # noqa: E731
+    # NOTE: Spark SQL's arr[i] is 0-BASED; the DuckDB oracle's is
+    # 1-based — the generators differ by exactly that offset.
+    r = emb.selectExpr(
+        *[
+            f"cast(sum(xq[{i}] * xq[{j}]) as bigint) AS m{i}_{j}"
+            for i in range(k)
+            for j in range(i, k)
+        ]
+    ).selectExpr("*", *[f"cast({_PI_GRID} as bigint) AS v{i}" for i in range(k)])
+    mcols = [f"m{i}_{j}" for i in range(k) for j in range(i, k)]
+    for _ in range(_PI_ROUNDS):
+        r = r.selectExpr(
+            "*",
+            *[
+                f"({' + '.join(f'{m(i, j)} * v{j}' for j in range(k))}) AS w{i}"
+                for i in range(k)
+            ],
+        )
+        mx = "greatest(" + ", ".join(f"abs(w{i})" for i in range(k)) + ")"
+        r = r.selectExpr("*", f"greatest({mx} div {_PI_GRID}, 1) AS mxd")
+        r = r.selectExpr(
+            *mcols,
+            *[
+                f"(CASE WHEN w{i} < 0 THEN -((-w{i}) div mxd) "
+                f"ELSE w{i} div mxd END) AS v{i}"
+                for i in range(k)
+            ],
+        )
+    cells = ", ".join(
+        f"named_struct('dim', cast({i} as bigint), "
+        f"'loading_e6', cast(v{i} as bigint))"
+        for i in range(k)
+    )
+    return (
+        r.select(F.explode(F.expr(f"array({cells})")).alias("c"))
+        .select("c.dim", "c.loading_e6")
+        .orderBy("dim")
+    )

@@ -1041,3 +1041,256 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group OLS (simple linear regression from exact moments)
+# --------------------------------------------------------------------------
+@query(
+    "stats_linear_regression",
+    tier="T2",
+    doc="Per-returnflag OLS of extended price (cents) on quantity: "
+    "slope and intercept from EXACT DECIMAL(38,0) sufficient "
+    "statistics (n, Σx, Σy, Σxx, Σxy) — both coefficients are a "
+    "single correctly-rounded double division of exact integers "
+    "(intercept uses the closed form (Σy·Σxx − Σx·Σxy)/D rather than "
+    "chaining through the float slope), so partial-agg order can "
+    "never move the hash. Map-side combinable: each task emits 5 "
+    "numbers per group; no second pass, no join. The same shape "
+    "Spark's regr_slope/regr_intercept compute — rebuilt on exact "
+    "integers because the built-ins sum doubles (order-dependent).",
+    oracle="""
+    WITH u AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM u GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_c_per_unit,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept_c
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x"),
+        cents("l_extendedprice").alias("y"),
+    )
+    d = "decimal(38,0)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast(d).alias("n"),
+        F.sum("x").cast(d).alias("sx"),
+        F.sum("y").cast(d).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(d).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(d).alias("sxy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / den,
+            6,
+        ).alias("slope_c_per_unit"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / den,
+            6,
+        ).alias("intercept_c"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test (unequal-variance two-sample comparison)
+# --------------------------------------------------------------------------
+@query(
+    "stats_welch_ttest",
+    tier="T2",
+    doc="Welch's unequal-variance t-test: do urgent orders "
+    "(1-URGENT/2-HIGH) carry a different mean price than the rest? "
+    "Sufficient statistics (n, Σy, Σy²) per cohort in exact "
+    "DECIMAL(38,0); means and sample variances are single divisions "
+    "of exact integers, and t / Welch–Satterthwaite df chain "
+    "correctly-rounded IEEE ops written IDENTICALLY in both engines "
+    "(same association order), so the round-6 outputs match bit-for-"
+    "bit. One scan, one 2-row agg, map-side combined; the 2-row "
+    "cohort frame pivots on the driver side of the plan via "
+    "conditional aggregation — no join, no window.",
+    oracle="""
+    WITH u AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'urgent' ELSE 'other' END AS cohort,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN cohort = 'urgent' THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+             CAST(sum(CASE WHEN cohort = 'urgent' THEN y ELSE 0 END) AS HUGEINT) AS s1,
+             CAST(sum(CASE WHEN cohort = 'urgent' THEN y * y ELSE 0 END) AS HUGEINT) AS q1,
+             CAST(sum(CASE WHEN cohort = 'other' THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+             CAST(sum(CASE WHEN cohort = 'other' THEN y ELSE 0 END) AS HUGEINT) AS s2,
+             CAST(sum(CASE WHEN cohort = 'other' THEN y * y ELSE 0 END) AS HUGEINT) AS q2
+      FROM u
+    ),
+    f AS (
+      SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_other,
+             CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+               / CAST(n1 * (n1 - 1) AS DOUBLE) AS v1,
+             CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+               / CAST(n2 * (n2 - 1) AS DOUBLE) AS v2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+      FROM s
+    )
+    SELECT n_urgent, n_other,
+           round(m1 - m2, 6) AS mean_diff_c,
+           round((m1 - m2) / sqrt(v1 / n_urgent + v2 / n_other), 6) AS t_stat,
+           round(((v1 / n_urgent + v2 / n_other)
+                  * (v1 / n_urgent + v2 / n_other))
+                 / ((v1 / n_urgent) * (v1 / n_urgent) / (n_urgent - 1)
+                    + (v2 / n_other) * (v2 / n_other) / (n_other - 1)),
+                 6) AS welch_df
+    FROM f
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent"
+        )
+        .otherwise("other")
+        .alias("cohort"),
+        cents("o_totalprice").alias("y"),
+    )
+    d = "decimal(38,0)"
+    urgent = F.col("cohort") == "urgent"
+    s = o.agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).cast(d).alias("n1"),
+        F.sum(F.when(urgent, F.col("y")).otherwise(0)).cast(d).alias("s1"),
+        F.sum(F.when(urgent, F.col("y") * F.col("y")).otherwise(0))
+        .cast(d)
+        .alias("q1"),
+        F.sum(F.when(~urgent, 1).otherwise(0)).cast(d).alias("n2"),
+        F.sum(F.when(~urgent, F.col("y")).otherwise(0)).cast(d).alias("s2"),
+        F.sum(F.when(~urgent, F.col("y") * F.col("y")).otherwise(0))
+        .cast(d)
+        .alias("q2"),
+    )
+    f = s.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_other"),
+        (
+            (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+        ).alias("v1"),
+        (
+            (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")).cast(
+                "double"
+            )
+            / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+        ).alias("v2"),
+        (F.col("s1").cast("double") / F.col("n1").cast("double")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n2").cast("double")).alias("m2"),
+    )
+    se1 = F.col("v1") / F.col("n_urgent")
+    se2 = F.col("v2") / F.col("n_other")
+    return f.select(
+        "n_urgent",
+        "n_other",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff_c"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 6
+        ).alias("t_stat"),
+        F.round(
+            ((se1 + se2) * (se1 + se2))
+            / (
+                se1 * se1 / (F.col("n_urgent") - 1)
+                + se2 * se2 / (F.col("n_other") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pointwise mutual information cells (categorical dependence map)
+# --------------------------------------------------------------------------
+@query(
+    "stats_pmi_cells",
+    tier="T2",
+    doc="Pointwise mutual information between order priority and order "
+    "status, reported PER CELL (15 rows) rather than as one summed MI "
+    "scalar — deliberately: a float sum across cells would be "
+    "fold-order-dependent, while each cell's pmi = ln(n·n_xy/(n_x·"
+    "n_y)) is one correctly-rounded log of an exact integer ratio "
+    "(round 6, continuous). Contingency counts via one scan + one agg "
+    "on 15 keys; marginals re-derived by windowless self-aggregation "
+    "joins on the 15-row result (control-plane sized, broadcast).",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS n_xy
+      FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT priority, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
+    my AS (SELECT status, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
+    n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM c)
+    SELECT priority, status, n_xy, mx.n_x, my.n_y,
+           round(ln(CAST(n.n * n_xy AS DOUBLE)
+                    / CAST(mx.n_x * my.n_y AS DOUBLE)), 6) AS pmi
+    FROM c JOIN mx USING (priority) JOIN my USING (status) CROSS JOIN n
+    ORDER BY priority, status
+    """,
+)
+def stats_pmi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    c = o.groupBy("priority", "status").agg(
+        F.count("*").cast("long").alias("n_xy")
+    )
+    mx = c.groupBy("priority").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = c.groupBy("status").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    n = c.agg(F.sum("n_xy").cast("long").alias("n"))
+    return (
+        c.join(F.broadcast(mx), "priority")
+        .join(F.broadcast(my), "status")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "priority",
+            "status",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(
+                F.log(
+                    (F.col("n") * F.col("n_xy")).cast("double")
+                    / (F.col("n_x") * F.col("n_y")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("priority", "status")
+    )

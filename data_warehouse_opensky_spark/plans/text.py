@@ -586,3 +586,132 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("zipf_intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (fixed query, exact-arithmetic scoring)
+# --------------------------------------------------------------------------
+#: Fixed query terms for the BM25 demo (the online query is a literal;
+#: the offline side — tf/df/dl/avgdl — is what a 100 TB index stores).
+BM25_TERMS = ("spark", "vector", "window")
+#: k1/b chosen BINARY-EXACT (1.5 and 0.75 are dyadic rationals) so the
+#: scoring chain is the same IEEE doubles in every engine.
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+
+@query(
+    "text_bm25_topk",
+    tier="T3",
+    doc="BM25 top-10 documents for a fixed 3-term query: the ranked-"
+    "retrieval twin of text_tfidf_topk. Determinism design: dl/tf/df/"
+    "N/Σdl are exact integers; k1=1.5, b=0.75 are dyadic (binary-"
+    "exact); the per-term score chains correctly-rounded IEEE ops "
+    "written IDENTICALLY in both engines, and the 3 term scores are "
+    "added in FIXED textual order (conditional-max pivot, never a "
+    "float SUM over rows whose fold order Spark doesn't define). "
+    "Scale: tf explode + two small aggs; the query-term filter "
+    "prunes the posting explode to |Q| terms before any shuffle; "
+    "df and the (N, Σdl) scalars are control-plane broadcasts — the "
+    "same shape an inverted-index scorer runs at 100 TB.",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN {BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    p AS (
+      SELECT d.doc_id, d.dl, g.n_docs, g.sum_dl,
+             {" , ".join(
+               f"max(CASE WHEN tf.term = '{t}' THEN tf.tf ELSE 0 END) AS tf_{t}, "
+               f"max(CASE WHEN tf.term = '{t}' THEN df.df ELSE 0 END) AS df_{t}"
+               for t in BM25_TERMS)}
+      FROM d CROSS JOIN g
+      LEFT JOIN tf ON tf.doc_id = d.doc_id
+      LEFT JOIN df ON df.term = tf.term
+      GROUP BY d.doc_id, d.dl, g.n_docs, g.sum_dl
+    )
+    SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in BM25_TERMS)},
+           round(
+             {" + ".join(
+               f"(ln(1 + (CAST(n_docs - df_{t} AS DOUBLE) + 0.5)"
+               f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+               f" * (CAST(tf_{t} AS DOUBLE) * ({BM25_K1} + 1))"
+               f" / (CAST(tf_{t} AS DOUBLE) + {BM25_K1} * (1 - {BM25_B}"
+               f" + {BM25_B} * (CAST(dl * n_docs AS DOUBLE)"
+               f" / CAST(sum_dl AS DOUBLE)))))"
+               for t in BM25_TERMS)}, 6) AS bm25
+    FROM p
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    g = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    pivoted = (
+        d.crossJoin(F.broadcast(g))
+        .join(tf, "doc_id", "left")
+        .join(F.broadcast(df), "term", "left")
+        .groupBy("doc_id", "dl", "n_docs", "sum_dl")
+        .agg(
+            *[
+                agg
+                for t in BM25_TERMS
+                for agg in (
+                    F.max(
+                        F.when(F.col("term") == t, F.col("tf")).otherwise(0)
+                    ).alias(f"tf_{t}"),
+                    F.max(
+                        F.when(F.col("term") == t, F.col("df")).otherwise(0)
+                    ).alias(f"df_{t}"),
+                )
+            ]
+        )
+    )
+    # Same textual formula and association order as the oracle.
+    score = None
+    for t in BM25_TERMS:
+        term_score = F.expr(
+            f"ln(1 + (cast(n_docs - df_{t} as double) + 0.5)"
+            f" / (cast(df_{t} as double) + 0.5))"
+            f" * (cast(tf_{t} as double) * ({BM25_K1} + 1))"
+            f" / (cast(tf_{t} as double) + {BM25_K1} * (1 - {BM25_B}"
+            f" + {BM25_B} * (cast(dl * n_docs as double)"
+            f" / cast(sum_dl as double))))"
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        pivoted.select(
+            "doc_id",
+            "dl",
+            *[F.col(f"tf_{t}") for t in BM25_TERMS],
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
