@@ -159,6 +159,11 @@ HEADLINE = [
     "sql_pipe_syntax_summary",
     "mart_repeat_interval_median",
     "embedding_power_iteration",
+    "join_interval_overlap",
+    "sql_session_variables",
+    "embedding_mmr_topk",
+    "audit_freshness_lag",
+    "stats_poisson_bootstrap",
 ]
 
 

@@ -749,15 +749,167 @@ def group_by_all_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sql_pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
+    return _sql_over_views(
+        spark,
+        sf_dir,
         """
-        FROM orders
+        FROM {orders}
         |> WHERE o_orderstatus = 'F'
         |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                           AS BIGINT) AS spend_c
            GROUP BY o_orderpriority
         |> ORDER BY o_orderpriority
+        """,
+        ["orders"],
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join via bin bucketing
+# --------------------------------------------------------------------------
+#: Promo calendar: 10-day windows opening every Monday-equivalent from a
+#: fixed anchor. A production run derives (anchor, n_windows) from the
+#: data's min/max date in a control-plane agg; constants here keep the
+#: oracle self-contained.
+_IV_ANCHOR = "DATE '1995-01-01'"
+_IV_N_WINDOWS = 370
+_IV_LEN_DAYS = 10  # inclusive span = [start, start + 9]
+
+
+@query(
+    "join_interval_overlap",
+    tier="T2",
+    doc="Interval-overlap join WITHOUT a quadratic or inequality-only "
+    "join: 7-day order-activity intervals [orderdate, orderdate+6] "
+    "vs an overlapping 10-day promo calendar (one window per week — "
+    "windows overlap each other AND the order intervals, so this is "
+    "interval×interval, not point-in-band like "
+    "range_join_price_bands). Technique: both sides explode to the "
+    "7-day BINS their interval covers, join on the bin equi-key, "
+    "dedup (an overlapping pair can meet in 2+ bins), then apply the "
+    "exact overlap predicate — turning the O(|A|·|B|) comparison "
+    "Spark would plan as BroadcastNestedLoopJoin into an equi-"
+    "shuffle bounded by span/7 bins per interval (≤2 here, both "
+    "sides). The oracle IS the quadratic join, proving the bucketed "
+    "plan exact. Exact-cents revenue per window.",
+    oracle=f"""
+    WITH span AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             date_diff('day', {_IV_ANCHOR}, CAST(o_orderdate AS DATE)) AS a0,
+             date_diff('day', {_IV_ANCHOR}, CAST(o_orderdate AS DATE)) + 6
+               AS a1
+      FROM orders
+    ),
+    promo AS (
+      SELECT i AS promo_id, 7 * i AS p0, 7 * i + {_IV_LEN_DAYS - 1} AS p1
+      FROM generate_series(0, {_IV_N_WINDOWS - 1}) t(i)
+    )
+    SELECT promo.promo_id,
+           CAST(CAST({_IV_ANCHOR} + to_days(CAST(promo.p0 AS INT)) AS DATE)
+                AS VARCHAR) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(span.price_c) AS BIGINT) AS revenue_c
+    FROM promo JOIN span
+      ON span.a0 <= promo.p1 AND promo.p0 <= span.a1
+    GROUP BY 1, 2
+    ORDER BY promo_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    anchor = F.to_date(F.lit("1995-01-01"))
+    span = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        cents("o_totalprice").alias("price_c"),
+        F.datediff(F.to_date("o_orderdate"), anchor).cast("long").alias("a0"),
+        (F.datediff(F.to_date("o_orderdate"), anchor) + 6)
+        .cast("long")
+        .alias("a1"),
+    )
+    promo = spark.range(_IV_N_WINDOWS).select(
+        F.col("id").alias("promo_id"),
+        (F.col("id") * 7).alias("p0"),
+        (F.col("id") * 7 + (_IV_LEN_DAYS - 1)).alias("p1"),
+    )
+    # Bin bucketing: each side explodes to its covered 7-day bins.
+    span_b = span.select(
+        "*", F.explode(F.expr("sequence(a0 div 7, a1 div 7)")).alias("bin")
+    )
+    promo_b = promo.select(
+        "*", F.explode(F.expr("sequence(p0 div 7, p1 div 7)")).alias("bin")
+    )
+    pairs = (
+        span_b.join(F.broadcast(promo_b), "bin")
+        .filter((F.col("a0") <= F.col("p1")) & (F.col("p0") <= F.col("a1")))
+        .select("promo_id", "p0", "o_orderkey", "price_c")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("promo_id", "p0")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("price_c").cast("long").alias("revenue_c"),
+        )
+        .select(
+            "promo_id",
+            F.date_add(anchor, F.col("p0").cast("int"))
+            .cast("string")
+            .alias("window_start"),
+            "n_orders",
+            "revenue_c",
+        )
+        .orderBy("promo_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL session variables (Spark 4 DECLARE / SET VAR)
+# --------------------------------------------------------------------------
+@query(
+    "sql_session_variables",
+    tier="T2",
+    doc="Spark 4 SQL session variables (DECLARE VARIABLE / SET VAR): "
+    "the parameterized-script surface a warehouse control script uses "
+    "instead of string interpolation — the threshold and status "
+    "parameters live as typed session variables and the analytic "
+    "query references them by name. Constant-folded by Catalyst into "
+    "the same plan as inlined literals (the oracle inlines them), so "
+    "parameterization is free at any scale. Exact-cents aggregation "
+    "per catalog doctrine. CREATE OR REPLACE form keeps the query "
+    "re-entrant within a session.",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_big_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS spend_c
+    FROM orders
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 15000000
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE big_order_cents BIGINT DEFAULT 0"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE status_filter STRING DEFAULT ''")
+    spark.sql("SET VAR big_order_cents = 15000000")
+    spark.sql("SET VAR status_filter = 'O'")
+    return _sql_over_views(
+        spark,
+        sf_dir,
         """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_big_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS spend_c
+        FROM {orders}
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) > big_order_cents
+          AND o_orderstatus = status_filter
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        ["orders"],
     )

@@ -2686,3 +2686,53 @@ def mart_repeat_interval_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_gap_days"),
         F.element_at("gaps", F.size("gaps")).alias("max_gap_days"),
     ).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# Freshness audit (per-stream ingestion lag)
+# --------------------------------------------------------------------------
+@query(
+    "audit_freshness_lag",
+    tier="T2",
+    doc="Data-freshness audit: per event type, the latest event time "
+    "vs the table-wide high-water mark — the staleness screen every "
+    "warehouse runs before trusting a partition (a stream whose "
+    "latest event trails the global max by hours is late or dead). "
+    "Exact epoch-second integers; one map-side-combined agg + one "
+    "1-row broadcast back; flags streams lagging > 1 hour.",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(floor(epoch(ts))) AS BIGINT) AS latest_s
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT CAST(max(latest_s) AS BIGINT) AS hwm_s FROM s)
+    SELECT s.event_type, s.n_events, s.latest_s,
+           CAST(g.hwm_s - s.latest_s AS BIGINT) AS lag_s,
+           (g.hwm_s - s.latest_s) > 3600 AS stale_flag
+    FROM s CROSS JOIN g
+    ORDER BY event_type
+    """,
+)
+def audit_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("es").cast("long").alias("latest_s"),
+    )
+    g = s.agg(F.max("latest_s").cast("long").alias("hwm_s"))
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            "latest_s",
+            (F.col("hwm_s") - F.col("latest_s")).cast("long").alias("lag_s"),
+            ((F.col("hwm_s") - F.col("latest_s")) > 3600).alias("stale_flag"),
+        )
+        .orderBy("event_type")
+    )

@@ -1196,3 +1196,172 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.dim", "c.loading_e6")
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — MMR diversified retrieval (maximal marginal relevance)
+# --------------------------------------------------------------------------
+_MMR_POOL = 20
+_MMR_K = 5
+#: λ = 0.7 as the exact integer pair (7, 3) on a ×10 grid.
+_MMR_REL_W, _MMR_DIV_W = 7, 3
+
+
+def _mmr_round_ctes() -> str:
+    """Unrolled MMR selection rounds shared by the DuckDB oracle.
+
+    Round 1 picks pure argmax relevance; round t>1 scores every
+    remaining candidate as REL_W·rel − DIV_W·max(sim to selected) and
+    picks the (score desc, vec_id) argmax. All integer arithmetic.
+    """
+    parts = [
+        f"""s1 AS (
+      SELECT vec_id, rel, CAST({_MMR_REL_W} * rel AS BIGINT) AS mmr,
+             CAST(1 AS BIGINT) AS rank
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )""",
+        "sel1 AS (SELECT vec_id FROM s1)",
+    ]
+    for t in range(2, _MMR_K + 1):
+        p = t - 1
+        parts.append(
+            f"""s{t} AS (
+      SELECT c.vec_id, c.rel,
+             CAST({_MMR_REL_W} * c.rel - {_MMR_DIV_W} * (
+               SELECT max(s.dp) FROM sims s
+               WHERE s.a = c.vec_id
+                 AND s.b IN (SELECT vec_id FROM sel{p})
+             ) AS BIGINT) AS mmr,
+             CAST({t} AS BIGINT) AS rank
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p})
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""sel{t} AS (
+      SELECT vec_id FROM sel{p} UNION ALL SELECT vec_id FROM s{t}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _mmr_oracle() -> str:
+    dot = (
+        "list_sum([a.xq[i] * b.xq[i] for i in generate_series(1, "
+        f"{DIM})])"
+    )
+    qdot = (
+        "list_sum([e.xq[i] * q.xq[i] for i in generate_series(1, "
+        f"{DIM})])"
+    )
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel, mmr FROM s{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+              for x in embedding] AS xq
+      FROM embeddings
+    ),
+    q AS (SELECT xq FROM base WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, CAST({qdot} AS BIGINT) AS rel
+      FROM base e CROSS JOIN q
+      WHERE e.vec_id != 0
+      ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS a, b.vec_id AS b, CAST({dot} AS BIGINT) AS dp
+      FROM (SELECT c.vec_id, base.xq FROM cand c JOIN base USING (vec_id)) a
+      JOIN (SELECT c.vec_id, base.xq FROM cand c JOIN base USING (vec_id)) b
+        ON a.vec_id != b.vec_id
+    ),
+    {_mmr_round_ctes()}
+    SELECT rank, vec_id, rel, mmr FROM ({union}) ORDER BY rank
+    """
+
+
+@query(
+    "embedding_mmr_topk",
+    tier="T3",
+    doc=f"MMR diversified retrieval (Carbonell & Goldstein 1998): "
+    f"top-{_MMR_K} results for the vec-0 query that balance relevance "
+    f"against redundancy — round 1 takes the pure argmax, each later "
+    f"round scores remaining candidates as {_MMR_REL_W}·rel − "
+    f"{_MMR_DIV_W}·max(sim to already-selected) (λ=0.7 on an exact "
+    "×10 integer grid) and takes the (score, id) argmax. The "
+    "dedup-aware retrieval shape for curating diverse training "
+    "samples. Scale/determinism design: ONE data-scale pass scores "
+    f"relevance (exact e3-quantized int dots); the top-{_MMR_POOL} "
+    f"candidate pool and its pairwise sims are control-plane "
+    f"({_MMR_POOL}\u00b2 ints) collected once, and the {_MMR_K} "
+    "selection rounds run as a driver-side argmax loop over them "
+    "(k-means centroid budget class) — every score an exact int64, "
+    "replayed bit-for-bit by the oracle's unrolled CTE chain.",
+    oracle=_mmr_oracle(),
+)
+def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load_table(spark, sf_dir, "embeddings", spread=True)
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> "
+            "cast(round(cast(x as double) * 1000) as bigint)) AS xq",
+        )
+        .persist()
+    )
+    q = base.filter(F.col("vec_id") == 0).select(F.col("xq").alias("qq"))
+    dot = (
+        "aggregate(zip_with(xq, {o}, (a, b) -> a * b), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    cand = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .selectExpr("vec_id", "xq", f"cast({dot.format(o='qq')} as bigint) AS rel")
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_POOL)
+        .persist()
+    )
+    ca = cand.select(F.col("vec_id").alias("a"), F.col("xq").alias("xa"))
+    cb = cand.select(F.col("vec_id").alias("b"), F.col("xq").alias("xb"))
+    sims = (
+        ca.crossJoin(cb)
+        .filter(F.col("a") != F.col("b"))
+        .selectExpr(
+            "a",
+            "b",
+            "cast(aggregate(zip_with(xa, xb, (p, r) -> p * r), 0L, "
+            "(acc, x) -> acc + x) as bigint) AS dp",
+        )
+        .persist()
+    )
+    # Selection rounds are CONTROL PLANE: the pool is _MMR_POOL rows and
+    # sims _MMR_POOL² ints — collect once and run the argmax loop on the
+    # driver (same budget class as the k-means centroid collects; the
+    # plan-side alternative chains 5 limit(1) subplans and measured 5×
+    # slower for identical output). The data-scale work — scoring and
+    # top-pool selection — stays distributed above.
+    pool = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    dp = {(r["a"], r["b"]): r["dp"] for r in sims.collect()}
+    first = max(pool, key=lambda v: (pool[v], -v))
+    rows = [(1, first, pool[first], _MMR_REL_W * pool[first])]
+    selected = [first]
+    for t in range(2, _MMR_K + 1):
+        best = None
+        for v, rel in pool.items():
+            if v in selected:
+                continue
+            mmr = _MMR_REL_W * rel - _MMR_DIV_W * max(
+                dp[(v, s)] for s in selected
+            )
+            if best is None or (mmr, -v) > (best[3], -best[1]):
+                best = (t, v, rel, mmr)
+        rows.append(best)
+        selected.append(best[1])
+    return spark.createDataFrame(
+        rows, "rank long, vec_id long, rel long, mmr long"
+    ).orderBy("rank")

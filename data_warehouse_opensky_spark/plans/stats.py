@@ -1294,3 +1294,99 @@ def stats_pmi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "status")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap (distributed resampling without replacement-sampling)
+# --------------------------------------------------------------------------
+_BOOT_B = 32
+#: Poisson(1) inverse-CDF thresholds on a 1e5 grid (floor of the
+#: cumulative probabilities) — weight k iff u falls in its band. Exact
+#: integers, so replica weights are identical in every engine.
+_BOOT_CDF_E5 = (36787, 73575, 91969, 98101, 99634, 99940, 99991)
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF_E5)
+    )
+    return f"(CASE {cases} ELSE {len(_BOOT_CDF_E5)} END)"
+
+
+@query(
+    "stats_poisson_bootstrap",
+    tier="T2",
+    doc=f"Poisson bootstrap of the mean order value, {_BOOT_B} "
+    "replicas: the DISTRIBUTED bootstrap — classic resampling needs "
+    "n draws with replacement from one coordinated urn (impossible "
+    "across executors without a shuffle per replica), while the "
+    "Poisson approximation gives every (row, replica) an independent "
+    "Poisson(1) weight, so all replicas ride ONE scan with an "
+    "explode-by-B and a map-side-combined agg on B keys. Weights are "
+    "md5-hash uniforms pushed through an exact integer inverse-CDF "
+    "grid (no RNG, no float compare), so both engines draw identical "
+    "resamples; per-replica means are single divisions of exact "
+    "cents sums (round 6). Reported per replica — the stderr is the "
+    "reader's spread over 32 rows, never a float fold.",
+    oracle=f"""
+    WITH x AS (
+      SELECT b.b AS replica,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(('0x' || substring(
+               md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+                   || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100000 AS u
+      FROM orders o CROSS JOIN generate_series(0, {_BOOT_B - 1}) b(b)
+    ),
+    w AS (SELECT replica, price_c, {_boot_weight_sql('u')} AS wt FROM x)
+    SELECT CAST(replica AS BIGINT) AS replica,
+           CAST(sum(wt) AS BIGINT) AS n_eff,
+           round(CAST(sum(wt * price_c) AS DOUBLE)
+                 / CAST(sum(wt) AS DOUBLE), 6) AS mean_c
+    FROM w GROUP BY replica ORDER BY replica
+    """,
+)
+def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("price_c")
+    )
+    x = o.select(
+        "price_c",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("replica"),
+        "o_orderkey",
+    ).select(
+        "replica",
+        "price_c",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("o_orderkey").cast("string"),
+                            F.col("replica").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100000
+        ).alias("u"),
+    )
+    w = x.selectExpr("replica", "price_c", f"{_boot_weight_sql('u')} AS wt")
+    return (
+        w.groupBy("replica")
+        .agg(
+            F.sum("wt").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(F.col("wt") * F.col("price_c")).cast("double")
+                / F.sum("wt").cast("double"),
+                6,
+            ).alias("mean_c"),
+        )
+        .select(F.col("replica").cast("long").alias("replica"), "n_eff", "mean_c")
+        .orderBy("replica")
+    )

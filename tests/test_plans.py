@@ -1158,3 +1158,64 @@ def test_weighted_median_fused_scan_shape(spark):
     assert "SortMergeJoin" not in body, body
     assert "ShuffledHashJoin" not in body, body
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark):
+    """The interval-overlap join must run as the bin-bucketed EQUI join
+    (broadcast of the exploded promo side), never as the
+    BroadcastNestedLoopJoin/CartesianProduct an inequality-only
+    condition would force — that nested loop is O(|A|·|B|) at scale."""
+    plan = plan_of(spark, "join_interval_overlap")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" not in body, plan
+    assert "CartesianProduct" not in body, plan
+    assert "BroadcastHashJoin" in body, plan
+
+
+def test_power_iteration_single_data_scan(spark):
+    """Power iteration touches the embeddings ONCE (the second-moment
+    aggregate); the 3 matrix-vector rounds are 1-row projections with
+    no further scans, joins, or exchanges of data."""
+    plan = plan_of(spark, "embedding_power_iteration")
+    body = plan.split("== Physical Plan ==")[-1]
+    # formatted plans print each node twice (tree + detail): 2 == one scan
+    assert body.count("Scan parquet") == 2, plan
+    assert "Join" not in body, plan
+
+
+def test_repeat_interval_median_windowless(spark):
+    """The per-customer cadence profile must stay windowless: one
+    groupBy on the high-cardinality customer key + row-local array
+    math — no Window node (a per-customer lag window would add a
+    second sort of the same shuffle)."""
+    plan = plan_of(spark, "mart_repeat_interval_median")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Window" not in body, plan
+    assert body.count("HashAggregate") >= 2 or "ObjectHashAggregate" in body, plan
+
+
+def test_poisson_bootstrap_single_scan_partial_agg(spark):
+    """All 32 bootstrap replicas ride ONE scan: explode-by-B then a
+    map-side-combined agg on B keys — no joins, no windows, no
+    per-replica passes."""
+    plan = plan_of(spark, "stats_poisson_bootstrap")
+    body = plan.split("== Physical Plan ==")[-1]
+    # formatted plans print each node twice (tree + detail): 2 == one scan
+    assert body.count("Scan parquet") == 2, plan
+    assert "Join" not in body, plan
+    assert "Window" not in body, plan
+    assert body.count("HashAggregate") >= 2, plan
+
+
+def test_dsir_bucket_table_broadcasts(spark):
+    """The 512-row DSIR bucket/ratio table must broadcast back onto
+    the doc-bucket counts — it is the control plane; shuffling the
+    doc side against it would move the corpus for a dictionary."""
+    plan = plan_of(spark, "corpus_dsir_weights")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, plan
