@@ -484,14 +484,22 @@ def _kcore_oracle() -> str:
 )
 def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Edge build: fact groupBy + row-local ordered-pair explosion
+    # (bounded basket size — the triangle-count edge-build shape; the
+    # former self-join shuffled the fact twice and sorted both sides).
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x as u, y as v))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .select("p.u", "p.v")
         .distinct()
         .persist()
     )

@@ -2502,19 +2502,33 @@ def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mart_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    po = (
+    # Pair build: one fact groupBy to per-order part sets + row-local
+    # ordered-pair explosion (bounded basket size — the triangle-count
+    # edge-build lesson; the former self-join shuffled the fact twice
+    # and sorted both sides).
+    grp = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.array_sort(F.collect_set("pk")).alias("ps"))
         .persist()
     )
-    a, b = po.alias("a"), po.alias("b")
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x as pa, y as pb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
         .agg(F.count("*").cast("long").alias("n_ab"))
     )
-    ic = po.groupBy(F.col("pk")).agg(F.count("*").cast("long").alias("n"))
+    ic = grp.select(F.explode("ps").alias("pk")).groupBy("pk").agg(
+        F.count("*").cast("long").alias("n")
+    )
     sym = pairs.select(
         F.col("pa").alias("item"), F.col("pb").alias("rec"), "n_ab"
     ).unionAll(
