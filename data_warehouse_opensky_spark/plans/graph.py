@@ -559,6 +559,34 @@ def _repeat_edges_sql() -> str:
     """
 
 
+def _repeat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _repeat_edges_sql: ONE fact groupBy to per-order
+    part sets + row-local ordered-pair explosion (bounded basket size —
+    the triangle-count edge-build shape; a fact self-join would shuffle
+    the fact twice and sort both sides). Per-order pairs are distinct
+    by construction (collect_set + i<j), so the pair count IS the
+    distinct-order count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x as u, y as v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+
+
 @query(
     "graph_link_prediction_ra",
     tier="T3",
@@ -597,28 +625,7 @@ def _repeat_edges_sql() -> str:
     """,
 )
 def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    po = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_orderkey").alias("ok"),
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    e2 = (
-        po.groupBy("u", "v")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .drop("c")
-        .persist()
-    )
+    e2 = _repeat_edges(spark, sf_dir).persist()
     e = e2.unionAll(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = e.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("long").alias("d")
@@ -706,27 +713,7 @@ _BFS_HOPS = 3
     """,
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    po = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_orderkey").alias("ok"),
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    e2 = (
-        po.groupBy("u", "v")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .drop("c")
-    )
+    e2 = _repeat_edges(spark, sf_dir)
     e = e2.unionAll(
         e2.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()

@@ -2529,13 +2529,25 @@ def mart_item_recs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ic = grp.select(F.explode("ps").alias("pk")).groupBy("pk").agg(
         F.count("*").cast("long").alias("n")
     )
+    # Symmetrize AFTER the pair aggregation with a row-local 2-way
+    # explode — a union of two pairs-projections would re-run the
+    # whole pair groupBy once per branch (the subtree is unpersisted).
     sym = pairs.select(
-        F.col("pa").alias("item"), F.col("pb").alias("rec"), "n_ab"
-    ).unionAll(
-        pairs.select(
-            F.col("pb").alias("item"), F.col("pa").alias("rec"), "n_ab"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("item"),
+                    F.col("pb").alias("rec"),
+                    F.col("n_ab").alias("n_ab"),
+                ),
+                F.struct(
+                    F.col("pb").alias("item"),
+                    F.col("pa").alias("rec"),
+                    F.col("n_ab").alias("n_ab"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.item", "s.rec", "s.n_ab")
     ia = ic.select(F.col("pk").alias("item"), F.col("n").alias("n_i"))
     ib = ic.select(F.col("pk").alias("rec"), F.col("n").alias("n_r"))
     scored = (
