@@ -164,6 +164,11 @@ HEADLINE = [
     "embedding_mmr_topk",
     "audit_freshness_lag",
     "stats_poisson_bootstrap",
+    "graph_label_propagation",
+    "text_bpe_merges",
+    "mart_attribution_linear",
+    "opensky_zorder_key",
+    "stats_cusum_changepoint",
 ]
 
 

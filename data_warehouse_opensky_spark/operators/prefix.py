@@ -42,28 +42,40 @@ from pyspark.sql.window import Window
 def distributed_cumsum(
     df: DataFrame,
     order_cols: list[str],
-    value_col: str,
-    out_col: str = "running_total",
+    value_col: str | list[str],
+    out_col: str | list[str] = "running_total",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Exact running sum of `value_col` over the `order_cols` total
+    """Exact running sum(s) of `value_col` over the `order_cols` total
     order, computed with the two-phase parallel scan above.
 
     `order_cols` must be a UNIQUE key (include a tiebreaker). The
     value column should be an integer type for cross-engine exactness
     (catalog doctrine: float running sums are fold-order-dependent).
+
+    `value_col`/`out_col` accept parallel LISTS to compute several
+    running sums in ONE scan: the window expressions share a single
+    Window node (same spec), the per-partition totals collect carries
+    one column per value, and one broadcast offsets join finishes all
+    of them — k running sums for the price of one range exchange.
+    (A row-index column is the common second member: cumsum of a
+    literal 1.)
     """
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col lists must align")
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_local",
-        F.sum(value_col).over(
-            Window.partitionBy("_pid")
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    local = ranged.withColumn("_pid", F.spark_partition_id())
+    for i, v in enumerate(vcols):
+        local = local.withColumn(f"_local{i}", F.sum(v).over(w))
     # Persist BEFORE the totals collect: the returned frame reuses the
     # same materialized partitioning, so the offsets provably describe
     # the rows they are joined back to (range-boundary sampling is
@@ -73,19 +85,27 @@ def distributed_cumsum(
     # Control plane: one row per partition; prefix-summed on the
     # driver (n values), re-enters the plan as a broadcast join.
     totals = sorted(
-        local.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect(),
+        local.groupBy("_pid")
+        .agg(*[F.sum(v).alias(f"_t{i}") for i, v in enumerate(vcols)])
+        .collect(),
         key=lambda r: r["_pid"],
     )
-    offsets, acc = [], 0
+    offsets, acc = [], [0] * len(vcols)
     for r in totals:
-        offsets.append((r["_pid"], acc))
-        acc += r["_t"]
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
-    return (
-        local.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("long"))
-        .drop("_pid", "_local", "_offset")
+        offsets.append((r["_pid"], *acc))
+        acc = [a + r[f"_t{i}"] for i, a in enumerate(acc)]
+    off_schema = "_pid int, " + ", ".join(
+        f"_offset{i} long" for i in range(len(vcols))
     )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    out = local.join(F.broadcast(off_df), "_pid")
+    drop = ["_pid"]
+    for i, oc in enumerate(ocols):
+        out = out.withColumn(
+            oc, (F.col(f"_local{i}") + F.col(f"_offset{i}")).cast("long")
+        )
+        drop += [f"_local{i}", f"_offset{i}"]
+    return out.drop(*drop)
 
 
 def running_total_column(

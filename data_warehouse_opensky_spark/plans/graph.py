@@ -746,3 +746,96 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             lv.select("node", F.lit(h).cast("long").alias("hops"))
         )
     return out.orderBy("hops", "node")
+
+
+# --------------------------------------------------------------------------
+# T3 — label propagation communities (sync LPA, K unrolled rounds)
+# --------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        f"e2 AS ({_repeat_edges_sql()})",
+        """e AS (
+      SELECT u AS node, v AS nbr FROM e2
+      UNION ALL SELECT v AS node, u AS nbr FROM e2
+    )""",
+        """l0 AS (
+      SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM e)
+    )""",
+    ]
+    for k in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"""c{k} AS (
+      SELECT e.node, l.lbl AS nlbl, count(*) AS c
+      FROM e JOIN l{k - 1} l ON e.nbr = l.node
+      GROUP BY 1, 2
+    )""",
+        )
+        ctes.append(
+            f"""l{k} AS (
+      SELECT node, nlbl AS lbl FROM (
+        SELECT node, nlbl,
+               row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, nlbl
+               ) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    )""",
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, lbl FROM l{_LPA_ROUNDS} ORDER BY node"
+    )
+
+
+@query(
+    "graph_label_propagation",
+    tier="T3",
+    doc=f"Synchronous label propagation ({_LPA_ROUNDS} unrolled rounds) "
+    "over the repeat-co-purchase graph: every node adopts the MODE of "
+    "its neighbors' labels each round (ties -> smallest label, so the "
+    "sync update is a pure deterministic function of the previous "
+    "round — the asynchronous/random-order variants of LPA are not "
+    "cross-engine replayable). Each round is one co-partitioned "
+    "|E|⋈|V| join plus a two-level agg: count per (node, nlbl), then "
+    "a per-node argmax via max(struct(c, -nlbl)) — the mode-with-"
+    "tie-break collapses into ONE combiner-friendly agg instead of a "
+    "row_number window over the candidate set (same trick as "
+    "agg_mode_deterministic). Labels persist per round (pagerank "
+    "doctrine: unpersisted chains re-run every prior round). At "
+    "100 TB the per-round shuffle is on the edge key — the same "
+    "co-partitioned iteration budget as pagerank; unrolled rounds "
+    "keep the oracle replayable.",
+    oracle=_lpa_oracle(),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e2 = _repeat_edges(spark, sf_dir)
+    e = e2.unionAll(
+        e2.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("node"), F.col("v").alias("nbr")).persist()
+    labels = e.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("lbl").alias("nlbl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "nlbl")
+            .agg(F.count("*").alias("c"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("nlbl")).alias("neg"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg")).alias("lbl"))
+            .persist()
+        )
+    return labels.orderBy("node")

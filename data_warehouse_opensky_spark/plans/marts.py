@@ -2762,3 +2762,88 @@ def audit_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — linear multi-touch attribution (complement of last-touch)
+# --------------------------------------------------------------------------
+@query(
+    "mart_attribution_linear",
+    tier="T2",
+    doc="Linear multi-touch attribution: every purchase's credit is "
+    "split equally across ALL of the same user's clicks strictly "
+    "before it within a 7-day lookback (the equal-weight complement of "
+    "mart_attribution_last_touch). ONE shuffle: both event types are "
+    "pruned before the user_id equi-join (the time band rides as a "
+    "post-join residual on the sort-merge join); the per-purchase "
+    "touch count then comes from a window partitioned by (user_id, "
+    "purchase_id) — hash distribution on user_id already CLUSTERS "
+    "those keys, so EnsureRequirements inserts only a sort, never a "
+    "second exchange. Credit is an exact integer micro-weight "
+    "(1000000 DIV n), so rows are engine-deterministic without any "
+    "float fold.",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    c AS (SELECT user_id, event_id AS click_id, ts_s AS cts FROM e
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts_s AS pts FROM e
+          WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.user_id, p.purchase_id, c.click_id
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cts < p.pts AND p.pts - c.cts <= 604800
+    )
+    SELECT purchase_id, click_id,
+           CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+             AS n_touches,
+           CAST(1000000 AS BIGINT)
+             // count(*) OVER (PARTITION BY purchase_id) AS weight_e6
+    FROM j
+    ORDER BY purchase_id, click_id
+    """,
+)
+def mart_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        )
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts_s").alias("cts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts_s").alias("pts"),
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["user_id"])
+        & (c["cts"] < p["pts"])
+        & (p["pts"] - c["cts"] <= 604800),
+    ).select(p["user_id"], "purchase_id", "click_id")
+    # (user_id, purchase_id) partition spec: the join output's hash
+    # distribution on user_id already satisfies the window's clustered
+    # distribution — sort-only, no second exchange (plan-pinned).
+    w = Window.partitionBy("user_id", "purchase_id")
+    n = F.count("*").over(w).cast("long")
+    return (
+        j.select(
+            "purchase_id",
+            "click_id",
+            n.alias("n_touches"),
+            F.expr("CAST(1000000 AS BIGINT)").alias("_w"),
+        )
+        .withColumn("weight_e6", F.expr("_w div n_touches"))
+        .drop("_w")
+        .orderBy("purchase_id", "click_id")
+    )

@@ -422,3 +422,107 @@ def opensky_airline_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_msgs"), "airline")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — Z-order clustering key (the data-layout primitive for 100 TB skipping)
+# --------------------------------------------------------------------------
+#: Fixed Europe-crawl bounding box (reference job bbox family) and an
+#: 8-bit-per-axis grid: 256x256 cells, 16-bit interleaved key.
+_Z_LAT0, _Z_LAT_SPAN = 30.0, 45.0
+_Z_LON0, _Z_LON_SPAN = -30.0, 80.0
+_Z_BITS = 8
+
+
+def _z_interleave(divop: str) -> str:
+    """Bit-interleave xi (even bits) and yi (odd bits) with pure integer
+    arithmetic — `divop` is the engine's integer-division operator
+    ('div' for Spark SQL, '//' for DuckDB); everything else is shared.
+    """
+    terms = [
+        f"(((xi {divop} {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((yi {divop} {1 << i}) % 2) * {1 << (2 * i + 1)})"
+        for i in range(_Z_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_Z_CELLS = f"""
+    SELECT least(greatest(CAST(floor(
+             (longitude - {_Z_LON0}) / {_Z_LON_SPAN} * {1 << _Z_BITS}
+           ) AS BIGINT), 0), {(1 << _Z_BITS) - 1}) AS xi,
+           least(greatest(CAST(floor(
+             (latitude - {_Z_LAT0}) / {_Z_LAT_SPAN} * {1 << _Z_BITS}
+           ) AS BIGINT), 0), {(1 << _Z_BITS) - 1}) AS yi,
+           icao24
+    FROM c
+    WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+"""
+
+
+@query(
+    "opensky_zorder_key",
+    tier="T2",
+    doc="Z-order (Morton) clustering key over the state-vector "
+    "positions: 8-bit lat/lon grid coordinates bit-interleaved into a "
+    "16-bit key by pure integer arithmetic, aggregated per z-cell. "
+    "This is the LAYOUT primitive for 100 TB: writing the fact sorted "
+    "by zkey makes every parquet row-group's lat/lon min/max tight in "
+    "BOTH dimensions simultaneously, so a spatial range predicate "
+    "prunes files on ordinary column statistics — multidimensional "
+    "skipping without a spatial index. The key itself is row-local "
+    "(no shuffle); the per-cell rollup is one combiner-friendly "
+    "groupBy, and ORDER BY zkey demonstrates the write-side range "
+    "partitioning that the layout would use.",
+    oracle=f"""
+    WITH c AS ({{clean}}),
+    g AS ({_Z_CELLS})
+    SELECT {_z_interleave('//')} AS zkey,
+           count(*) AS n_states,
+           count(DISTINCT icao24) AS n_aircraft
+    FROM g
+    GROUP BY 1
+    ORDER BY zkey
+    """.format(clean=_CLEAN_SQL),
+)
+def opensky_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    raw = spark.read.csv(REFERENCE_GLOB, header=True, schema=RAW_SCHEMA)
+    c = clean_state_vectors(raw)
+    hi = (1 << _Z_BITS) - 1
+    g = c.filter(
+        F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    ).select(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("longitude") - _Z_LON0)
+                    / _Z_LON_SPAN
+                    * (1 << _Z_BITS)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(hi).cast("long"),
+        ).alias("xi"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("latitude") - _Z_LAT0)
+                    / _Z_LAT_SPAN
+                    * (1 << _Z_BITS)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(hi).cast("long"),
+        ).alias("yi"),
+        "icao24",
+    )
+    return (
+        g.select(F.expr(_z_interleave("div")).alias("zkey"), "icao24")
+        .groupBy("zkey")
+        .agg(
+            F.count("*").alias("n_states"),
+            F.countDistinct("icao24").alias("n_aircraft"),
+        )
+        .orderBy("zkey")
+    )

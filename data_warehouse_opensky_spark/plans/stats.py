@@ -1405,3 +1405,95 @@ def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replica")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — CUSUM change-point detection over the daily revenue series
+# --------------------------------------------------------------------------
+@query(
+    "stats_cusum_changepoint",
+    tier="T2",
+    doc="CUSUM change-point detection on daily order revenue: the "
+    "cumulative sum of deviations from the global mean peaks (in "
+    "absolute value) at the most likely mean-shift point. Kept EXACT "
+    "integer end-to-end by scaling out the division: cusum_n(t) = "
+    "n * prefix(t) - t * total (n times the classic CUSUM), so no "
+    "float fold or integer-div truncation can disagree across "
+    "engines. Shape: one combiner groupBy to the daily grain, then "
+    "the two-phase distributed prefix scan (operators/prefix.py — "
+    "never a single-partition window, even though the daily series "
+    "is small: the same code must survive a per-minute or per-key "
+    "grain at 100 TB), then TWO 1-row control-plane aggregates "
+    "(n+total, max|cusum|) broadcast back via crossJoin (catalog "
+    "budget class). Day index t comes from the same scan (count "
+    "column), not a window rank.",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT day, rev_c,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(rev_c) OVER (ORDER BY day ROWS UNBOUNDED
+                                   PRECEDING) AS BIGINT) AS prefix_c
+      FROM d
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rev_c) AS BIGINT) AS total_c FROM d),
+    c AS (
+      SELECT s.day, s.rev_c, s.t,
+             g.n * s.prefix_c - s.t * g.total_c AS cusum_n
+      FROM s, g
+    ),
+    m AS (SELECT max(abs(cusum_n)) AS peak FROM c)
+    SELECT c.day, c.rev_c, c.t, c.cusum_n,
+           (abs(c.cusum_n) = m.peak) AS is_changepoint
+    FROM c, m
+    ORDER BY c.day
+    """,
+)
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import distributed_cumsum
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").cast("string").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("rev_c"))
+    )
+    # One scan computes BOTH running columns: cumsum of rev_c and the
+    # day index t (cumsum of 1) share the single range exchange and
+    # Window node (distributed_cumsum multi-column form).
+    t = distributed_cumsum(
+        d.withColumn("one", F.lit(1).cast("long")),
+        order_cols=["day"],
+        value_col=["rev_c", "one"],
+        out_col=["prefix_c", "t"],
+    ).drop("one")
+    g = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev_c").cast("long").alias("total_c"),
+    )
+    c = t.crossJoin(F.broadcast(g)).select(
+        "day",
+        "rev_c",
+        "t",
+        (F.col("n") * F.col("prefix_c") - F.col("t") * F.col("total_c"))
+        .alias("cusum_n"),
+    )
+    m = c.agg(F.max(F.abs(F.col("cusum_n"))).alias("peak"))
+    return (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "day",
+            "rev_c",
+            "t",
+            "cusum_n",
+            (F.abs(F.col("cusum_n")) == F.col("peak")).alias(
+                "is_changepoint"
+            ),
+        )
+        .orderBy("day")
+    )

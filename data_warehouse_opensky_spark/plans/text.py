@@ -715,3 +715,136 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# T3 — BPE tokenizer training rounds (the LLM-pipeline vocab-build step)
+# --------------------------------------------------------------------------
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle() -> str:
+    """DuckDB twin of the distributed BPE loop, unrolled to K CTE rounds.
+
+    Token sequences are encoded as ' t1  t2  ... tn ' — every token
+    carries its OWN flanking single spaces, so adjacent tokens meet at
+    a double space. A merge of pair (l, r) is then the literal
+    replace of ' l  r ' with ' lr ': the pattern spans both tokens'
+    full delimited extents, cannot match inside a token (tokens are
+    space-free) or across a half-token (every token edge is guarded
+    by its flank), and left-to-right non-overlapping replace IS the
+    BPE greedy leftmost merge — both engines' `replace` scans the
+    input exactly once.
+    """
+    ctes = [
+        """w AS (
+      SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM documents, unnest(regexp_extract_all(text, '[a-z]+')) AS u(t)
+      GROUP BY t
+    )""",
+        r"""s0 AS (
+      SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS seq, freq FROM w
+    )""",
+    ]
+    for k in range(1, _BPE_ROUNDS + 1):
+        ctes.append(
+            f"""p{k} AS (
+      SELECT tok[i] AS l, tok[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
+      FROM (
+        SELECT tok, freq, unnest(generate_series(1, len(tok) - 1)) AS i
+        FROM (SELECT string_split(trim(seq), '  ') AS tok, freq FROM s{k - 1})
+      )
+      GROUP BY 1, 2
+    )""",
+        )
+        ctes.append(
+            f"""t{k} AS (
+      SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1
+    )""",
+        )
+        ctes.append(
+            f"""s{k} AS (
+      SELECT replace(seq, ' ' || l || '  ' || r || ' ',
+                     ' ' || l || r || ' ') AS seq, freq
+      FROM s{k - 1}, t{k}
+    )""",
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {k} AS rank, l, r, c FROM t{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({unions}) ORDER BY rank"
+    )
+
+
+@query(
+    "text_bpe_merges",
+    tier="T3",
+    doc=f"BPE tokenizer training, first {_BPE_ROUNDS} merge rounds over "
+    "the word-frequency table (T3.4 — the vocab-build step of an LLM "
+    "data pipeline). The corpus collapses to (word, freq) ONCE (one "
+    "shuffle on word — at 100 TB this is the classic combiner-friendly "
+    "word count), and every round after that runs on the VOCABULARY, "
+    "not the corpus: one scan of the word table per round emits "
+    "adjacent token pairs row-locally (zip of the token array with its "
+    "own tail), a map-side-combined sum picks the globally most "
+    "frequent pair, and the 1-row argmax (ORDER BY c DESC, l, r — "
+    "deterministic total tie-break) is collected as control-plane "
+    "(catalog budget class: K rows total) and applied as a row-local "
+    "literal string replace. Sequences encode tokens with their own "
+    "space flanks (' l  r ' -> ' lr '), so single-pass non-overlapping "
+    "replace IS BPE's greedy leftmost merge in both engines. The vocab "
+    "table is persisted; each round's merge extends a narrow "
+    "withColumn chain over it.",
+    oracle=_bpe_oracle(),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.regexp_replace("word", "(.)", " $1 ").alias("seq"), "freq"
+        )
+        .persist()
+    )
+    pairs = F.expr(
+        "filter(zip_with(tok, slice(tok, 2, size(tok)), "
+        "(a, b) -> struct(a AS l, b AS r)), s -> s.r IS NOT NULL)"
+    )
+    cur = vocab
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        top = (
+            cur.select(
+                F.split(F.trim(F.col("seq")), "  ").alias("tok"), "freq"
+            )
+            .select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((k, left, right, cnt))
+        # Tokens are [a-z]+ only, so the literal splice is injection-safe.
+        cur = cur.withColumn(
+            "seq",
+            F.expr(
+                f"replace(seq, ' {left}  {right} ', ' {left}{right} ')"
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "rank INT, l STRING, r STRING, c BIGINT"
+    ).orderBy("rank")

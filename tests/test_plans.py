@@ -1219,3 +1219,155 @@ def test_dsir_bucket_table_broadcasts(spark):
     plan = plan_of(spark, "corpus_dsir_weights")
     body = plan.split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in body, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: runtime filters, attribution window reuse, LPA/BPE
+# ---------------------------------------------------------------------------
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Spark-first runtime filtering: on a shuffled fact⨝filtered-dim
+    join, Catalyst's InjectRuntimeFilter must plant a bloom filter
+    (bloom_filter_agg on the creation side, might_contain on the fact
+    scan) — the engine-owned equivalent of a hand-rolled semi-join
+    prefilter. At 100 TB this is what keeps a selective probe from
+    scanning the full fact shuffle: the fact side drops non-candidate
+    rows BEFORE the exchange. The app-side size threshold defaults to
+    10 GB, so the gate is conf-lowered here to prove the rewrite fires
+    with our session settings; production relies on the same default-on
+    rule at real sizes."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_returnflag")
+    o = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .count()
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        plan = explain_str(j)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan
+
+
+def test_attribution_linear_window_reuses_join_partitioning(spark):
+    """mart_attribution_linear's touch-count window partitions by
+    (user_id, purchase_id); the preceding shuffled join already hash-
+    distributes on user_id, which CLUSTERS those keys — so the window
+    must add a sort only, never an Exchange on (user_id, purchase_id).
+    Pinned in the shuffled-join regime (size-based broadcast off; at
+    sf0.001 stats would otherwise broadcast the click side and the
+    window would legitimately need its own exchange)."""
+    import re
+
+    df = QUERIES["mart_attribution_linear"].fn(spark, SF)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(df)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Window" in body, plan
+    assert not re.search(
+        r"Exchange hashpartitioning\([^)]*purchase_id", body
+    ), plan
+
+
+def test_label_propagation_mode_is_single_agg_no_window(spark):
+    """LPA's mode-with-tie-break must collapse into max(struct(c,
+    -nlbl)) aggregation — no row_number window over the candidate
+    label set (a window would re-sort every (node, label) group per
+    round)."""
+    plan = plan_of(spark, "graph_label_propagation")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Window" not in body, plan
+
+
+def test_bpe_pair_count_is_partial_agg_no_shuffle_per_word(spark):
+    """Each BPE round's pair count must be ONE map-side-combined agg
+    over the persisted vocab (partial+final HashAggregate), with the
+    pair explosion row-local (Generate feeding the partial agg in the
+    same stage — no exchange between Generate and the first
+    HashAggregate)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_opensky_spark.plans.text import text_bpe_merges  # noqa: F401
+
+    d = load_table(spark, SF, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.regexp_replace("word", "(.)", " $1 ").alias("seq"), "freq"
+        )
+    )
+    pairs = F.expr(
+        "filter(zip_with(tok, slice(tok, 2, size(tok)), "
+        "(a, b) -> struct(a AS l, b AS r)), s -> s.r IS NOT NULL)"
+    )
+    counted = (
+        vocab.select(F.split(F.trim(F.col("seq")), "  ").alias("tok"), "freq")
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("freq").alias("c"))
+    )
+    plan = explain_str(counted)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Generate" in body, plan
+    # Two HashAggregate pairs: word count (partial+final) and pair
+    # count (partial+final) — at least 4 detail blocks total.
+    assert len(re.findall(r"^\(\d+\) HashAggregate", body, re.MULTILINE)) >= 4, plan
+    # The Generate->partial-agg edge is intra-stage: the only exchanges
+    # are the two agg shuffles (word, pair), nothing between Generate
+    # and its downstream partial HashAggregate.
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", body, re.MULTILINE))
+    assert n_exchanges <= 2, plan
+
+
+def test_cusum_one_scan_two_running_sums_no_global_window(spark):
+    """stats_cusum_changepoint computes prefix revenue AND the day
+    index in ONE multi-column distributed scan: exactly one Window
+    node (pid-partitioned — never a global window), one range
+    exchange, and both 1-row control frames broadcast back."""
+    import re
+
+    plan = plan_of(spark, "stats_cusum_changepoint")
+    body = plan.split("== Physical Plan ==")[-1]
+    # Every Window node (the persisted scan subtree prints once per
+    # consuming query stage) must be the ONE fused pid-partitioned
+    # window computing BOTH running sums — no global window, no
+    # second scan for the day index.
+    windows = re.findall(
+        r"^\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)$", body, re.MULTILINE
+    )
+    assert windows, plan
+    for args in windows:
+        assert "_pid" in args, plan  # pid-partitioned, never global
+        assert "_local0" in args and "_local1" in args, plan  # fused
+    n_range = len(re.findall(r"Exchange rangepartitioning", body))
+    assert n_range <= 2, plan  # scan + final orderBy
