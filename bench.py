@@ -169,6 +169,9 @@ HEADLINE = [
     "mart_attribution_linear",
     "opensky_zorder_key",
     "stats_cusum_changepoint",
+    "dedup_sorted_neighborhood",
+    "mart_rfm_segments",
+    "graph_community_modularity",
 ]
 
 

@@ -27,13 +27,19 @@ from . import reports  # noqa: E402,F401
 # sf0.01 sweep). Ordering inside the window is HIGHEST-RISK FIRST,
 # exactly as the r4 verdict directs: the iterative graph /
 # embedding-algorithmic / stateful-streaming / CDC / Spark-4-SQL
-# families lead, single-agg stats/marts trail. The 9 lowest-risk
-# single-agg carries ride to r6:
-#   stats_histogram_price, stats_corr_qty_price, stats_anomaly_zscore,
+# families lead, single-agg stats/marts trail. Riding to r6: the 9
+# lowest-risk single-agg carries
+#   (stats_histogram_price, stats_corr_qty_price, stats_anomaly_zscore,
 #   stats_profile_orders, stats_autocorr_lag1, stats_benford_firstdigit,
-#   mart_cumulative_users, mart_gini_concentration, mart_new_vs_returning
-# Queries displaced past slot 50 stay covered by tests/test_oracle.py,
-# which runs ALL of them vs DuckDB at sf0.001.
+#   mart_cumulative_users, mart_gini_concentration, mart_new_vs_returning)
+# plus every query ADDED during round 5 itself (the rotation front is
+# fixed when the driver window runs; additions join the backlog:
+# retrieval/importance-sampling/link-prediction/BFS/spectral/stats-test
+# batch, interval-overlap/bootstrap/MMR/SQL-variables/freshness batch,
+# LPA, BPE merges, linear attribution, z-order key, CUSUM, SNM, RFM,
+# modularity). Queries displaced past slot 50 stay covered by
+# tests/test_oracle.py, which runs ALL of them vs DuckDB at sf0.001,
+# and by the per-session full driver-contract sweep at sf0.01.
 DRIVER_WINDOW_PRIORITY = [
     # -- iterative graph + embedding algorithmic families (riskiest) ---
     "graph_triangle_count",

@@ -803,3 +803,80 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# T3 — sorted-neighborhood entity resolution (SNM candidate generation)
+# --------------------------------------------------------------------------
+_SNM_WINDOW = 2
+_SNM_MAXDIST = 3
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    tier="T3",
+    doc=f"Sorted-neighborhood method over part names: candidates are "
+    f"pairs within {_SNM_WINDOW} positions of each other in the "
+    "(p_name, p_partkey) sort order, verified by exact Levenshtein "
+    f"(1..{_SNM_MAXDIST} — identical-name pairs are exact dups, "
+    "handled by dedup_exact, and excluded here). The classic ER "
+    "complement to blocking/LSH: sortedness puts lexicographic "
+    "near-misses adjacent REGARDLESS of which blocking key they'd "
+    "miss. Scale shape: the global position comes from the two-phase "
+    "distributed rank (operators/prefix.py cumsum of ones — never a "
+    "single-partition row_number), and the w-neighborhood is an "
+    "EQUI-join on rank offset (explode each row to its next-w ranks) "
+    "— cross-partition adjacency falls out of the join, with none of "
+    "the boundary-replication bookkeeping a within-partition lead() "
+    "would need. Verify cost is |rows|·w Levenshteins, row-local.",
+    oracle=f"""
+    WITH s AS (
+      SELECT p_partkey, p_name,
+             CAST(row_number() OVER (ORDER BY p_name, p_partkey)
+                  AS BIGINT) AS t
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             a.p_name AS a_name, b.p_name AS b_name,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM s a JOIN s b ON b.t - a.t BETWEEN 1 AND {_SNM_WINDOW}
+    )
+    SELECT a_key, b_key, a_name, b_name, dist
+    FROM pairs WHERE dist BETWEEN 1 AND {_SNM_MAXDIST}
+    ORDER BY a_key, b_key
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import distributed_cumsum
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.lit(1).cast("long").alias("one")
+    )
+    s = distributed_cumsum(
+        p, order_cols=["p_name", "p_partkey"], value_col="one", out_col="t"
+    ).drop("one")
+    a = s.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+        F.explode(
+            F.sequence(F.col("t") + 1, F.col("t") + _SNM_WINDOW)
+        ).alias("t"),
+    )
+    b = s.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        "t",
+    )
+    return (
+        a.join(b, "t")
+        .select(
+            "a_key",
+            "b_key",
+            "a_name",
+            "b_name",
+            F.levenshtein("a_name", "b_name").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist").between(1, _SNM_MAXDIST))
+        .orderBy("a_key", "b_key")
+    )

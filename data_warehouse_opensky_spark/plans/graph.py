@@ -812,7 +812,15 @@ def _lpa_oracle() -> str:
     oracle=_lpa_oracle(),
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e2 = _repeat_edges(spark, sf_dir)
+    _, _, labels = _lpa_labels(spark, sf_dir)
+    return labels.orderBy("node")
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA core: returns (e2 pair list, symmetric adjacency,
+    final labels frame) after _LPA_ROUNDS sync rounds. e2 and e are
+    persisted (both feed multiple consumers; session owner clears)."""
+    e2 = _repeat_edges(spark, sf_dir).persist()
     e = e2.unionAll(
         e2.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).select(F.col("u").alias("node"), F.col("v").alias("nbr")).persist()
@@ -838,4 +846,93 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", (-F.col("m.neg")).alias("lbl"))
             .persist()
         )
-    return labels.orderBy("node")
+    return e2, e, labels
+
+
+# --------------------------------------------------------------------------
+# T3 — modularity of the LPA communities (partition-quality metric)
+# --------------------------------------------------------------------------
+def _lpa_label_cte() -> str:
+    """The LPA oracle's CTE chain up to the final labels frame
+    (shared with graph_label_propagation's oracle)."""
+    full = _lpa_oracle()
+    # Strip the trailing SELECT: keep everything up to the last CTE.
+    return full[: full.rindex("\n    SELECT node, lbl")]
+
+
+@query(
+    "graph_community_modularity",
+    tier="T3",
+    doc="Newman modularity of the LPA communities, kept EXACT by "
+    "scaling out both divisions: q4m2 = 4m*in_c - deg_c^2 is each "
+    "community's contribution times 4m^2 (Q = sum(q4m2) / 4m^2), all "
+    "integer. in_c (intra-community edge count) is ONE pass over the "
+    "pair list with both endpoints' labels attached (two label joins "
+    "- at 100 TB these are the same co-partitioned |E|x|V| joins as "
+    "the LPA rounds themselves); deg_c is the degree table joined to "
+    "labels once. m enters as a control-plane literal (one count over "
+    "the persisted pair list - pagerank's |V| budget class). The "
+    "oracle replays the full LPA chain, proving label AND metric "
+    "together.",
+    oracle=f"""
+    {_lpa_label_cte()},
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY node
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e2),
+    members AS (
+      SELECT lbl, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(d) AS BIGINT) AS deg_c
+      FROM l{_LPA_ROUNDS} l JOIN deg USING (node) GROUP BY lbl
+    ),
+    intra AS (
+      SELECT lu.lbl, CAST(count(*) AS BIGINT) AS in_c
+      FROM e2
+      JOIN l{_LPA_ROUNDS} lu ON e2.u = lu.node
+      JOIN l{_LPA_ROUNDS} lv ON e2.v = lv.node
+      WHERE lu.lbl = lv.lbl
+      GROUP BY lu.lbl
+    )
+    SELECT mb.lbl, mb.n_members, coalesce(i.in_c, 0) AS in_c, mb.deg_c,
+           4 * m.m * coalesce(i.in_c, 0) - mb.deg_c * mb.deg_c AS q4m2
+    FROM members mb LEFT JOIN intra i USING (lbl), m
+    ORDER BY mb.lbl
+    """,
+)
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e2, e, labels = _lpa_labels(spark, sf_dir)
+    # labels is already persisted by _lpa_labels (final round).
+    m = e2.count()  # control-plane literal (pagerank |V| budget class)
+    deg = e.groupBy("node").agg(F.count("*").cast("long").alias("d"))
+    members = (
+        labels.join(deg, "node")
+        .groupBy("lbl")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("d").cast("long").alias("deg_c"),
+        )
+    )
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    intra = (
+        e2.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(F.count("*").cast("long").alias("in_c"))
+    )
+    return (
+        members.join(intra, "lbl", "left")
+        .select(
+            "lbl",
+            "n_members",
+            F.coalesce("in_c", F.lit(0).cast("long")).alias("in_c"),
+            "deg_c",
+            (
+                F.lit(4 * m).cast("long")
+                * F.coalesce("in_c", F.lit(0).cast("long"))
+                - F.col("deg_c") * F.col("deg_c")
+            ).alias("q4m2"),
+        )
+        .orderBy("lbl")
+    )

@@ -2847,3 +2847,136 @@ def mart_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_w")
         .orderBy("purchase_id", "click_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T2 — RFM customer segmentation (threshold form, not ntile)
+# --------------------------------------------------------------------------
+@query(
+    "mart_rfm_segments",
+    tier="T2",
+    doc="RFM segmentation: per customer, Recency (days from last order "
+    "to the corpus high-water date), Frequency (order count), Monetary "
+    "(exact cents total), each scored 1-4 against the metric's global "
+    "quartile THRESHOLDS (percentile_disc 0.25/0.5/0.75). The "
+    "threshold form is deliberate: ntile(4) is a GLOBAL window over "
+    "all customers (the single-partition trap at 100 TB) and splits "
+    "ties arbitrarily across buckets; thresholds are three 1-row "
+    "control-plane scalars broadcast back (catalog budget class), the "
+    "scoring is row-local, and equal metrics always land in the same "
+    "bucket in both engines. percentile_disc on integers is exact — "
+    "no interpolated float crosses the wire. One shuffle total (the "
+    "per-customer agg); the quartile agg and the CASE ladder reuse it.",
+    oracle="""
+    WITH hw AS (
+      SELECT CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS hwd
+      FROM orders
+    ),
+    rfm AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                            (SELECT hwd FROM hw)) AS BIGINT) AS recency_d,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_c
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_d) AS r1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_d) AS r2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_d) AS r3,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS f1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency) AS f2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS f3,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary_c) AS m1,
+        percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary_c) AS m2,
+        percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary_c) AS m3
+      FROM rfm
+    )
+    SELECT c_custkey, recency_d, frequency, monetary_c,
+           -- low recency is GOOD: score runs 4 (freshest quartile) to 1
+           CAST(CASE WHEN recency_d <= q.r1 THEN 4
+                     WHEN recency_d <= q.r2 THEN 3
+                     WHEN recency_d <= q.r3 THEN 2 ELSE 1 END AS BIGINT)
+             AS r_score,
+           CAST(CASE WHEN frequency <= q.f1 THEN 1
+                     WHEN frequency <= q.f2 THEN 2
+                     WHEN frequency <= q.f3 THEN 3 ELSE 4 END AS BIGINT)
+             AS f_score,
+           CAST(CASE WHEN monetary_c <= q.m1 THEN 1
+                     WHEN monetary_c <= q.m2 THEN 2
+                     WHEN monetary_c <= q.m3 THEN 3 ELSE 4 END AS BIGINT)
+             AS m_score
+    FROM rfm, q
+    ORDER BY c_custkey
+    """,
+)
+def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("od").alias("last_od"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("price_c").cast("long").alias("monetary_c"),
+        )
+    )
+    hw = o.agg(F.max("od").alias("hwd"))
+    rfm = (
+        rfm.crossJoin(F.broadcast(hw))
+        .select(
+            "c_custkey",
+            F.datediff("hwd", "last_od").cast("long").alias("recency_d"),
+            "frequency",
+            "monetary_c",
+        )
+        .persist()
+    )
+    q = rfm.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {m})"
+            ).alias(f"{m[0]}{i}")
+            for m in ("recency_d", "frequency", "monetary_c")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    score_r = (
+        F.when(F.col("recency_d") <= F.col("r1"), 4)
+        .when(F.col("recency_d") <= F.col("r2"), 3)
+        .when(F.col("recency_d") <= F.col("r3"), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    score_f = (
+        F.when(F.col("frequency") <= F.col("f1"), 1)
+        .when(F.col("frequency") <= F.col("f2"), 2)
+        .when(F.col("frequency") <= F.col("f3"), 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    score_m = (
+        F.when(F.col("monetary_c") <= F.col("m1"), 1)
+        .when(F.col("monetary_c") <= F.col("m2"), 2)
+        .when(F.col("monetary_c") <= F.col("m3"), 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    return (
+        rfm.crossJoin(F.broadcast(q))
+        .select(
+            "c_custkey",
+            "recency_d",
+            "frequency",
+            "monetary_c",
+            score_r.alias("r_score"),
+            score_f.alias("f_score"),
+            score_m.alias("m_score"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1371,3 +1371,49 @@ def test_cusum_one_scan_two_running_sums_no_global_window(spark):
         assert "_local0" in args and "_local1" in args, plan  # fused
     n_range = len(re.findall(r"Exchange rangepartitioning", body))
     assert n_range <= 2, plan  # scan + final orderBy
+
+
+def test_snm_rank_is_distributed_no_global_window(spark):
+    """dedup_sorted_neighborhood's global sort position comes from the
+    two-phase distributed scan: every Window node is pid-partitioned
+    (never a global row_number), and the w-neighborhood is an
+    equi-join on the rank key."""
+    import re
+
+    plan = plan_of(spark, "dedup_sorted_neighborhood")
+    body = plan.split("== Physical Plan ==")[-1]
+    windows = re.findall(
+        r"^\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)$", body, re.MULTILINE
+    )
+    assert windows, plan
+    for args in windows:
+        assert "_pid" in args, plan
+    # The neighborhood join is an equi-join (SortMergeJoin or hash) on
+    # t — never a nested-loop range join.
+    assert "NestedLoop" not in body, plan
+
+
+def test_rfm_thresholds_broadcast_scoring_rowlocal(spark):
+    """mart_rfm_segments: the quartile thresholds are a 1-row frame
+    broadcast back onto the per-customer aggregate (never a window
+    ntile over all customers), so the plan has zero Window nodes and
+    the two crossJoins are both BroadcastNestedLoopJoin of 1-row
+    control frames."""
+    plan = plan_of(spark, "mart_rfm_segments")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Window" not in body, plan
+    assert "BroadcastNestedLoopJoin" in body, plan
+
+
+def test_registry_keys_match_function_names():
+    """Every catalog entry's fn must be the function registered under
+    that name — catches the decorator-displacement class of bug where
+    a helper inserted between @query(...) and its def silently takes
+    over the registration (found once during round 5: _lpa_labels
+    briefly became graph_label_propagation and returned a tuple)."""
+    bad = [
+        (k, q.fn.__name__)
+        for k, q in QUERIES.items()
+        if q.fn.__name__ != k
+    ]
+    assert not bad, bad
