@@ -172,6 +172,7 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "mart_rfm_segments",
     "graph_community_modularity",
+    "corpus_bpe_encode",
 ]
 
 

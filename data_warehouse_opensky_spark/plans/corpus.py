@@ -1075,3 +1075,91 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T3 — BPE encode (tokenizer APPLY: corpus compression under the merges)
+# --------------------------------------------------------------------------
+def _bpe_encode_oracle() -> str:
+    from .text import _BPE_ROUNDS, _bpe_train_ctes
+
+    ctes = _bpe_train_ctes()
+    ctes.append(
+        f"""v AS (
+      SELECT word,
+             CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tok
+      FROM s{_BPE_ROUNDS}
+    )""",
+    )
+    ctes.append(
+        """dw AS (
+      SELECT d.source, t AS word, CAST(length(t) AS BIGINT) AS n_chars
+      FROM documents d, unnest(regexp_extract_all(d.text, '[a-z]+')) AS u(t)
+    )""",
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT dw.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(dw.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(v.n_tok) AS BIGINT) AS n_tokens,
+           (CAST(sum(v.n_tok) AS BIGINT) * 1000000)
+             // CAST(sum(dw.n_chars) AS BIGINT) AS tokens_per_char_e6
+    FROM dw JOIN v USING (word)
+    GROUP BY dw.source
+    ORDER BY dw.source
+    """
+    )
+
+
+@query(
+    "corpus_bpe_encode",
+    tier="T3",
+    doc="Tokenizer APPLY: encode the corpus under the trained BPE "
+    "merges (text_bpe_merges' 5 rounds) and report per-source "
+    "compression — words, chars, post-merge token count, and "
+    "tokens-per-char as an exact ppm integer. The apply step is the "
+    "production-shaped half of BPE: the corpus explodes to words ONCE "
+    "and joins the TRAINED VOCAB (word -> token count under the "
+    "merges) — at 100 TB the vocab is millions of rows against "
+    "billions of corpus words, so the join is size-gated to broadcast "
+    "here and degrades to a shuffled word-key join with no code "
+    "change (AQE decides; dictionary-attach doctrine of "
+    "dedup/text_tfidf). Per-word token counts are row-local array "
+    "lengths over the merged sequences; every aggregate is an exact "
+    "int.",
+    oracle=_bpe_encode_oracle(),
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import bpe_train
+
+    vocab, _ = bpe_train(spark, sf_dir)
+    v = vocab.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), "  ")).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+        ).alias("word"),
+    ).withColumn("n_chars", F.length("word").cast("long"))
+    return (
+        dw.join(v, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_char_e6",
+            F.expr("n_tokens * CAST(1000000 AS BIGINT) div n_chars"),
+        )
+        .orderBy("source")
+    )

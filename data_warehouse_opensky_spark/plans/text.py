@@ -723,19 +723,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-def _bpe_oracle() -> str:
-    """DuckDB twin of the distributed BPE loop, unrolled to K CTE rounds.
-
-    Token sequences are encoded as ' t1  t2  ... tn ' — every token
-    carries its OWN flanking single spaces, so adjacent tokens meet at
-    a double space. A merge of pair (l, r) is then the literal
-    replace of ' l  r ' with ' lr ': the pattern spans both tokens'
-    full delimited extents, cannot match inside a token (tokens are
-    space-free) or across a half-token (every token edge is guarded
-    by its flank), and left-to-right non-overlapping replace IS the
-    BPE greedy leftmost merge — both engines' `replace` scans the
-    input exactly once.
-    """
+def _bpe_train_ctes() -> list[str]:
+    """The shared BPE-training CTE chain (word kept through every
+    round so the encode query can join the trained vocab back to the
+    corpus; the merges query simply doesn't select it)."""
     ctes = [
         """w AS (
       SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
@@ -743,7 +734,8 @@ def _bpe_oracle() -> str:
       GROUP BY t
     )""",
         r"""s0 AS (
-      SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS seq, freq FROM w
+      SELECT word, regexp_replace(word, '(.)', ' \1 ', 'g') AS seq, freq
+      FROM w
     )""",
     ]
     for k in range(1, _BPE_ROUNDS + 1):
@@ -764,11 +756,28 @@ def _bpe_oracle() -> str:
         )
         ctes.append(
             f"""s{k} AS (
-      SELECT replace(seq, ' ' || l || '  ' || r || ' ',
+      SELECT word, replace(seq, ' ' || l || '  ' || r || ' ',
                      ' ' || l || r || ' ') AS seq, freq
       FROM s{k - 1}, t{k}
     )""",
         )
+    return ctes
+
+
+def _bpe_oracle() -> str:
+    """DuckDB twin of the distributed BPE loop, unrolled to K CTE rounds.
+
+    Token sequences are encoded as ' t1  t2  ... tn ' — every token
+    carries its OWN flanking single spaces, so adjacent tokens meet at
+    a double space. A merge of pair (l, r) is then the literal
+    replace of ' l  r ' with ' lr ': the pattern spans both tokens'
+    full delimited extents, cannot match inside a token (tokens are
+    space-free) or across a half-token (every token edge is guarded
+    by its flank), and left-to-right non-overlapping replace IS the
+    BPE greedy leftmost merge — both engines' `replace` scans the
+    input exactly once.
+    """
+    ctes = _bpe_train_ctes()
     unions = "\n      UNION ALL ".join(
         f"SELECT {k} AS rank, l, r, c FROM t{k}"
         for k in range(1, _BPE_ROUNDS + 1)
@@ -802,6 +811,19 @@ def _bpe_oracle() -> str:
     oracle=_bpe_oracle(),
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merges = bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank INT, l STRING, r STRING, c BIGINT"
+    ).orderBy("rank")
+
+
+def bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training core: returns (final merged vocab frame
+    (word, seq, freq) — persisted, session owner clears — and the
+    merges list [(rank, l, r, count)]). Each round's argmax is a 1-row
+    control-plane collect; merges apply as row-local literal replaces
+    over the persisted vocab (word kept so the encode query can join
+    the trained vocab back onto the corpus)."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(
@@ -812,7 +834,9 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .select(
-            F.regexp_replace("word", "(.)", " $1 ").alias("seq"), "freq"
+            "word",
+            F.regexp_replace("word", "(.)", " $1 ").alias("seq"),
+            "freq",
         )
         .persist()
     )
@@ -845,6 +869,4 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"replace(seq, ' {left}  {right} ', ' {left}{right} ')"
             ),
         )
-    return spark.createDataFrame(
-        merges, "rank INT, l STRING, r STRING, c BIGINT"
-    ).orderBy("rank")
+    return cur.persist(), merges

@@ -1417,3 +1417,15 @@ def test_registry_keys_match_function_names():
         if q.fn.__name__ != k
     ]
     assert not bad, bad
+
+
+def test_bpe_encode_vocab_attach_broadcasts_at_small_scale(spark):
+    """corpus_bpe_encode's trained-vocab attach is the dictionary-join
+    shape: size-gated broadcast at test scale (the vocab is tiny), no
+    hint pinning it — at 100 TB the same code degrades to a shuffled
+    word-key join when the size gate fails."""
+    plan = plan_of(spark, "corpus_bpe_encode")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, plan
+    # No forced hint anywhere in the query (degradation path stays open).
+    assert "ResolvedHint" not in plan, plan
