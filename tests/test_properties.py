@@ -241,3 +241,26 @@ def test_grouped_cumsum_matches_serial_reference(spark, rows):
         expect[(g, uid)] = (acc[g], tot[g])
     assert out == expect
     spark.catalog.clearCache()
+
+
+def test_bpe_merges_invariant_to_partitioning(spark):
+    """BPE training is a sequence of exact-integer argmaxes with a
+    total tie-break, so the learned merge table must be IDENTICAL
+    under different parallelism — the fold-order-independence property
+    the catalog's determinism doctrine promises. (A float-scored or
+    tie-unstable variant would diverge here.)"""
+    from data_warehouse_opensky_spark.plans.text import bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        _, merges3 = bpe_train(spark, sf)
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        _, merges13 = bpe_train(spark, sf)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.catalog.clearCache()
+    assert merges3 == merges13
+    assert len(merges3) == 5
