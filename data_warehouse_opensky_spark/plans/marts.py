@@ -2925,8 +2925,11 @@ def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("frequency"),
             F.sum("price_c").cast("long").alias("monetary_c"),
         )
+        .persist()
     )
-    hw = o.agg(F.max("od").alias("hwd"))
+    # High-water date off the per-customer aggregate (max of maxes ==
+    # global max) — the fact is scanned ONCE; hw reads the cache.
+    hw = rfm.agg(F.max("last_od").alias("hwd"))
     rfm = (
         rfm.crossJoin(F.broadcast(hw))
         .select(
