@@ -264,3 +264,44 @@ def test_bpe_merges_invariant_to_partitioning(spark):
         spark.catalog.clearCache()
     assert merges3 == merges13
     assert len(merges3) == 5
+
+
+def test_distributed_cumsum_multicolumn_matches_singles(spark):
+    """The multi-column scan (one range exchange, one Window) must
+    produce exactly what two independent single-column scans produce —
+    including the row-index idiom (cumsum of ones)."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_opensky_spark.operators.prefix import (
+        distributed_cumsum,
+    )
+
+    # k must be a UNIQUE key (distributed_cumsum contract): 7 and 401
+    # are coprime, so i*7 mod 401 is a bijection over 400 rows.
+    rows = [(i * 7 % 401, (i * 13) % 50 + 1) for i in range(400)]
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows], "k BIGINT, v BIGINT"
+    ).withColumn("one", F.lit(1).cast("long"))
+    multi = {
+        r["k"]: (r["cv"], r["ci"])
+        for r in distributed_cumsum(
+            df, ["k"], ["v", "one"], ["cv", "ci"], num_partitions=5
+        ).collect()
+    }
+    single_v = {
+        r["k"]: r["cv"]
+        for r in distributed_cumsum(
+            df, ["k"], "v", "cv", num_partitions=5
+        ).collect()
+    }
+    single_i = {
+        r["k"]: r["ci"]
+        for r in distributed_cumsum(
+            df, ["k"], "one", "ci", num_partitions=5
+        ).collect()
+    }
+    assert multi == {k: (single_v[k], single_i[k]) for k in single_v}
+    # And the index really is 1..n over the k-order.
+    ks = sorted(multi)
+    assert [multi[k][1] for k in ks] == list(range(1, len(ks) + 1))
+    spark.catalog.clearCache()
