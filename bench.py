@@ -173,6 +173,7 @@ HEADLINE = [
     "mart_rfm_segments",
     "graph_community_modularity",
     "corpus_bpe_encode",
+    "embedding_truncation_recall",
 ]
 
 

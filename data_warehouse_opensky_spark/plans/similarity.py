@@ -1365,3 +1365,132 @@ def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank long, vec_id long, rel long, mmr long"
     ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# T3 — Matryoshka truncation audit (dimension-budget recall tradeoff)
+# --------------------------------------------------------------------------
+_MRL_DIM = 16
+_MRL_K = 10
+_MRL_QUERIES = 5
+
+
+@query(
+    "embedding_truncation_recall",
+    tier="T3",
+    doc=f"Dimension-truncation audit: recall@{_MRL_K} of a "
+    f"{_MRL_DIM}-dim prefix-truncated cosine ranking vs the full "
+    f"{DIM}-dim exact ranking, for {_MRL_QUERIES} query vectors in "
+    "one pass — the acceptance gate for Matryoshka-style dimension "
+    "cuts (store/search a prefix, keep the tail offline). 4x fewer "
+    "dims = 4x less ANN memory and bandwidth; this query measures "
+    "what that costs in retrieval quality BEFORE the index is built. "
+    "Shape: one broadcast of the query rows against one scan of the "
+    "embedding table computing BOTH cosines row-locally (the "
+    "truncated one over an array slice — no second scan, no second "
+    "shuffle); two per-query top-k windows over the same scored "
+    "frame; overlap via a semi-join on (qid, vec_id). Recall is an "
+    "exact integer percent.",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id < {_MRL_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round({_cos_sql('e.embedding', 'q.qvec')}, 6) AS cos_full,
+             round({_cos_sql('e.embedding', 'q.qvec', _MRL_DIM)}, 6)
+               AS cos_trunc
+      FROM embeddings e, q
+      WHERE e.vec_id != q.qid
+    ),
+    full_topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_full DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_MRL_K}
+    ),
+    trunc_topk AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_trunc DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_MRL_K}
+    )
+    SELECT f.qid,
+           CAST(count(t.vec_id) AS BIGINT) AS n_hit,
+           CAST(count(t.vec_id) * 100 / {_MRL_K} AS BIGINT) AS recall_pct
+    FROM full_topk f
+    LEFT JOIN trunc_topk t ON f.qid = t.qid AND f.vec_id = t.vec_id
+    GROUP BY f.qid
+    ORDER BY f.qid
+    """,
+)
+def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qvec")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "cos_full"
+            ),
+            F.round(
+                S.cosine(
+                    F.slice("embedding", 1, _MRL_DIM),
+                    F.slice("__qvec", 1, _MRL_DIM),
+                ),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(
+        F.desc("cos_trunc"), F.asc("vec_id")
+    )
+    full_topk = (
+        scored.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _MRL_K)
+        .select("qid", "vec_id")
+    )
+    trunc_topk = (
+        scored.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _MRL_K)
+        .select("qid", "vec_id")
+    )
+    hits = full_topk.join(trunc_topk, ["qid", "vec_id"], "left_semi")
+    return (
+        full_topk.groupBy("qid")
+        .agg(F.lit(1).alias("__one"))
+        .join(
+            F.broadcast(
+                hits.groupBy("qid").agg(
+                    F.count("*").cast("long").alias("n_hit")
+                )
+            ),
+            "qid",
+            "left",
+        )
+        .select(
+            "qid",
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0).cast("long"))
+                * 100
+                / F.lit(_MRL_K)
+            )
+            .cast("long")
+            .alias("recall_pct"),
+        )
+        .orderBy("qid")
+    )
