@@ -174,6 +174,7 @@ HEADLINE = [
     "graph_community_modularity",
     "corpus_bpe_encode",
     "embedding_truncation_recall",
+    "ann_shortlist_rerank",
 ]
 
 

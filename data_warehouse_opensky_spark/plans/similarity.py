@@ -1494,3 +1494,110 @@ def embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# T3 — two-stage retrieval: truncated shortlist, full-precision re-rank
+# --------------------------------------------------------------------------
+_RERANK_SHORTLIST = 50
+
+
+@query(
+    "ann_shortlist_rerank",
+    tier="T3",
+    doc=f"Two-stage retrieval — the production remedy the truncation "
+    f"audit motivates: stage 1 scores the WHOLE table with the cheap "
+    f"{_MRL_DIM}-dim truncated cosine and keeps a "
+    f"{_RERANK_SHORTLIST}-candidate shortlist per query "
+    "(WindowGroupLimit prunes per partition before the window sort); "
+    f"stage 2 re-fetches ONLY the shortlist's full {DIM}-dim vectors "
+    "(an equi-join on vec_id — candidates x queries rows, never the "
+    "corpus) and re-ranks with the exact cosine, returning top-"
+    f"{_MRL_K}. Full-precision work scales with the shortlist, not "
+    "the table: at 100 TB that is the difference between reading 8 B "
+    "prefixes per row and 256 B vectors per row for everything. "
+    "Output carries both scores so the rank movement is visible.",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id < {_MRL_QUERIES}
+    ),
+    st1 AS (
+      SELECT q.qid, e.vec_id, q.qvec,
+             round({_cos_sql('e.embedding', 'q.qvec', _MRL_DIM)}, 6)
+               AS cos_trunc
+      FROM embeddings e, q
+      WHERE e.vec_id != q.qid
+    ),
+    shortlist AS (
+      SELECT qid, vec_id, qvec, cos_trunc FROM (
+        SELECT qid, vec_id, qvec, cos_trunc,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_trunc DESC, vec_id) AS rn
+        FROM st1
+      ) WHERE rn <= {_RERANK_SHORTLIST}
+    ),
+    st2 AS (
+      SELECT s.qid, s.vec_id, s.cos_trunc,
+             round({_cos_sql('e.embedding', 's.qvec')}, 6) AS cos_full
+      FROM shortlist s JOIN embeddings e ON s.vec_id = e.vec_id
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos_trunc, cos_full
+    FROM (
+      SELECT qid, vec_id, cos_trunc, cos_full,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_full DESC, vec_id) AS rank
+      FROM st2
+    ) WHERE rank <= {_MRL_K}
+    ORDER BY qid, rank
+    """,
+)
+def ann_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qvec")
+    )
+    st1 = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "__qvec",
+            F.round(
+                S.cosine(
+                    F.slice("embedding", 1, _MRL_DIM),
+                    F.slice("__qvec", 1, _MRL_DIM),
+                ),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    w1 = Window.partitionBy("qid").orderBy(
+        F.desc("cos_trunc"), F.asc("vec_id")
+    )
+    shortlist = (
+        st1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _RERANK_SHORTLIST)
+        .select("qid", "vec_id", "__qvec", "cos_trunc")
+    )
+    st2 = shortlist.join(
+        e.select("vec_id", "embedding"), "vec_id"
+    ).select(
+        "qid",
+        "vec_id",
+        "cos_trunc",
+        F.round(S.cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+            "cos_full"
+        ),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    return (
+        st2.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _MRL_K)
+        .select("qid", F.col("rank").cast("long"), "vec_id", "cos_trunc",
+                "cos_full")
+        .orderBy("qid", "rank")
+    )

@@ -1429,3 +1429,13 @@ def test_bpe_encode_vocab_attach_broadcasts_at_small_scale(spark):
     assert "BroadcastHashJoin" in body, plan
     # No forced hint anywhere in the query (degradation path stays open).
     assert "ResolvedHint" not in plan, plan
+
+
+def test_shortlist_rerank_prunes_with_window_group_limit(spark):
+    """ann_shortlist_rerank's stage-1 shortlist must push
+    WindowGroupLimit (per-partition top-N pruning before the window
+    sort) — at scale this is what keeps the full corpus from being
+    sorted per query."""
+    plan = plan_of(spark, "ann_shortlist_rerank")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "WindowGroupLimit" in body, plan
