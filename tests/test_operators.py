@@ -305,3 +305,28 @@ def test_kmeans_assign_tie_breaks_to_smaller_cid(spark):
     assert out[1]["cluster"] == 0 and out[1]["d"] == 0
     assert out[2]["cluster"] == 1 and out[2]["d"] == 0
     assert out[3]["cluster"] == 0 and out[3]["d"] == 25  # tie -> cid 0
+
+
+def test_zorder_interleave_bit_exact(spark):
+    """Golden properties of the Morton interleave expression: xi fills
+    even bits, yi odd bits, the map is a bijection on the 8-bit grid
+    corners, and keys of nearby cells share high bits (the locality
+    that makes min/max pruning work)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_opensky_spark.plans.opensky import _z_interleave
+
+    cases = [
+        (0, 0, 0),
+        (255, 0, 0x5555),      # all even bits
+        (0, 255, 0xAAAA),      # all odd bits
+        (255, 255, 0xFFFF),
+        (1, 0, 1),
+        (0, 1, 2),
+        (3, 5, 0b100111),      # x=11, y=101 -> y2 x2 y1 x1 y0 x0 = 100111
+    ]
+    df = spark.createDataFrame(
+        [(x, y, want) for x, y, want in cases], "xi long, yi long, want long"
+    ).select("want", F.expr(_z_interleave("div")).alias("got"))
+    for r in df.collect():
+        assert r["got"] == r["want"], (r["want"], r["got"])
