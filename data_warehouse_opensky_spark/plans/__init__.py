@@ -19,86 +19,86 @@ from . import reports  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
-# to cycle driver coverage across the whole catalog. Round-5 front
-# (VERDICT r4 directive #1): all 50 slots drawn from the 59 catalog
-# queries that had never been in a driver window after r4 (r1-r4 union
-# of CORRECTNESS files vs the registry; all 59 were double-verified
-# green by tests/test_oracle.py at sf0.001 AND the judge's independent
-# sf0.01 sweep). Ordering inside the window is HIGHEST-RISK FIRST,
-# exactly as the r4 verdict directs: the iterative graph /
-# embedding-algorithmic / stateful-streaming / CDC / Spark-4-SQL
-# families lead, single-agg stats/marts trail. Riding to r6: the 9
-# lowest-risk single-agg carries
-#   (stats_histogram_price, stats_corr_qty_price, stats_anomaly_zscore,
-#   stats_profile_orders, stats_autocorr_lag1, stats_benford_firstdigit,
-#   mart_cumulative_users, mart_gini_concentration, mart_new_vs_returning)
-# plus every query ADDED during round 5 itself (the rotation front is
-# fixed when the driver window runs; additions join the backlog:
-# retrieval/importance-sampling/link-prediction/BFS/spectral/stats-test
-# batch, interval-overlap/bootstrap/MMR/SQL-variables/freshness batch,
-# LPA, BPE merges, linear attribution, z-order key, CUSUM, SNM, RFM,
-# modularity). Queries displaced past slot 50 stay covered by
+# to cycle driver coverage across the whole catalog. Round-6 front
+# (VERDICT r5 directive #1): the complete 35-query never-windowed
+# backlog (CORRECTNESS_r01-r05 union vs the registry — the 9 single-agg
+# carries from r4 plus the 26 queries added during round 5 itself),
+# HIGHEST-RISK FIRST (iterative graph / embedding-retrieval /
+# tokenizer-training families lead, single-agg stats trail), followed
+# by 15 re-confirmation slots spent on the oldest r2 greens that have
+# never been re-windowed since: the full multimodal batch, the
+# stateful-streaming r2 trio, the Pandas-UDF/UDTF family, the approx
+# sketches, null_handling, and the haversine trajectory — exactly the
+# highest-risk-if-silently-regressed picks named in the r5 verdict.
+# After this window runs, the never-windowed backlog is ZERO for the
+# first time: every one of the 230 catalog queries will have a driver
+# CORRECTNESS row. Queries displaced past slot 50 stay covered by
 # tests/test_oracle.py, which runs ALL of them vs DuckDB at sf0.001,
 # and by the per-session full driver-contract sweep at sf0.01.
 DRIVER_WINDOW_PRIORITY = [
-    # -- iterative graph + embedding algorithmic families (riskiest) ---
-    "graph_triangle_count",
-    "graph_kcore_peeling",
-    "graph_hierarchy_rollup",
-    "embedding_semantic_dedup",
-    "embedding_pq_codes",
-    "ann_pq_adc_topk",
-    "dedup_prefix_filter_jaccard",
-    "embedding_hard_negatives",
-    "ann_topk_with_metadata",
-    # -- stateful streaming replay --------------------------------------
-    "streaming_dedup_within_watermark",
-    "streaming_outer_join_unmatched",
-    "streaming_join_then_window",
-    # -- CDC / SCD2 ------------------------------------------------------
-    "scd2_incremental_rebuild",
-    "scd2_point_in_time",
-    # -- Spark-4 SQL surface ---------------------------------------------
-    "xml_roundtrip_extract",
-    "json_variant_extract",
-    "agg_listagg_statuses",
-    "group_by_all_latest_order",
-    # -- reference reports (reference parity queries) --------------------
-    "report_local_supplier_volume",
-    "report_volume_shipping",
-    "report_returned_items",
-    "report_promo_effect",
-    # -- distributed-scan / corpus / text --------------------------------
-    "stats_weighted_median",
-    "mart_cumulative_revenue_scan",
-    "corpus_sentence_dedup",
-    "corpus_budget_select",
-    "corpus_upsample_epochs",
-    "text_zipf_slope",
-    # -- marts / audits ---------------------------------------------------
-    "mart_sessionize_gaps",
-    "mart_attribution_last_touch",
-    "mart_item_recs_topk",
-    "mart_longest_streak",
-    "mart_markov_transitions",
-    "mart_cohort_ltv",
-    "mart_supplier_churn",
-    "mart_weekly_top_gainer",
-    "mart_abc_pareto",
-    "mart_trending_decay",
-    "audit_table_checksum",
-    "audit_duplicate_payments",
-    "audit_key_skew",
-    "audit_k_anonymity",
-    "audit_burst_rate",
-    # -- single-agg stats / windows (lowest risk, trail) ------------------
-    "stats_seasonal_anomaly",
-    "stats_equidepth_histogram",
-    "window_ntile_quartiles",
-    "window_range_trailing_1h",
-    "stats_rolling_median",
-    "stats_mad_outliers",
-    "stats_gapfill_interpolate",
+    # ==== 35 never-windowed (r4 carries + round-5 additions) ============
+    # -- iterative graph (riskiest: unrolled fixpoints) -------------------
+    "graph_label_propagation",
+    "graph_community_modularity",
+    "graph_bfs_hops",
+    "graph_link_prediction_ra",
+    "embedding_power_iteration",
+    # -- embedding / retrieval algorithmic --------------------------------
+    "embedding_mmr_topk",
+    "ann_shortlist_rerank",
+    "embedding_truncation_recall",
+    "dedup_sorted_neighborhood",
+    # -- tokenizer training / corpus importance ---------------------------
+    "text_bpe_merges",
+    "corpus_bpe_encode",
+    "corpus_dsir_weights",
+    "text_bm25_topk",
+    # -- statistical tests / resampling ------------------------------------
+    "stats_poisson_bootstrap",
+    "stats_cusum_changepoint",
+    "stats_welch_ttest",
+    "stats_pmi_cells",
+    "stats_linear_regression",
+    # -- join / SQL-surface additions --------------------------------------
+    "join_interval_overlap",
+    "sql_session_variables",
+    "sql_pipe_syntax_summary",
+    "opensky_zorder_key",
+    # -- marts / audits added in r5 ----------------------------------------
+    "mart_rfm_segments",
+    "mart_attribution_linear",
+    "audit_freshness_lag",
+    "mart_repeat_interval_median",
+    # -- single-agg carries from r4 (lowest risk of the 35) ----------------
+    "mart_cumulative_users",
+    "mart_gini_concentration",
+    "mart_new_vs_returning",
+    "stats_histogram_price",
+    "stats_corr_qty_price",
+    "stats_anomaly_zscore",
+    "stats_profile_orders",
+    "stats_autocorr_lag1",
+    "stats_benford_firstdigit",
+    # ==== 15 re-confirmations: oldest r2 greens, riskiest families =======
+    # -- multimodal batch (Arrow mapInPandas plumbing, last seen r2) -------
+    "multimodal_decode_meta",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "multimodal_audio_meta",
+    # -- stateful streaming r2 trio ----------------------------------------
+    "streaming_stateful_running_agg",
+    "streaming_stream_stream_join",
+    "streaming_session_windows",
+    # -- Pandas-UDF / UDTF family -------------------------------------------
+    "udf_grouped_map_share",
+    "udf_grouped_agg_spend",
+    "udtf_token_positions",
+    # -- approx sketches + null semantics + geo ------------------------------
+    "approx_count_distinct_users",
+    "approx_percentile_gate",
+    "null_handling",
+    "opensky_trajectory_km",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)
