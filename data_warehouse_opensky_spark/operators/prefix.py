@@ -50,8 +50,10 @@ def distributed_cumsum(
     order, computed with the two-phase parallel scan above.
 
     `order_cols` must be a UNIQUE key (include a tiebreaker). The
-    value column should be an integer type for cross-engine exactness
-    (catalog doctrine: float running sums are fold-order-dependent).
+    value columns must be NON-NULL (NULL mass has no defined place in
+    a running total — coalesce upstream) and should be an integer type
+    for cross-engine exactness (catalog doctrine: float running sums
+    are fold-order-dependent). Values of ANY SIGN are supported.
 
     `value_col`/`out_col` accept parallel LISTS to compute several
     running sums in ONE scan: the window expressions share a single
@@ -86,7 +88,13 @@ def distributed_cumsum(
     # driver (n values), re-enters the plan as a broadcast join.
     totals = sorted(
         local.groupBy("_pid")
-        .agg(*[F.sum(v).alias(f"_t{i}") for i, v in enumerate(vcols)])
+        # Coalesce: SUM over an all-NULL slice is SQL-NULL and would
+        # TypeError the integer fold below; zero mass is the only
+        # coherent reading (value columns are contractually non-null).
+        .agg(*[
+            F.coalesce(F.sum(v), F.lit(0)).alias(f"_t{i}")
+            for i, v in enumerate(vcols)
+        ])
         .collect(),
         key=lambda r: r["_pid"],
     )
@@ -106,6 +114,66 @@ def distributed_cumsum(
         )
         drop += [f"_local{i}", f"_offset{i}"]
     return out.drop(*drop)
+
+
+def distributed_running_max_exclusive(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_max_excl",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running max over the `order_cols` total order — each
+    row gets max(value) over all STRICTLY EARLIER rows (NULL for the
+    global first row), without a single-partition window.
+
+    Same two-phase shape as distributed_cumsum (max is a monoid like
+    sum, so the Blelloch scan applies verbatim):
+
+    1. Range-partition by the total order; per partition, a window
+       rowsBetween(unboundedPreceding, -1) computes the LOCAL
+       exclusive running max in parallel.
+    2. One row per partition (its INCLUSIVE max) collects to the
+       driver; the prefix-max of all EARLIER partitions broadcasts
+       back as the partition's offset; final = greatest(local, offset)
+       — greatest() ignores NULLs, so the first partition (no offset)
+       and each partition's first row (no local prefix) fall out
+       naturally, and values of any sign work (no -infinity sentinel).
+
+    `order_cols` must be a UNIQUE key (tiebreaker included), same
+    contract as distributed_cumsum. The skyline query is the canonical
+    consumer: sorted by dominance dimension 1, a point is dominated
+    iff this exclusive running max of dimension 2 reaches its own
+    value.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_local", F.max(value_col).over(w))
+        .persist()  # same materialize-before-collect doctrine as above
+    )
+    totals = sorted(
+        local.groupBy("_pid").agg(F.max(value_col).alias("_t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, acc = [], None
+    for r in totals:
+        offsets.append((r["_pid"], acc))
+        acc = r["_t"] if acc is None else max(acc, r["_t"])
+    vtype = df.schema[value_col].dataType.simpleString()
+    off_df = spark.createDataFrame(offsets, f"_pid int, _offset {vtype}")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.greatest("_local", "_offset"))
+        .drop("_pid", "_local", "_offset")
+    )
 
 
 def running_total_column(
@@ -201,8 +269,10 @@ def distributed_cumsum_small_groups(
        (identical phase 1 to distributed_cumsum).
     2. Collect per-(partition, group) sufficient statistics — total
        mass `t` AND the mass strictly before the group's first row in
-       that partition (min(local − value)). n_partitions × n_groups
-       rows: control plane.
+       that partition (`min_by(local − value, order_key)`: the local
+       prefix EXCLUDING the row, read at the group's first row by the
+       order key — sign-independent, so negative values are fine).
+       n_partitions × n_groups rows: control plane.
     3. On the driver derive, per (pid, group): partition offset
        (prefix over pids), group start offset (partition offset of the
        group's FIRST pid + in-partition mass before it — no semantic
@@ -215,7 +285,9 @@ def distributed_cumsum_small_groups(
     control-plane collect + one broadcast join — strictly less than
     the general grouped scan (which adds an input persist, a totals
     shuffle, and a second join). `group_cols + order_cols` must be a
-    UNIQUE key (same contract as distributed_cumsum).
+    UNIQUE key and `value_col` must be NON-NULL (same contracts as
+    distributed_cumsum; NULL mass has no defined place in a running
+    total — coalesce upstream).
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -233,9 +305,19 @@ def distributed_cumsum_small_groups(
     # describe exactly the materialized partitioning (and the scan
     # runs once). Session owner clears the cache (catalog contract).
     local = local.persist()
+    # `_before` = local prefix EXCLUDING the row, read at the group's
+    # FIRST row (min_by on the order key) — NOT min() of the expression,
+    # which only coincides with the first row when values are
+    # non-negative. min_by keeps the stat correct for any sign.
+    # `_t` coalesced: SUM over an all-NULL slice is SQL-NULL, which
+    # would TypeError the driver-side integer fold — zero mass is the
+    # only coherent reading (value_col is contractually non-null).
     stats = local.groupBy("_pid", *group_cols).agg(
-        F.sum(value_col).alias("_t"),
-        F.min(F.col("_local") - F.col(value_col)).alias("_before"),
+        F.coalesce(F.sum(value_col), F.lit(0)).alias("_t"),
+        F.min_by(
+            F.col("_local") - F.col(value_col),
+            F.struct(*[F.col(c) for c in order_cols]),
+        ).alias("_before"),
     ).collect()
     stats.sort(key=lambda r: r["_pid"])
     # Partition offsets: mass of all earlier partitions.

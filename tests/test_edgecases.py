@@ -300,6 +300,45 @@ def test_distributed_cumsum_grouped_equals_per_group_serial(spark):
     spark.catalog.clearCache()
 
 
+def test_distributed_cumsum_small_groups_negative_values(spark):
+    """Sign-independence of the fused scan's group-start stat: the
+    ADVICE-flagged derivation min(_local - value) only lands on the
+    group's first row when values are non-negative; the min_by fix
+    reads the stat AT the first order-key row. This dataset makes the
+    naive min land elsewhere — every group starts with large positive
+    mass and then dips deeply negative mid-partition, so
+    min(_local - value) occurs at the dip, not at row one."""
+    from data_warehouse_opensky_spark.operators.prefix import (
+        distributed_cumsum_small_groups,
+    )
+
+    rows = []
+    for g in range(4):
+        for i in range(120):
+            uid = g * 1000 + i
+            # +50, +50, then a run of -37s, then recovery: the running
+            # prefix dips far below its value at the group's first row.
+            v = 50 if i < 2 else (-37 if i < 40 else 11)
+            rows.append(("g%d" % g, uid, v))
+    df = spark.createDataFrame(rows, "grp STRING, uid BIGINT, v BIGINT")
+    out = {
+        (r["grp"], r["uid"]): (r["rt"], r["tot"])
+        for r in distributed_cumsum_small_groups(
+            df, ["grp"], ["uid"], "v", out_col="rt",
+            num_partitions=8, total_col="tot",
+        ).collect()
+    }
+    expect = {}
+    acc: dict[str, int] = {}
+    tots: dict[str, int] = {}
+    for grp, uid, v in sorted(rows):
+        acc[grp] = acc.get(grp, 0) + v
+        expect[(grp, uid)] = acc[grp]
+        tots[grp] = tots.get(grp, 0) + v
+    assert out == {k: (rt, tots[k[0]]) for k, rt in expect.items()}
+    spark.catalog.clearCache()
+
+
 def test_distributed_cumsum_small_groups_equals_per_group_serial(spark):
     """The FUSED small-group scan (one collect, one broadcast join)
     must equal a per-group serial prefix sum — groups straddling
@@ -327,4 +366,28 @@ def test_distributed_cumsum_small_groups_equals_per_group_serial(spark):
         expect[(grp, uid)] = acc[grp]
         tots[grp] = tots.get(grp, 0) + v
     assert out == {k: (rt, tots[k[0]]) for k, rt in expect.items()}
+    spark.catalog.clearCache()
+
+
+def test_distributed_running_max_exclusive_equals_serial(spark):
+    """Two-phase exclusive running max == serial reference: mixed-sign
+    values, duplicates, partition-boundary rows, and the global first
+    row (NULL — no predecessor)."""
+    from data_warehouse_opensky_spark.operators.prefix import (
+        distributed_running_max_exclusive,
+    )
+
+    rows = [(i * 13 % 401, ((i * 7) % 100) - 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "k BIGINT, v BIGINT")
+    out = {
+        r["k"]: r["em"]
+        for r in distributed_running_max_exclusive(
+            df, ["k"], "v", out_col="em", num_partitions=7
+        ).collect()
+    }
+    expect, mx = {}, None
+    for k, v in sorted(rows):
+        expect[k] = mx
+        mx = v if mx is None else max(mx, v)
+    assert out == expect
     spark.catalog.clearCache()
