@@ -1146,9 +1146,12 @@ def _pi_oracle() -> str:
     "split truncating division (Spark `div` truncates, DuckDB `//` "
     "floors — sign-splitting makes them agree on negatives). int64 "
     "bound: |M·v| <= dims·Σ|x_i x_j|·1e6, safe through ~1e6 rows at "
-    "e3 quantization; past that the chain lifts to DECIMAL(38,0) "
-    "unchanged. No collect, no loop over data — iterations live in "
-    "the plan exactly like graph_pagerank's unrolled rounds.",
+    "e3 quantization — ENFORCED in-plan: the moment aggregate also "
+    "counts rows and an assert_true gate raises past 1e6 rows rather "
+    "than let non-ANSI int64 sums wrap silently (ADVICE r5); past "
+    "that the chain lifts to DECIMAL(38,0) unchanged. No collect, no "
+    "loop over data — iterations live in the plan exactly like "
+    "graph_pagerank's unrolled rounds.",
     oracle=_pi_oracle(),
 )
 def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,8 +1168,21 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(sum(xq[{i}] * xq[{j}]) as bigint) AS m{i}_{j}"
             for i in range(k)
             for j in range(i, k)
-        ]
+        ],
+        "count(*) AS n_rows",
     ).selectExpr("*", *[f"cast({_PI_GRID} as bigint) AS v{i}" for i in range(k)])
+    # Row-budget guard (free — n_rows rides the same 1-row aggregate):
+    # the docstring's int64 bound holds through ~1e6 rows at e3
+    # quantization; beyond it non-ANSI Spark would WRAP the sums
+    # silently. assert_true is fused onto m0_0, which every round's
+    # w0 consumes, so Catalyst cannot prune the check away.
+    r = r.selectExpr(
+        "*",
+        "CASE WHEN assert_true(n_rows <= 1000000, "
+        "'embedding_power_iteration: >1e6 rows exceeds the exact-int64 "
+        "moment bound; lift the chain to DECIMAL(38,0)') IS NULL "
+        "THEN m0_0 END AS _m00_checked",
+    ).drop("m0_0", "n_rows").withColumnRenamed("_m00_checked", "m0_0")
     mcols = [f"m{i}_{j}" for i in range(k) for j in range(i, k)]
     for _ in range(_PI_ROUNDS):
         r = r.selectExpr(
