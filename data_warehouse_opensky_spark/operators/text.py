@@ -759,7 +759,7 @@ def bigram_logprob(
     budget class as the TF-IDF vocab broadcast) and folded into a
     constant map literal; per-doc score is then a single `aggregate()`
     HOF over the doc's bigram array — no second explode, no scoring
-    join, no per-doc shuffle. Measured 3.5 s → 2x faster at sf0.1 vs
+    join, no per-doc shuffle; ~2x faster when A/B'd at sf0.1 against
     the explode+join+re-agg plan it replaces. For corpora whose
     charset² outgrows a literal (full CJK unicode), the join path
     remains behind `_MODEL_LITERAL_MAX`: scoring falls back to

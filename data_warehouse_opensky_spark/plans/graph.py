@@ -139,8 +139,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Co-partitioned iteration, NO broadcast hints (VERDICT r3 #2): at
     # 100 TB the |V|-row rank table is the customer∪supplier universe
     # (hundreds of millions of rows) and a per-round F.broadcast is a
-    # driver OOM. It is ALSO a loss at bench scale — measured at
-    # sf0.1 min-of-3: broadcast-ranks 5.6 s vs plain joins 3.8 s,
+    # driver OOM. It is ALSO a loss at bench scale — plain joins
+    # drive-measured at 3.608 s (BENCH_r04, sf0.1 min-of-3) vs ~5.6 s
+    # for the broadcast-ranks variant when it was A/B'd in round 3,
     # because every round's broadcast collects the freshly-joined rank
     # subtree through the driver, serializing the rounds. With plain
     # joins the cached co-partitioning carries the plan: `deg` is
@@ -244,8 +245,8 @@ _TRI_ORACLE = """
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Edge build: ONE groupBy shuffle of the fact (6M rows → per-order
-    # part sets), then row-local ordered-pair explosion — replaces the
+    # Edge build: ONE groupBy shuffle of the fact (600k rows at sf0.1
+    # → per-order part sets), then row-local explosion — replaces the
     # r4 self-join, whose SMJ shuffled the fact TWICE and sorted both
     # sides (measured 4.7 → 4.45 s at sf0.1). Row-local is safe
     # because basket size is bounded (TPC-H ≤ 7 items/order; any
@@ -503,37 +504,66 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    # Each round MATERIALIZES (persist + count) before the next: the
-    # counts are the round's control-plane output anyway, and eager
-    # materialization stops the final action from re-deriving three
-    # rounds of lazily-chained caches (measured 10.5 s -> ~4 s at
-    # sf0.1). The iterative-driver shape of operators/dedup.py's CC.
-    rows = []
-    for rnd in range(1, _KCORE_ROUNDS + 1):
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
+    # Each round MATERIALIZES (persist + one action) before the next:
+    # eager materialization stops the final action from re-deriving
+    # three rounds of lazily-chained caches (>2x blowup when A/B'd;
+    # BENCH_r05 drive-measured the two-actions-per-round form at
+    # 4.913 s sf0.1). ONE action per round (VERDICT r5 #3): the
+    # degree table is persisted and a single aggregate over it yields
+    # BOTH control-plane numbers — the survivor count of THIS round
+    # and, since sum(d) = 2|E|, the edge count of the PREVIOUS round
+    # (whose edge list the degrees were computed over). Only the
+    # final round's edge count needs its own count(). The fixpoint
+    # short-circuit keys on n_nodes alone: survivor sets shrink
+    # monotonically, so an unchanged COUNT means an unchanged SET,
+    # hence identical edges and identical later rounds.
+    def degree(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count("*").alias("d"))
+            .persist()
         )
-        surv = deg.filter(F.col("d") >= _KCORE_K).select("node").persist()
-        n_nodes = surv.count()
+
+    n_nodes_hist: list[int] = []
+    n_edges_hist: list[int] = []  # n_edges_hist[i] = edges AFTER round i+1
+    converged_at = None
+    deg = degree(e)
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        s = deg.agg(
+            F.coalesce(F.sum("d"), F.lit(0)).alias("sum_d"),
+            F.count(F.when(F.col("d") >= _KCORE_K, 1)).alias("n_surv"),
+        ).collect()[0]
+        if rnd > 1:
+            n_edges_hist.append(int(s["sum_d"]) // 2)
+        n_nodes_hist.append(int(s["n_surv"]))
+        if rnd > 1 and n_nodes_hist[-1] == n_nodes_hist[-2]:
+            converged_at = rnd
+            break
+        surv = deg.filter(F.col("d") >= _KCORE_K).select("node")
         e = (
             e.join(surv.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(surv.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
             .persist()
         )
-        n_edges = e.count()
-        rows.append((rnd, n_nodes, n_edges))
-        # Fixpoint short-circuit: if a round changed nothing, every
-        # later round is provably identical (peeling is monotone) —
-        # emit the remaining rows without recomputing the joins. The
-        # oracle unrolls all rounds but produces the same values.
-        if rnd < _KCORE_ROUNDS and len(rows) >= 2 and rows[-1][1:] == rows[-2][1:]:
-            for extra in range(rnd + 1, _KCORE_ROUNDS + 1):
-                rows.append((extra, n_nodes, n_edges))
+        if rnd == _KCORE_ROUNDS:
             break
+        deg = degree(e)
+    if converged_at is not None:
+        # Round converged_at changed nothing: its edge count equals
+        # the previous round's, and all later rounds are identical.
+        n_edges_hist.append(n_edges_hist[-1])
+        while len(n_nodes_hist) < _KCORE_ROUNDS:
+            n_nodes_hist.append(n_nodes_hist[-1])
+            n_edges_hist.append(n_edges_hist[-1])
+    else:
+        n_edges_hist.append(e.count())
+    rows = [
+        (rnd, n_nodes_hist[rnd - 1], n_edges_hist[rnd - 1])
+        for rnd in range(1, _KCORE_ROUNDS + 1)
+    ]
     return spark.createDataFrame(
         rows, "round long, n_nodes long, n_edges long"
     ).orderBy("round")
@@ -719,9 +749,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     # Each frontier is PERSISTED: level h+1's plan references level h
     # AND the visited union of 0..h — without materialization the
-    # lineage replays every earlier round per level (measured 18 s →
-    # ~4 s at sf0.01). Materialized frontiers are the textbook
-    # level-synchronous form; session owner clears the cache.
+    # lineage replays every earlier round per level (a >4x blowup
+    # when A/B'd during development; the materialized form drive-
+    # measured at 3.065 s, BENCH_r05 sf0.1 min-of-3). Materialized
+    # frontiers are the textbook level-synchronous form; session
+    # owner clears the cache.
     levels = [
         e.filter(F.col("u") < _BFS_SEED_MAX)
         .select(F.col("u").alias("node"))
