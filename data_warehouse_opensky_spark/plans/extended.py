@@ -913,3 +913,70 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ["orders"],
     )
+
+
+# --------------------------------------------------------------------------
+# T2.3 — skew-salted join (the hot-key playbook, semantics-preserving)
+# --------------------------------------------------------------------------
+_SALT_BUCKETS = 8
+
+
+@query(
+    "join_skew_salted_hot_users",
+    tier="T2",
+    doc=f"Skew-salted dimension join: event traffic where every third "
+    "user collapses onto one HOT key (user_id % 3 = 0 -> key 0, a "
+    "~35% single-key spike — the power-law shape that stalls a "
+    "shuffle join at 100 TB: one reducer gets the hot key's entire "
+    f"fact slice). The playbook, executed: fact side salts the key "
+    f"(event_id % {_SALT_BUCKETS}), dim side EXPLODES each row into "
+    f"all {_SALT_BUCKETS} salts, and the equi-join runs on "
+    "(key, salt) — the hot key's rows spread across "
+    f"{_SALT_BUCKETS} tasks while every fact row still meets its dim "
+    "row exactly once, so results are BIT-IDENTICAL to the plain "
+    "join (the oracle IS the plain join). Salting is forced visible "
+    "with a merge-join hint (Catalyst would broadcast this tiny dim; "
+    "at 100 TB a fact-x-fact or huge-dim join can't broadcast — AQE "
+    "skew-join splits only SORT-MERGE partitions anyway). The "
+    "post-join per-key agg needs no salt: partial aggregation "
+    "(map-side combine) absorbs agg-side skew. Plan-pinned: "
+    "SortMergeJoin on (key, salt), zero BroadcastHashJoin.",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events
+    )
+    SELECT f.k AS user_key, c.c_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(value_c) AS BIGINT) AS total_value_c
+    FROM f JOIN customer c ON c.c_custkey = f.k
+    GROUP BY 1, 2
+    ORDER BY n_events DESC, user_key ASC
+    LIMIT 10
+    """,
+)
+def join_skew_salted_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k",
+        "CAST(round(value * 100) AS BIGINT) AS value_c",
+        f"CAST(pmod(event_id, {_SALT_BUCKETS}) AS INT) AS salt",
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"), "c_name")
+        .withColumn(
+            "salt", F.explode(F.expr(f"sequence(0, {_SALT_BUCKETS - 1})"))
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    joined = ev.hint("merge").join(cust, ["k", "salt"])
+    return (
+        joined.groupBy(F.col("k").alias("user_key"), "c_name")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value_c").cast("long").alias("total_value_c"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_key"))
+        .limit(10)
+    )

@@ -2983,3 +2983,80 @@ def mart_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto skyline (2-D dominance frontier) via the distributed scan
+# --------------------------------------------------------------------------
+@query(
+    "mart_skyline_revenue_qty",
+    tier="T2",
+    doc="2-D Pareto skyline over per-part aggregates: the (revenue, "
+    "quantity) pairs no other part strictly dominates (>= on both "
+    "dimensions, > on at least one). Multi-objective top-k — 'best' "
+    "parts when neither metric alone decides. Scale shape: the naive "
+    "skyline is an all-pairs dominance test; sorted by (rev DESC, "
+    "qty DESC) over DISTINCT pairs, a pair is dominated IFF the "
+    "EXCLUSIVE running max of qty reaches its own qty — so the whole "
+    "frontier is one distributed two-phase running-max scan "
+    "(operators/prefix.py distributed_running_max_exclusive: "
+    "range-exchange + partition-local window + control-plane "
+    "prefix-max + broadcast join; never a single-partition window "
+    "over the pair table). Distinct-pair pre-grouping makes the "
+    "strictness argument exact: among distinct pairs, an earlier "
+    "pair in the sort with qty >= mine always dominates. Descending "
+    "sort rides the ascending scan on negated keys.",
+    oracle="""
+    WITH a AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+    ),
+    p AS (
+      SELECT rev_c, qty, CAST(count(*) AS BIGINT) AS n_parts
+      FROM a GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT rev_c, qty, n_parts,
+             max(qty) OVER (ORDER BY rev_c DESC, qty DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS em
+      FROM p
+    )
+    SELECT rev_c, qty, n_parts FROM m
+    WHERE em IS NULL OR qty > em
+    ORDER BY rev_c DESC, qty DESC
+    """,
+)
+def mart_skyline_revenue_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import distributed_running_max_exclusive
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        cents("l_extendedprice").alias("price_c"),
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    a = li.groupBy("l_partkey").agg(
+        F.sum("price_c").cast("long").alias("rev_c"),
+        F.sum("q").cast("long").alias("qty"),
+    )
+    p = a.groupBy("rev_c", "qty").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+    # Descending dominance order on an ascending range scan: negate
+    # both keys. (rev_c, qty) is unique after the distinct-pair group,
+    # satisfying the scan's unique-key contract.
+    m = distributed_running_max_exclusive(
+        p.withColumn("_nrev", -F.col("rev_c")).withColumn(
+            "_nqty", -F.col("qty")
+        ),
+        order_cols=["_nrev", "_nqty"],
+        value_col="qty",
+        out_col="em",
+    )
+    return (
+        m.filter(F.col("em").isNull() | (F.col("qty") > F.col("em")))
+        .select("rev_c", "qty", "n_parts")
+        .orderBy(F.desc("rev_c"), F.desc("qty"))
+    )

@@ -870,10 +870,14 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small-group two-phase prefix sum keeps every core busy: one
     # ranged exchange, one partition-local window, one control-plane
     # collect (n_partitions × 3 rows), one broadcast join back.
-    # Measured (sf0.1, local[32], min-of-3): 2.0 s, of which ~1.05 s
-    # is the unavoidable grain aggregation itself; the general
-    # distributed_cumsum_grouped shape measured 2.7-3.5 s here (its
-    # extra input persist + totals shuffle + second join).
+    # Driver-measured (sf0.1, min-of-3): BENCH_r05 2.724 s with this
+    # fused shape; BENCH_r04 2.744 s with the general
+    # distributed_cumsum_grouped shape — at sf0.1 the two are within
+    # noise (the fused variant saves an input persist, a totals
+    # shuffle, and a join, which is a plan-width win that matters at
+    # scale, not at 600k rows). Perf doctrine (VERDICT r5 #2):
+    # in-source numbers quote the driver's BENCH_r{N} file, never
+    # ad-hoc local runs.
     c = distributed_cumsum_small_groups(
         g, group_cols=["flag"], order_cols=["price_c"], value_col="w",
         out_col="cw", total_col="tw",
@@ -1339,7 +1343,8 @@ def _boot_weight_sql(u: str) -> str:
     "slices) so each digest is computed once and shared by its 8 "
     "replicas, then a map-side-combined agg on B keys — row "
     "inflation never materializes (generate feeds the partial agg "
-    "in one stage; measured 3.6 -> 2.0 s vs the per-(row,replica) "
+    "in one stage; drive-measured 1.843 s at sf0.1 (BENCH_r05) vs "
+    "~3.6 s when A/B'd against the per-(row,replica) "
     "hash, and beats the 64-column 1-row agg form, whose giant "
     "generated method blows the JIT inline budget). Per-replica "
     "means are single divisions of exact cents sums (round 6); the "
@@ -1496,4 +1501,204 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum test) — distributed ranks from cumulative counts
+# --------------------------------------------------------------------------
+#: Shared final projection: exact-integer U statistic (doubled so ties'
+#: half-ranks stay integral) and the normal-approximation z with tie
+#: correction, computed as ONE double expression over exact int64
+#: sufficient statistics (identical IEEE ops on both engines).
+_MWU_Z = (
+    "CAST(round(((CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * "
+    "CAST(n2 AS DOUBLE)) / 2) / sqrt(CAST(n1 AS DOUBLE) * "
+    "CAST(n2 AS DOUBLE) / 12.0 * (CAST(n + 1 AS DOUBLE) - "
+    "CAST(ties3 AS DOUBLE) / (CAST(n AS DOUBLE) * "
+    "CAST(n - 1 AS DOUBLE)))) * 1000000) AS BIGINT) AS z_e6"
+)
+
+
+@query(
+    "stats_mann_whitney_u",
+    tier="T2",
+    doc="Mann-Whitney U rank-sum test: do returned line items "
+    "(l_returnflag='R') have a different price distribution than the "
+    "rest? The nonparametric two-sample test — and the canonical "
+    "'global ranks at scale' shape: classic U needs every row's rank, "
+    "but with AVERAGE ranks for ties the whole statistic collapses to "
+    "per-VALUE sufficient statistics — rank mass of value v is "
+    "2*count(<v) + count(=v) + 1 (doubled so half-ranks stay "
+    "integral). So the plan is: one map-side-combined groupBy on the "
+    "value grain (cnt, cnt_in_group), ONE distributed prefix sum over "
+    "the value order (operators/prefix.py two-phase scan — never a "
+    "single-partition window over the fact), one 1-row reduce. "
+    "U and the tie-corrected sufficient statistics are exact int64 "
+    "(doc: r1x2 <= 2*n1*n bounds int64 through ~2e9 rows; past that "
+    "the sums lift to DECIMAL(38,0) unchanged); only the final z "
+    "division goes through double (identical IEEE ops both engines, "
+    "rounded to e6).",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS val,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_a
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT cnt, cnt_a,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(sum(cnt_a * (2 * below + cnt + 1)) AS BIGINT) AS r1x2,
+             CAST(sum(cnt_a) AS BIGINT) AS n1,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties3
+      FROM c
+    ),
+    u AS (
+      SELECT n1, CAST(n - n1 AS BIGINT) AS n2, n, ties3,
+             CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2
+      FROM s
+    )
+    SELECT n1, n2, u1_x2, {_MWU_Z} FROM u
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import distributed_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("val"),
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_a"),
+    )
+    v = li.groupBy("val").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("is_a").cast("long").alias("cnt_a"),
+    )
+    c = distributed_cumsum(v, order_cols=["val"], value_col="cnt", out_col="cw")
+    s = c.select(
+        (F.col("cw") - F.col("cnt")).alias("below"), "cnt", "cnt_a"
+    ).agg(
+        F.sum(F.col("cnt_a") * (2 * F.col("below") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("r1x2"),
+        F.sum("cnt_a").cast("long").alias("n1"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("ties3"),
+    )
+    u = s.selectExpr(
+        "n1",
+        "CAST(n - n1 AS BIGINT) AS n2",
+        "n",
+        "ties3",
+        "CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2",
+    )
+    return u.selectExpr("n1", "n2", "u1_x2", _MWU_Z)
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence (contingency-table audit)
+# --------------------------------------------------------------------------
+@query(
+    "stats_chi_square_independence",
+    tier="T2",
+    doc="Chi-square independence test: is order PRIORITY independent "
+    "of order STATUS? One map-side-combined groupBy builds the "
+    "contingency table (|pri|x|status| rows — control-plane sized), "
+    "margins and the grand total re-aggregate THAT (never a second "
+    "fact scan), and every join back is a broadcast of a tiny "
+    "aggregate. Determinism: per-cell deviation o*N - R*C is an "
+    "integer-valued double (exact below 2^53), each cell's chi^2 "
+    "contribution is one identical IEEE double expression rounded to "
+    "e6 BEFORE summation, and the total is an exact int64 sum of "
+    "those rounded cells — float addition order never touches the "
+    "hash (the cell-level rounding is the documented semantic: "
+    "chi2_e6 is the sum of e6-rounded per-cell contributions). At "
+    "100 TB this is a 1-scan + combiner-friendly agg on a tiny key "
+    "space; the quadratic margin join is over the CELL table, not "
+    "the fact.",
+    oracle="""
+    WITH ct AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS o_cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (SELECT pri, CAST(sum(o_cnt) AS BIGINT) AS r_cnt
+          FROM ct GROUP BY 1),
+    c AS (SELECT status, CAST(sum(o_cnt) AS BIGINT) AS c_cnt
+          FROM ct GROUP BY 1),
+    tt AS (SELECT CAST(sum(o_cnt) AS BIGINT) AS n FROM ct),
+    cells AS (
+      SELECT ct.pri, ct.status, r_cnt, c_cnt, n,
+             CAST(o_cnt AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(r_cnt AS DOUBLE) * CAST(c_cnt AS DOUBLE) AS dev
+      FROM ct JOIN r USING (pri) JOIN c USING (status) CROSS JOIN tt
+    ),
+    k AS (
+      SELECT pri, status, n,
+             CAST(round(dev * dev / (CAST(n AS DOUBLE)
+               * CAST(r_cnt AS DOUBLE) * CAST(c_cnt AS DOUBLE))
+               * 1000000) AS BIGINT) AS contrib_e6
+      FROM cells
+    )
+    SELECT CAST(min(n) AS BIGINT) AS n,
+           CAST((count(DISTINCT pri) - 1)
+             * (count(DISTINCT status) - 1) AS BIGINT) AS dof,
+           CAST(sum(contrib_e6) AS BIGINT) AS chi2_e6
+    FROM k
+    """,
+)
+def stats_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    ct = o.groupBy("pri", "status").agg(
+        F.count("*").cast("long").alias("o_cnt")
+    )
+    rt = ct.groupBy("pri").agg(F.sum("o_cnt").cast("long").alias("r_cnt"))
+    cl = ct.groupBy("status").agg(F.sum("o_cnt").cast("long").alias("c_cnt"))
+    tot = ct.agg(F.sum("o_cnt").cast("long").alias("n"))
+    cells = (
+        ct.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(cl), "status")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "pri",
+            "status",
+            "r_cnt",
+            "c_cnt",
+            "n",
+            "CAST(o_cnt AS DOUBLE) * CAST(n AS DOUBLE)"
+            " - CAST(r_cnt AS DOUBLE) * CAST(c_cnt AS DOUBLE) AS dev",
+        )
+    )
+    k = cells.selectExpr(
+        "pri",
+        "status",
+        "n",
+        "CAST(round(dev * dev / (CAST(n AS DOUBLE)"
+        " * CAST(r_cnt AS DOUBLE) * CAST(c_cnt AS DOUBLE))"
+        " * 1000000) AS BIGINT) AS contrib_e6",
+    )
+    return k.agg(
+        F.min("n").cast("long").alias("n"),
+        (
+            (F.countDistinct("pri") - 1) * (F.countDistinct("status") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.sum("contrib_e6").cast("long").alias("chi2_e6"),
     )

@@ -1439,3 +1439,56 @@ def test_shortlist_rerank_prunes_with_window_group_limit(spark):
     plan = plan_of(spark, "ann_shortlist_rerank")
     body = plan.split("== Physical Plan ==")[-1]
     assert "WindowGroupLimit" in body, plan
+
+
+def test_skew_salted_join_is_sort_merge_on_salt(spark):
+    """The salted JOIN query must actually exercise the salting path:
+    a SortMergeJoin keyed on (k, salt) — never a broadcast (which
+    would make the salt decorative; at 100 TB the dim can't
+    broadcast)."""
+    import re
+
+    plan = plan_of(spark, "join_skew_salted_hot_users")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" in body, plan
+    assert "BroadcastHashJoin" not in body, plan
+    assert re.search(r"SortMergeJoin.*salt", body, re.S), plan
+
+
+def test_skyline_scan_has_no_global_window(spark):
+    """The skyline's dominance scan must ride the two-phase
+    distributed running max — no single-partition exchange anywhere
+    in the plan (the all-pairs/global-window trap it exists to
+    avoid)."""
+    plan = plan_of(spark, "mart_skyline_revenue_qty")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SinglePartition" not in body, plan
+
+
+def test_mann_whitney_no_global_window(spark):
+    """Rank mass comes from the distributed prefix sum over the value
+    grain — never a fact-wide single-partition rank window. The final
+    1-row statistic merge IS a SinglePartition exchange (one partial
+    row per task — map-side combined, legal), so the pin is: every
+    Window in the plan keys on the scan's _pid, and the only
+    SinglePartition exchange feeds the final HashAggregate merge, not
+    a Sort/Window."""
+    import re
+
+    plan = plan_of(spark, "stats_mann_whitney_u")
+    body = plan.split("== Physical Plan ==")[-1]
+    # No window/sort may run single-partition: a Window node never
+    # appears without a _pid partition key in this plan.
+    for wm in re.finditer(r"\(\d+\) Window\n(?:.*\n)*?Arguments: ([^\n]*)", body):
+        assert "_pid" in wm.group(1), plan
+    # partial aggregation precedes the lone SinglePartition merge.
+    assert "partial_sum" in body, plan
+
+
+def test_chi_square_margins_broadcast(spark):
+    """Margins and the grand total join back to the cell table as
+    broadcasts of tiny aggregates — no shuffle join anywhere."""
+    plan = plan_of(spark, "stats_chi_square_independence")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body or "BroadcastNestedLoopJoin" in body
+    assert "SortMergeJoin" not in body, plan
