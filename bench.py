@@ -22,160 +22,100 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from data_warehouse_opensky_spark.plans import QUERIES
 from data_warehouse_opensky_spark.session import get_spark
 
-#: The headline set: one per operator family (full catalog runs in tests).
-HEADLINE = [
-    "pricing_summary",
-    "join_star_revenue",
-    "join_left_outer",
-    "agg_rollup",
-    "count_distinct_users",
-    "latest_event_per_user",
-    "window_lag_delta",
-    "window_rolling_avg",
-    "asof_click_before_purchase",
-    "rank_topn_per_group",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_brute_force_topk",
-    "embedding_neardup_pairs",
-    "text_quality_score",
-    "text_fingerprint",
-    "multimodal_decode_meta",
-    "topk_orders",
-    "session_window_stats",
-    "percentile_disc_price",
-    "json_extract_props",
-    "sample_hash_5pct",
-    "udf_grouped_map_share",
-    "streaming_tumbling_counts",
-    "streaming_stateful_running_agg",
-    "subquery_correlated_above_cust_avg",
-    "window_sliding_2h",
-    "text_tfidf_topk",
-    "pivot_status_by_priority",
-    "ann_lsh_recall",
-    "dedup_components_canonical",
-    "streaming_session_windows",
-    "corpus_chunking",
-    "corpus_repetition_signals",
-    "corpus_stratified_sample",
-    "scd2_intervals",
-    "rollup_time_grains",
-    "hof_array_funcs",
-    "range_join_price_bands",
-    "corpus_decontaminate",
-    "corpus_pack_sequences",
-    "corpus_contiguous_ids",
-    "corpus_domain_cap",
-    "corpus_quality_funnel",
-    "mart_incremental_merge",
-    "streaming_stream_stream_join",
-    "corpus_duplicated_spans",
-    "corpus_mixture_weights",
-    "approx_distinct_hll_mart",
-    "cdc_snapshot_diff",
-    "streaming_static_enrich",
-    "mart_event_funnel",
-    "mart_retention_cohorts",
-    "text_bigram_logprob",
-    "audit_referential_integrity",
-    "mart_cumulative_users",
-    "embedding_kmeans",
-    "stats_anomaly_zscore",
-    "stats_rolling_median",
-    "corpus_split_assign",
-    "text_heavy_hitters",
-    "dedup_incremental_minhash",
-    "dedup_fuzzy_levenshtein",
-    "text_inverted_index",
-    "audit_expectations",
-    "corpus_weighted_sample",
-    "multimodal_phash_dedup",
-    "graph_pagerank",
-    "mart_market_basket",
-    "mart_rolling_distinct_7d",
-    "corpus_ngram_novelty",
-    "stats_ks_drift",
-    "mart_sequence_patterns",
-    "cdc_apply_log",
-    "text_char_entropy",
-    "embedding_covariance_audit",
-    # -- round-4 additions ------------------------------------------------
-    "graph_triangle_count",
-    "mart_cumulative_revenue_scan",
-    "embedding_pq_codes",
-    "embedding_semantic_dedup",
-    "mart_attribution_last_touch",
-    "stats_equidepth_histogram",
-    "mart_longest_streak",
-    "graph_hierarchy_rollup",
-    "corpus_budget_select",
-    "stats_weighted_median",
-    "embedding_hard_negatives",
-    "streaming_dedup_within_watermark",
-    "mart_sessionize_gaps",
-    "corpus_upsample_epochs",
-    "ann_pq_adc_topk",
-    "report_local_supplier_volume",
-    "report_volume_shipping",
-    "report_returned_items",
-    "report_promo_effect",
-    # -- round-5 additions (VERDICT r4 directive #6: headline tracks the
-    # full catalog at flat per-query cost; dedup_prefix_filter_jaccard
-    # stays excluded — documented small-vocabulary degeneracy at sf0.1).
-    "graph_kcore_peeling",
-    "corpus_sentence_dedup",
-    "audit_table_checksum",
-    "mart_item_recs_topk",
-    "audit_duplicate_payments",
-    "scd2_incremental_rebuild",
-    "scd2_point_in_time",
-    "xml_roundtrip_extract",
-    "json_variant_extract",
-    "agg_listagg_statuses",
-    "group_by_all_latest_order",
-    "text_zipf_slope",
-    "ann_topk_with_metadata",
-    "window_ntile_quartiles",
-    "window_range_trailing_1h",
-    "stats_seasonal_anomaly",
-    "mart_markov_transitions",
-    "mart_cohort_ltv",
-    "mart_abc_pareto",
-    "mart_trending_decay",
-    "audit_key_skew",
-    "audit_k_anonymity",
-    "audit_burst_rate",
-    "streaming_join_then_window",
-    # -- round-5 new-query families ---------------------------------------
-    "stats_linear_regression",
-    "stats_welch_ttest",
-    "stats_pmi_cells",
-    "graph_link_prediction_ra",
-    "graph_bfs_hops",
-    "text_bm25_topk",
-    "corpus_dsir_weights",
-    "sql_pipe_syntax_summary",
-    "mart_repeat_interval_median",
-    "embedding_power_iteration",
-    "join_interval_overlap",
-    "sql_session_variables",
-    "embedding_mmr_topk",
-    "audit_freshness_lag",
-    "stats_poisson_bootstrap",
-    "graph_label_propagation",
-    "text_bpe_merges",
-    "mart_attribution_linear",
-    "opensky_zorder_key",
-    "stats_cusum_changepoint",
-    "dedup_sorted_neighborhood",
-    "mart_rfm_segments",
-    "graph_community_modularity",
-    "corpus_bpe_encode",
-    "embedding_truncation_recall",
-    "ann_shortlist_rerank",
-]
+#: Benched = the ENTIRE catalog (VERDICT r5 #4: a complete per-round
+#: perf ledger — an unbenched query is a blind spot where a regression
+#: goes unnoticed) minus the explicit exclusions below.
+EXCLUDED = {
+    # AllPairs prefix filtering assumes a Zipf-ish vocabulary; the
+    # synthetic documents table's tiny vocabulary makes every doc share
+    # its prefix tokens, so the candidate set degenerates toward
+    # all-pairs (~44 s at sf0.1 — a test-data artifact, not a plan
+    # property; correctness stays gated by the driver window and
+    # tests/test_oracle.py).
+    "dedup_prefix_filter_jaccard",
+}
+HEADLINE = [n for n in QUERIES if n not in EXCLUDED]
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+#: Perf-regression gate (VERDICT r5 #6). Calibration: two identical-
+#: code full-catalog runs on an idle machine differ by up to ~1.4x /
+#: ~0.8 s on individual queries (JVM episodes: GC tails, C2 patches,
+#: micro-batch drain timing) — so the gate compares against the
+#: BEST-KNOWN time per query (min across all recorded history, which
+#: absorbs baseline-side noise) and flags only >1.3x AND >0.5 s
+#: (current-side noise above that band is rare; a genuine plan
+#: regression shows up well past it).
+REGRESSION_RATIO = 1.3
+REGRESSION_FLOOR_SEC = 0.5
+
+
+def load_baseline() -> tuple[str, dict[str, float]]:
+    """Best-known per-query times for the regression gate.
+
+    Sources, merged by per-query MIN: every line of
+    BENCH_HISTORY.jsonl — the FULL record this script appends each
+    run (the driver's BENCH_r{N}.json keeps only the last 2000 stdout
+    chars, which truncates a 200+-query dict) — plus a regex-scrape
+    of the newest BENCH_r*.json tail for queries predating the
+    history file.
+    """
+    best: dict[str, float] = {}
+    srcs = []
+    hist = os.path.join(_REPO, "BENCH_HISTORY.jsonl")
+    try:
+        lines = [ln for ln in open(hist).read().splitlines() if ln.strip()]
+        for ln in lines:
+            try:
+                rec = json.loads(ln)
+            except ValueError:
+                continue
+            for k, v in rec.get("queries", {}).items():
+                v = float(v)
+                if v > 0 and (k not in best or v < best[k]):
+                    best[k] = v
+        if lines:
+            srcs.append(f"BENCH_HISTORY.jsonl[{len(lines)}]")
+    except OSError:
+        pass
+    import glob
+
+    for f in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")),
+                    reverse=True):
+        try:
+            tail = json.load(open(f)).get("tail", "")
+        except (OSError, ValueError):
+            continue
+        found = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(
+                r'"([a-z0-9_]+)": ([0-9]+(?:\.[0-9]+)?)', tail
+            )
+            if m.group(1) in QUERIES
+        }
+        if found:
+            for k, v in found.items():
+                if v > 0 and (k not in best or v < best[k]):
+                    best[k] = v
+            srcs.append(os.path.basename(f))
+            break  # newest driver file suffices for pre-history queries
+    return "+".join(srcs) or "none", best
+
+
+def compute_regressions(
+    per_query: dict[str, float], baseline: dict[str, float]
+) -> list[list]:
+    """[name, best_known, now, ratio] for every gate-tripping query."""
+    out = [
+        [n, baseline[n], v, round(v / baseline[n], 2)]
+        for n, v in per_query.items()
+        if n in baseline
+        and baseline[n] > 0
+        and v > baseline[n] * REGRESSION_RATIO
+        and v - baseline[n] > REGRESSION_FLOOR_SEC
+    ]
+    out.sort(key=lambda r: -r[3])
+    return out
 
 
 def main() -> None:
@@ -222,33 +162,48 @@ def main() -> None:
     total = sum(per_query.values())
     slowest = sorted(per_query.items(), key=lambda kv: -kv[1])[:5]
 
-    # The driver records only the LAST 2000 chars of stdout (BENCH_r03's
-    # tail cut off the total, which led the full per-query dict). Two
-    # defenses: a compact headline line FIRST (survives any head
-    # capture), then the full record with "queries" first and the
-    # headline fields LAST inside the object — a tail capture of the
-    # second line always ends with the total.
-    headline = {
+    # Regression gate vs the previous recorded run (same-sf runs only:
+    # a sf0.01 dev run must not become the baseline a sf0.1 driver run
+    # is judged against — history records sf per line).
+    base_src, baseline = load_baseline()
+    regressions = compute_regressions(per_query, baseline)
+
+    record = {
+        # Huge fields FIRST, headline fields LAST: the driver records
+        # only the LAST 2000 stdout chars (BENCH_r03's tail cut off
+        # the total when the dict led the object), so a tail capture
+        # always ends with regressions + totals.
+        "queries": per_query,
+        "slowest": [[n, v] for n, v in slowest],
+        "baseline_src": base_src,
+        "regressions": regressions,
+        "n_regressions": len(regressions),
+        "excluded": sorted(EXCLUDED),
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
         "unit": "sec",
         "n_queries": len(per_query),
-        "slowest": [[n, v] for n, v in slowest],
         "sf": sf,
     }
-    print(json.dumps(headline))
+    # Full record survives driver-side truncation via the history file
+    # (appended only for the driver's benchmark scale, so dev runs at
+    # other SFs never poison the baseline).
+    if sf == 0.1:
+        with open(os.path.join(_REPO, "BENCH_HISTORY.jsonl"), "a") as fh:
+            fh.write(json.dumps(record) + "\n")
     print(
         json.dumps(
             {
-                "queries": per_query,
                 "metric": "headline_queries_total_time",
                 "value": round(total, 3),
                 "unit": "sec",
                 "n_queries": len(per_query),
+                "n_regressions": len(regressions),
                 "sf": sf,
             }
         )
     )
+    print(json.dumps(record))
     spark.stop()
 
 
