@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Measure the wall-time-vs-sf scaling curve for the heaviest queries.
+
+Runs the lineitem-only heavy hitters (the 5 slowest BENCH entries plus
+two scan-shape references) across sf0.001 → sf1 (driver slices plus
+the replica-disjoint slices from gen_scale_slice.py) and prints a
+markdown table for SCALE.md §31. min-of-2 per (query, sf); caches
+cleared between runs (catalog contract).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_warehouse_opensky_spark.plans import QUERIES
+from data_warehouse_opensky_spark.session import get_spark
+
+CURVE_QUERIES = [
+    "pricing_summary",
+    "stats_weighted_median",
+    "graph_triangle_count",
+    "graph_kcore_peeling",
+    "graph_label_propagation",
+    "graph_bfs_hops",
+    "graph_community_modularity",
+]
+SLICES = [
+    ("0.001", "/root/testdata/sf0.001"),
+    ("0.01", "/root/testdata/sf0.01"),
+    ("0.1", "/root/testdata/sf0.1"),
+    ("0.3", "scale_data/sf0.3"),
+    ("1", "scale_data/sf1"),
+]
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark = get_spark("scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm codegen/plan paths once at the smallest sf.
+    for name in CURVE_QUERIES:
+        QUERIES[name].fn(spark, SLICES[0][1]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    spark.catalog.clearCache()
+    results: dict[str, dict[str, float]] = {n: {} for n in CURVE_QUERIES}
+    for _ in range(2):
+        for sf, d in SLICES:
+            path = d if os.path.isabs(d) else os.path.join(repo, d)
+            if not os.path.isdir(path):
+                continue
+            for name in CURVE_QUERIES:
+                t0 = time.perf_counter()
+                QUERIES[name].fn(spark, path).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                results[name][sf] = min(results[name].get(sf, 1e9), dt)
+                spark.catalog.clearCache()
+    sfs = [sf for sf, _ in SLICES]
+    print("| query | " + " | ".join(f"sf{sf}" for sf in sfs)
+          + " | x(0.1→1) |")
+    print("|---|" + "---|" * (len(sfs) + 1))
+    for name in CURVE_QUERIES:
+        row = results[name]
+        ratio = (row.get("1", 0) / row["0.1"]) if row.get("0.1") else 0
+        print(
+            f"| {name} | "
+            + " | ".join(
+                f"{row[sf]:.2f}" if sf in row else "-" for sf in sfs
+            )
+            + f" | {ratio:.1f}x |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
