@@ -323,11 +323,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o1.dst") < F.col("o2.dst"))
         )
     )
-    # Closing join: NO hint — AQE broadcasts the packed edge side from
-    # runtime stats at bench scale (~15 MB, measured 1.5 s faster than
-    # a hinted shuffle-hash join because the 35M-row wedge stream then
-    # never shuffles); at 100 TB the size gate fails and the same code
-    # degrades to the shuffled hash join on the packed key.
+    # Closing join strategy is a CONTROL-PLANE decision off the cached
+    # edge count, not a hope: under ~3M edges the un-hinted join lets
+    # AQE broadcast the packed edge side from runtime stats (~15 MB at
+    # sf0.1, measured 1.5 s faster than a hinted shuffle-hash join
+    # because the 35M-row wedge stream then never shuffles). ABOVE
+    # that, the edge side blows the 64 MB broadcast gate and the
+    # un-hinted planner falls back to SORT-MERGE — which sorts the
+    # O(m^1.5)-row wedge stream (measured: 22x wall at 10x data on the
+    # sf1 slice, 101 s, almost all of it the wedge sort). The
+    # shuffle_hash hint restores the right asymptotics: build on the
+    # edge side, STREAM the wedges through probe-side counting
+    # (measured 101 -> ~9 s at sf1; see SCALE.md §31).
+    n_edge_rows = pairs.count()  # cached — one metadata-cheap action
+    edge_hint = (
+        (lambda d: d)
+        if n_edge_rows <= 3_000_000
+        else (lambda d: d.hint("shuffle_hash"))
+    )
     if packable:
         w = wedges.select(
             (F.shiftleft(F.col("o1.dst"), 32) + F.col("o2.dst")).alias("wk")
@@ -335,13 +348,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         oc = o.select(
             (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("wk")
         )
-        tri = w.join(oc, "wk").agg(F.count("*").alias("n_triangles"))
+        tri = w.join(edge_hint(oc), "wk").agg(
+            F.count("*").alias("n_triangles")
+        )
     else:
         w = wedges.select(
             F.col("o1.dst").alias("cv"), F.col("o2.dst").alias("cw")
         )
         oc = o.select(F.col("src").alias("cv"), F.col("dst").alias("cw"))
-        tri = w.join(oc, ["cv", "cw"]).agg(F.count("*").alias("n_triangles"))
+        tri = w.join(edge_hint(oc), ["cv", "cw"]).agg(
+            F.count("*").alias("n_triangles")
+        )
     odeg = o.groupBy("src").agg(F.count("*").alias("od"))
     n_wedges = odeg.agg(
         F.expr("sum((od * (od - 1)) div 2)").cast("long").alias("n_wedges")
@@ -933,7 +950,14 @@ def _lpa_label_cte() -> str:
 )
 def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2, e, labels = _lpa_labels(spark, sf_dir)
-    # labels is already persisted by _lpa_labels (final round).
+    # labels is persisted by _lpa_labels — but persist() is LAZY, and
+    # this plan references labels THREE times (members, lu, lv). If
+    # the cache is not materialized before the output action runs,
+    # each occurrence recomputes the whole LPA chain (measured on the
+    # sf1 slice: 19.9 s vs 6.3 s for LPA alone ≈ the chain computed
+    # 3x). One eager |V|-row count pins the cache first; the label
+    # joins then read it (SCALE.md §31).
+    labels.count()
     m = e2.count()  # control-plane literal (pagerank |V| budget class)
     deg = e.groupBy("node").agg(F.count("*").cast("long").alias("d"))
     members = (
