@@ -1617,3 +1617,236 @@ def ann_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cos_full")
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — reciprocal-rank fusion of two retrievers
+# --------------------------------------------------------------------------
+_RRF_C = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_K = 10
+
+
+@query(
+    "ann_rrf_fusion",
+    tier="T3",
+    doc=f"Reciprocal-rank fusion of two retrievers over the same "
+    "corpus for query vec 0: retriever A ranks by the FULL-dimension "
+    f"exact integer dot product, retriever B by the cheap {_MRL_DIM}-"
+    "dim truncated dot (the shortlist scorer) — rrf = "
+    f"1/({_RRF_C}+rank_A) + 1/({_RRF_C}+rank_B) on an exact e6 "
+    "integer grid (floor division, both engines). THE standard "
+    "hybrid-retrieval combiner: rank-space fusion needs no score "
+    "calibration between retrievers. Scale shape: scores are "
+    "row-local exact int64 dots (one scan, query broadcast as a "
+    "1-row control-plane literal); each ranking is the two-phase "
+    "distributed rank (operators/prefix.py cumsum of ones — never a "
+    "single-partition row_number over the corpus), CHAINED so the "
+    "second ranking rides the first's output with no join-back.",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id,
+             [CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+              for e in embedding] AS xq
+      FROM embeddings
+    ),
+    q AS (SELECT xq AS qv FROM x WHERE vec_id = 0),
+    sc AS (
+      SELECT x.vec_id,
+             CAST(list_sum([x.xq[i] * q.qv[i]
+               for i in range(1, {DIM} + 1)]) AS BIGINT) AS dot_full,
+             CAST(list_sum([x.xq[i] * q.qv[i]
+               for i in range(1, {_MRL_DIM} + 1)]) AS BIGINT) AS dot_trunc
+      FROM x, q WHERE x.vec_id != 0
+    ),
+    r AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY dot_full DESC, vec_id)
+                  AS BIGINT) AS rank_a,
+             CAST(row_number() OVER (ORDER BY dot_trunc DESC, vec_id)
+                  AS BIGINT) AS rank_b
+      FROM sc
+    )
+    SELECT vec_id, rank_a, rank_b,
+           CAST(1000000 // ({_RRF_C} + rank_a)
+              + 1000000 // ({_RRF_C} + rank_b) AS BIGINT) AS rrf_e6
+    FROM r
+    ORDER BY rrf_e6 DESC, vec_id
+    LIMIT {_RRF_K}
+    """,
+)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import distributed_cumsum
+
+    e = load_table(spark, sf_dir, "embeddings", spread=True).selectExpr(
+        "vec_id",
+        "transform(embedding, e -> cast(round(cast(e as double) * 1000)"
+        " as bigint)) AS xq",
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("xq").alias("__qv"))
+    sc = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .selectExpr(
+            "vec_id",
+            "cast(aggregate(zip_with(xq, __qv, (a, b) -> a * b), 0L,"
+            " (acc, v) -> acc + v) as bigint) AS dot_full",
+            f"cast(aggregate(zip_with(slice(xq, 1, {_MRL_DIM}),"
+            f" slice(__qv, 1, {_MRL_DIM}), (a, b) -> a * b), 0L,"
+            " (acc, v) -> acc + v) as bigint) AS dot_trunc",
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ra = distributed_cumsum(
+        sc.withColumn("_na", -F.col("dot_full")),
+        order_cols=["_na", "vec_id"],
+        value_col="one",
+        out_col="rank_a",
+    )
+    rb = distributed_cumsum(
+        ra.withColumn("_nb", -F.col("dot_trunc")),
+        order_cols=["_nb", "vec_id"],
+        value_col="one",
+        out_col="rank_b",
+    ).drop("one", "_na", "_nb")
+    return (
+        rb.selectExpr(
+            "vec_id",
+            "rank_a",
+            "rank_b",
+            f"cast(1000000 div ({_RRF_C} + rank_a)"
+            f" + 1000000 div ({_RRF_C} + rank_b) as bigint) AS rrf_e6",
+        )
+        .orderBy(F.desc("rrf_e6"), F.asc("vec_id"))
+        .limit(_RRF_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — binary quantization (sign bits vs per-dim mean) + Hamming rerank
+# --------------------------------------------------------------------------
+_BQ_SHORTLIST = 30
+_BQ_K = 10
+
+
+def _bq_word(arr: str, sums, nvar: str, lo: int, base: int) -> str:
+    """Textual packed-word expression: 32 threshold bits -> one BIGINT.
+
+    `sums(i)` renders the per-dim sum reference; `base` is the array
+    index origin (Spark 0, DuckDB 1). Weights are Python-exact 2^j
+    literals, so bit 31 of each word never touches the sign bit.
+    """
+    return " + ".join(
+        f"(CASE WHEN {arr}[{i + base}] * {nvar} >= {sums(i + base)} "
+        f"THEN {1 << (i - lo)} ELSE 0 END)"
+        for i in range(lo, lo + 32)
+    )
+
+
+def _bq_oracle() -> str:
+    lo = _bq_word("xq", lambda i: f"sv[{i}]", "nn", 0, 1)
+    hi = _bq_word("xq", lambda i: f"sv[{i}]", "nn", 32, 1)
+    return f"""
+    WITH x AS (
+      SELECT vec_id, embedding,
+             [CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+              for e in embedding] AS xq
+      FROM embeddings
+    ),
+    n_ AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM x),
+    s_ AS (
+      SELECT list(s ORDER BY i) AS sv FROM (
+        SELECT i, CAST(sum(xq[i]) AS BIGINT) AS s
+        FROM x, generate_series(1, {DIM}) AS t(i) GROUP BY i
+      )
+    ),
+    w AS (
+      SELECT vec_id, embedding,
+             CAST({lo} AS BIGINT) AS w_lo, CAST({hi} AS BIGINT) AS w_hi
+      FROM x, n_, s_
+    ),
+    q AS (SELECT w_lo AS q_lo, w_hi AS q_hi, embedding AS qvec
+          FROM w WHERE vec_id = 0),
+    h AS (
+      SELECT w.vec_id, w.embedding, q.qvec,
+             CAST(bit_count(xor(w.w_lo, q.q_lo))
+                + bit_count(xor(w.w_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM w, q WHERE w.vec_id != 0
+    ),
+    short AS (
+      SELECT * FROM h ORDER BY hamming, vec_id LIMIT {_BQ_SHORTLIST}
+    )
+    SELECT vec_id, hamming,
+           round({_cos_sql('embedding', 'qvec')}, 6) AS cos_sim
+    FROM short ORDER BY cos_sim DESC, vec_id LIMIT {_BQ_K}
+    """
+
+
+@query(
+    "ann_binary_hamming_topk",
+    tier="T3",
+    doc=f"Binary-quantized retrieval with exact rerank: every vector "
+    "compresses to ONE BIT PER DIMENSION (1 iff the dim exceeds its "
+    f"corpus mean — computed exactly as x_i*n >= sum_i on e3 ints), "
+    f"packed into two int64 words; candidate scan is xor + bit_count "
+    f"Hamming distance (row-local, {DIM} dims in 2 machine words = "
+    f"32x less memory than float32), a {_BQ_SHORTLIST}-candidate "
+    f"shortlist reranks with the exact cosine, top-{_BQ_K} out. The "
+    "third point on the catalog's quantization curve (SQ8 -> PQ -> "
+    "binary) and the cheapest memory-resident ANN scan there is. "
+    "Scale shape: per-dim means are ONE map-side-combined 64-sum "
+    "aggregate broadcast back as a 1-row literal; bit-packing and "
+    "Hamming are row-local integer ops inside whole-stage codegen; "
+    "only the shortlist (not the corpus) touches full-precision "
+    "vectors again. All-integer until the final rerank cosine.",
+    oracle=_bq_oracle(),
+)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = load_table(spark, sf_dir, "embeddings", spread=True).selectExpr(
+        "vec_id",
+        "embedding",
+        "transform(embedding, e -> cast(round(cast(e as double) * 1000)"
+        " as bigint)) AS xq",
+    )
+    sums = x.agg(
+        F.count("*").cast("long").alias("nn"),
+        *[
+            F.sum(F.expr(f"xq[{i}]")).cast("long").alias(f"s{i}")
+            for i in range(DIM)
+        ],
+    )
+    lo = _bq_word("xq", lambda i: f"s{i}", "nn", 0, 0)
+    hi = _bq_word("xq", lambda i: f"s{i}", "nn", 32, 0)
+    w = x.crossJoin(F.broadcast(sums)).selectExpr(
+        "vec_id",
+        "embedding",
+        f"CAST({lo} AS BIGINT) AS w_lo",
+        f"CAST({hi} AS BIGINT) AS w_hi",
+    )
+    q = w.filter(F.col("vec_id") == 0).select(
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+        F.col("embedding").alias("__qvec"),
+    )
+    h = (
+        w.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            "__qvec",
+            "cast(bit_count(w_lo ^ q_lo) + bit_count(w_hi ^ q_hi)"
+            " as bigint) AS hamming",
+        )
+    )
+    short = h.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(_BQ_SHORTLIST)
+    return (
+        short.select(
+            "vec_id",
+            "hamming",
+            F.round(S.cosine(F.col("embedding"), F.col("__qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_BQ_K)
+    )

@@ -1492,3 +1492,25 @@ def test_chi_square_margins_broadcast(spark):
     body = plan.split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in body or "BroadcastNestedLoopJoin" in body
     assert "SortMergeJoin" not in body, plan
+
+
+def test_rrf_rankings_no_global_window(spark):
+    """Both retriever rankings ride the chained distributed rank —
+    no single-partition row_number over the corpus. (The final top-10
+    is a TakeOrdered, not a sort.)"""
+    plan = plan_of(spark, "ann_rrf_fusion")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SinglePartition" not in body, plan
+    assert "TakeOrderedAndProject" in body, plan
+
+
+def test_binary_hamming_scan_stays_jvm_side(spark):
+    """Bit-pack + Hamming must be whole-stage-codegen integer ops:
+    no python UDF evaluation anywhere; the per-dim means enter as a
+    broadcast (1-row aggregate), and the candidate scan ends in a
+    TakeOrdered shortlist."""
+    plan = plan_of(spark, "ann_binary_hamming_topk")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+    assert "TakeOrderedAndProject" in body, plan
+    assert "BroadcastNestedLoopJoin" in body or "BroadcastExchange" in body
