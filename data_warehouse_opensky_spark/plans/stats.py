@@ -1702,3 +1702,162 @@ def stats_chi_square_independence(
         .alias("dof"),
         F.sum("contrib_e6").cast("long").alias("chi2_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the day-of-week anomaly screen
+# --------------------------------------------------------------------------
+_BH_ALPHA = "0.05"
+_BH_TOP = 20
+
+#: Two-sided normal p-value from the e6-integer z-score, as ONE
+#: identical IEEE double chain both engines run: p = erfc(|z|/sqrt(2))
+#: via the Abramowitz-Stegun 7.1.26 polynomial (max abs error 1.5e-7 —
+#: far below any BH decision boundary this data produces; neither
+#: Spark SQL nor DuckDB ships erf/erfc, so the polynomial IS the
+#: cross-engine contract). Staged columns (x, then t, then p) keep
+#: each sub-expression evaluated once and textually identical.
+_BH_X = "cast(abs(z_e6) as double) / 1000000.0 / sqrt(2.0)"
+_BH_T = "1.0 / (1.0 + 0.3275 * x)"
+_BH_P = (
+    "((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t"
+    " - 0.284496736) * t + 0.254829592) * t * exp(-x * x)"
+)
+
+
+@query(
+    "stats_bh_fdr",
+    tier="T2",
+    doc=f"Benjamini-Hochberg false-discovery-rate control over the "
+    "day-of-week anomaly screen: every day gets a two-sided normal "
+    "p-value from its seasonal z-score, days are ranked by "
+    "significance, and BH rejects the top k where k = max rank with "
+    f"p <= {_BH_ALPHA}*rank/m — THE multiple-testing correction for "
+    "screening thousands of series (2.4k day-tests here; millions of "
+    "metric-tests at 100 TB, where uncorrected 3-sigma alerts are "
+    "pure noise). Scale shape: z from two map-side-combined aggs "
+    "(stats_seasonal_anomaly's exact-int construction), significance "
+    "rank from the two-phase distributed rank on the INTEGER key "
+    "(-|z_e6|, day) — erfc is monotone, so the |z| order IS the "
+    "p order and the sort never touches a float — then m and the BH "
+    "cutoff k are two 1-row control-plane aggregates broadcast back. "
+    f"Top-{_BH_TOP} rows carry rank, p, the BH boundary, and the "
+    "reject flag, so the correction is visible even when nothing "
+    "clears it.",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS od,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(n) AS BIGINT) AS sn,
+             CAST(sum(n * n) AS BIGINT) AS sn2
+      FROM d GROUP BY dow
+    ),
+    zz AS (
+      SELECT CAST(d.od AS VARCHAR) AS order_date,
+             CAST(d.dow AS BIGINT) AS dow, d.n AS n_orders,
+             CAST(round(CAST(d.n * b.m - b.sn AS DOUBLE)
+               / sqrt(CAST(b.m * b.sn2 - b.sn * b.sn AS DOUBLE))
+               * 1000000) AS BIGINT) AS z_e6
+      FROM d JOIN b USING (dow)
+      WHERE b.m * b.sn2 - b.sn * b.sn > 0
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY abs(z_e6) DESC,
+                     order_date) AS BIGINT) AS rank
+      FROM zz
+    ),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m_tests FROM r),
+    px AS (SELECT r.*, mm.m_tests, {_BH_X} AS x FROM r, mm),
+    pt AS (SELECT *, {_BH_T} AS t FROM px),
+    pp AS (SELECT *, {_BH_P} AS p FROM pt),
+    kk AS (
+      SELECT max(CASE WHEN p <= {_BH_ALPHA} * rank / m_tests
+                 THEN rank END) AS k
+      FROM pp
+    )
+    SELECT rank, order_date, dow, n_orders, z_e6,
+           CAST(round(p * 1000000000) AS BIGINT) AS p_e9,
+           CAST(round({_BH_ALPHA} * rank / m_tests * 1000000000)
+                AS BIGINT) AS bh_cutoff_e9,
+           CAST(rank <= coalesce(kk.k, 0) AS BOOLEAN) AS rejected
+    FROM pp, kk
+    ORDER BY rank
+    LIMIT {_BH_TOP}
+    """,
+)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import distributed_cumsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("od")
+    )
+    d = o.groupBy(
+        "od", (F.dayofweek("od") - 1).cast("long").alias("dow")
+    ).agg(F.count("*").cast("long").alias("n"))
+    b = d.groupBy("dow").agg(
+        F.count("*").alias("m"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    zz = (
+        d.join(F.broadcast(b), "dow")
+        .filter(F.col("m") * F.col("sn2") - F.col("sn") * F.col("sn") > 0)
+        .select(
+            F.col("od").cast("string").alias("order_date"),
+            F.col("dow"),
+            F.col("n").alias("n_orders"),
+            F.round(
+                (F.col("n") * F.col("m") - F.col("sn")).cast("double")
+                / F.sqrt(
+                    (
+                        F.col("m") * F.col("sn2") - F.col("sn") * F.col("sn")
+                    ).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("z_e6"),
+        )
+    )
+    r = distributed_cumsum(
+        zz.withColumn("one", F.lit(1).cast("long")).withColumn(
+            "_negaz", -F.abs(F.col("z_e6"))
+        ),
+        order_cols=["_negaz", "order_date"],
+        value_col="one",
+        out_col="rank",
+    ).drop("one", "_negaz")
+    mm = r.agg(F.count("*").cast("long").alias("m_tests"))
+    pp = (
+        r.crossJoin(F.broadcast(mm))
+        .selectExpr("*", f"{_BH_X} AS x")
+        .selectExpr("*", f"{_BH_T} AS t")
+        .selectExpr("*", f"{_BH_P} AS p")
+    )
+    kk = pp.agg(
+        F.max(
+            F.expr(f"CASE WHEN p <= {_BH_ALPHA} * rank / m_tests"
+                   " THEN rank END")
+        ).alias("k")
+    )
+    return (
+        pp.crossJoin(F.broadcast(kk))
+        .selectExpr(
+            "rank",
+            "order_date",
+            "dow",
+            "n_orders",
+            "z_e6",
+            "CAST(round(p * 1000000000) AS BIGINT) AS p_e9",
+            f"CAST(round({_BH_ALPHA} * rank / m_tests * 1000000000)"
+            " AS BIGINT) AS bh_cutoff_e9",
+            "CAST(rank <= coalesce(k, 0) AS BOOLEAN) AS rejected",
+        )
+        .orderBy("rank")
+        .limit(_BH_TOP)
+    )

@@ -1514,3 +1514,13 @@ def test_binary_hamming_scan_stays_jvm_side(spark):
     assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
     assert "TakeOrderedAndProject" in body, plan
     assert "BroadcastNestedLoopJoin" in body or "BroadcastExchange" in body
+
+
+def test_bh_fdr_ranks_distributed_and_topk(spark):
+    """Significance ranks come from the distributed rank on the
+    integer key; m and the BH cutoff are broadcast 1-row aggregates;
+    the final top-20 is a TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "stats_bh_fdr")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in body, plan
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
