@@ -131,7 +131,7 @@ def _recompute(assigned: DataFrame, k: int, dim: int) -> list[list[int]]:
     return cents
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     *,
     k: int = 8,
@@ -139,12 +139,10 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-) -> DataFrame:
-    """Run `iters` Lloyd rounds; return the final per-vector assignment
-    (vid, xq, cluster, d) — the building block under both the kmeans
-    summary query and cluster-scoped downstream work (semantic dedup
-    prunes near-dups WITHIN clusters, turning the all-pairs problem
-    into Σ cluster² — the whole point of bucketing at 100 TB)."""
+) -> tuple[DataFrame, list[list[int]]]:
+    """kmeans_assign plus the FINAL centroid list (k·dim control-plane
+    ints) — IVF-style consumers need the centroids themselves to form
+    residuals, not just the assignment."""
     # Quantization is an interpreted HOF over 64 elements; the loop
     # below runs 2·iters+2 jobs over `base`, so cache the quantized
     # vectors once (50k rows × 64 longs ≈ 25 MB at sf0.1 — at 100 TB
@@ -167,7 +165,26 @@ def kmeans_assign(
     for _ in range(iters):
         centroids = _recompute(_assign(base, centroids), k, dim)
 
-    return _assign(base, centroids)
+    return _assign(base, centroids), centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Run `iters` Lloyd rounds; return the final per-vector assignment
+    (vid, xq, cluster, d) — the building block under both the kmeans
+    summary query and cluster-scoped downstream work (semantic dedup
+    prunes near-dups WITHIN clusters, turning the all-pairs problem
+    into Σ cluster² — the whole point of bucketing at 100 TB)."""
+    return kmeans_fit(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )[0]
 
 
 def kmeans(
@@ -206,6 +223,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    pre_quantized: bool = False,
 ):
     """Shared PQ encoder: returns (enc_frame, codebook).
 
@@ -217,9 +235,11 @@ def pq_encode(
     Determinism contract documented on `pq_codes`.
     """
     ds = dim // m
-    base = df.select(
-        F.col(id_col).alias("vid"), quantize(vec_col).alias("xq")
-    ).persist()
+    # pre_quantized: vec_col already holds exact int64 grid values
+    # (e.g. IVF residuals, which are differences of e6-grid ints) —
+    # re-quantizing would be a lossy no-op.
+    vec = F.col(vec_col) if pre_quantized else quantize(vec_col)
+    base = df.select(F.col(id_col).alias("vid"), vec.alias("xq")).persist()
     seed_rows = (
         base.withColumn("_h", F.md5(F.col("vid").cast("string")))
         .orderBy("_h", "vid")
@@ -301,4 +321,112 @@ def pq_codes(
             F.sum("ce.errs").cast("long").alias("sq_err_total"),
         )
         .orderBy("subspace")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    *,
+    query_id: int = 0,
+    topk: int = 10,
+    k_coarse: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the standard production
+    ANN index shape (coarse inverted lists + residual product codes):
+
+    1. Coarse quantizer: `iters` exact-integer Lloyd rounds
+       (kmeans_fit) give k_coarse centroids and the per-vector list
+       assignment.
+    2. Residual encode: each vector's residual against ITS centroid
+       is PQ-encoded (pq_encode pre_quantized — residuals of e6-grid
+       ints are exact) — residuals are far smaller than raw vectors,
+       which is why IVF-PQ recall beats flat PQ at equal bytes.
+    3. Query: coarse distances to the k centroids are a pure
+       control-plane computation (numpy over k·dim ints); the nprobe
+       nearest lists are probed. Per probed list, the QUERY residual
+       against THAT list's centroid builds an ADC lookup table
+       (nprobe·m·ksub int64 cells — control plane, broadcast back).
+    4. Candidates = vectors in probed lists only; each scores as a
+       row-local sum of m table lookups over its code bytes; top-k by
+       (adc, id) via TakeOrdered.
+
+    At 100 TB: the fact-scale work is ONE scan for assignment, ONE
+    for residual encode, and a probed-lists-only ADC scan (the
+    inverted-list pruning is the point — nprobe/k_coarse of the data
+    touched per query); everything the query needs rides broadcasts
+    of control-plane tables. All arithmetic is exact int64 on the e6
+    grid, so an independent SQL engine replays the index bit-for-bit.
+    """
+    assigned, centroids = kmeans_fit(
+        df, k=k_coarse, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    assigned = assigned.persist()
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, list(cu)) for cid, cu in enumerate(centroids)],
+        "cluster int, cu array<bigint>",
+    )
+    resid = assigned.join(F.broadcast(cent_df), "cluster").select(
+        "vid",
+        "cluster",
+        F.expr("zip_with(xq, cu, (a, b) -> a - b)").alias("xr"),
+    )
+    enc, C3 = pq_encode(
+        resid,
+        m=m,
+        ksub=ksub,
+        id_col="vid",
+        vec_col="xr",
+        dim=dim,
+        pre_quantized=True,
+    )
+    # Query side — all control plane: the query vector (1 row), coarse
+    # distances to k_coarse centroids, probe selection, and the
+    # per-probed-list ADC tables.
+    qrow = assigned.filter(F.col("vid") == query_id).select("xq").collect()
+    if not qrow:
+        raise ValueError(f"query_id {query_id} not found")
+    q = np.asarray(qrow[0]["xq"], dtype=np.int64)
+    C = np.asarray(centroids, dtype=np.int64)  # (k, dim)
+    coarse_d = ((q[None, :] - C) ** 2).sum(axis=1)  # (k,)
+    probes = sorted(range(k_coarse), key=lambda c: (int(coarse_d[c]), c))[
+        :nprobe
+    ]
+    ds = dim // m
+    lut_rows = []
+    for c in probes:
+        rq = (q - C[c]).reshape(m, ds)  # query residual vs THIS list
+        # (m, ksub) exact int64 sub-distances to the residual codebook
+        lut = ((rq[:, None, :] - C3.transpose(1, 0, 2)) ** 2).sum(axis=2)
+        lut_rows.append((c, [[int(x) for x in row] for row in lut]))
+    lut_df = spark.createDataFrame(
+        lut_rows, "cluster int, lut array<array<bigint>>"
+    )
+    cand = (
+        enc.join(
+            assigned.select("vid", "cluster"), "vid"
+        )
+        .join(F.broadcast(lut_df), "cluster")  # probed lists only
+        .filter(F.col("vid") != query_id)
+    )
+    return (
+        cand.select(
+            F.col("vid").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.expr(
+                "aggregate(transform(codes, (c, i) -> lut[i][c]), 0L,"
+                " (acc, v) -> acc + v)"
+            )
+            .cast("long")
+            .alias("adc_q"),
+        )
+        .orderBy(F.asc("adc_q"), F.asc(id_col))
+        .limit(topk)
     )

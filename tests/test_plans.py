@@ -1524,3 +1524,15 @@ def test_bh_fdr_ranks_distributed_and_topk(spark):
     body = plan.split("== Physical Plan ==")[-1]
     assert "TakeOrderedAndProject" in body, plan
     assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+def test_ivfpq_probed_lists_only_and_topk(spark):
+    """The ADC scan joins candidates against a BROADCAST per-probed-
+    list lookup table (inner join = non-probed lists pruned), the
+    assignment/encode kernels are the sanctioned Arrow pandas UDFs,
+    and the final top-k is a TakeOrdered."""
+    plan = plan_of(spark, "ann_ivfpq_topk")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in body, plan
+    assert "BroadcastHashJoin" in body, plan
+    assert "BatchEvalPython" not in body, plan  # row-at-a-time: banned
