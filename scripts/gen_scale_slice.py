@@ -46,26 +46,36 @@ TABLES = [
 SLICES = {"sf0.3": 3, "sf1": 10}
 
 
-def replicate_lineitem(k: int, dst: str) -> int:
-    t = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
-    okey = t.column("l_orderkey")
-    pkey = t.column("l_partkey")
-    order_span = pc.max(okey).as_py() + 1
-    part_span = pc.max(pkey).as_py() + 1
+def _replicate(table: str, key_cols: list[str], k: int, dst: str) -> int:
+    """k disjoint isomorphic copies: each key column offsets by its own
+    span per replica; all other columns (values, timestamps, text)
+    carry verbatim, so per-key series/baskets/degree profiles are
+    exactly preserved while volume scales linearly."""
+    t = pq.read_table(os.path.join(SRC, f"{table}.parquet"))
+    cols = {c: t.column(c) for c in key_cols}
+    spans = {c: pc.max(cols[c]).as_py() + 1 for c in key_cols}
     reps = []
     for r in range(k):
         rep = t
         if r:
-            rep = rep.set_column(
-                rep.schema.get_field_index("l_orderkey"), "l_orderkey",
-                pc.add(okey, r * order_span))
-            rep = rep.set_column(
-                rep.schema.get_field_index("l_partkey"), "l_partkey",
-                pc.add(pkey, r * part_span))
+            for c in key_cols:
+                rep = rep.set_column(
+                    rep.schema.get_field_index(c), c,
+                    pc.add(cols[c], r * spans[c]))
         reps.append(rep)
     out = pa.concat_tables(reps)
-    pq.write_table(out, os.path.join(dst, "lineitem.parquet"))
+    pq.write_table(out, os.path.join(dst, f"{table}.parquet"))
     return out.num_rows
+
+
+#: table -> key columns offset per replica (disjoint-copy invariant)
+REPLICATED = {
+    "lineitem": ["l_orderkey", "l_partkey"],
+    # user offset keeps every per-user event series intact (sessions,
+    # trailing windows, attribution paths all replicate exactly);
+    # event_id offset keeps the uniqueness/tiebreak contract.
+    "events": ["event_id", "user_id"],
+}
 
 
 def main() -> None:
@@ -73,14 +83,15 @@ def main() -> None:
         dst = os.path.join(DST_ROOT, name)
         os.makedirs(dst, exist_ok=True)
         for tbl in TABLES:
-            if tbl == "lineitem":
+            if tbl in REPLICATED:
                 continue
             shutil.copyfile(
                 os.path.join(SRC, f"{tbl}.parquet"),
                 os.path.join(dst, f"{tbl}.parquet"),
             )
-        n = replicate_lineitem(k, dst)
-        print(f"{name}: lineitem x{k} = {n} rows -> {dst}")
+        for tbl, keys in REPLICATED.items():
+            n = _replicate(tbl, keys, k, dst)
+            print(f"{name}: {tbl} x{k} = {n} rows -> {dst}")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,13 @@ CURVE_QUERIES = [
     "graph_label_propagation",
     "graph_bfs_hops",
     "graph_community_modularity",
+    # events-family (per-user series replicate exactly in the slices)
+    "mart_sessionize_gaps",
+    "window_range_trailing_1h",
+    "mart_attribution_last_touch",
+    "stats_gapfill_interpolate",
+    "audit_burst_rate",
+    "mart_markov_transitions",
 ]
 SLICES = [
     ("0.001", "/root/testdata/sf0.001"),
