@@ -136,7 +136,10 @@ def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast(d).alias("sy"),
         F.sum(F.col("x") * F.col("x")).cast(d).alias("sxx"),
         F.sum(F.col("y").cast(d) * F.col("y").cast(d)).cast(d).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast(d).alias("sxy"),
+        # x*y summed in decimal like syy: ~5e8/row is int64-safe to
+        # ~1e10 rows, but the term-level cast removes the cliff for
+        # free (Welch-overflow doctrine — cast the TERM, not the sum).
+        F.sum(F.col("x").cast(d) * F.col("y").cast(d)).cast(d).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = F.sqrt(
@@ -1100,7 +1103,8 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast(d).alias("sx"),
         F.sum("y").cast(d).alias("sy"),
         F.sum(F.col("x") * F.col("x")).cast(d).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast(d).alias("sxy"),
+        # term-level decimal cast — Welch-overflow doctrine
+        F.sum(F.col("x").cast(d) * F.col("y").cast(d)).cast(d).alias("sxy"),
     )
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     return s.select(
@@ -1187,15 +1191,23 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = "decimal(38,0)"
     urgent = F.col("cohort") == "urgent"
+    # Casts INSIDE the sums: sum(y*y) over price cents is ~3.4e18 at
+    # sf0.01 and ~3.4e19 at sf0.1 — PAST int64, where non-ANSI Spark
+    # wraps silently (caught by the sf0.1 oracle sweep: t_stat came
+    # back NaN off a negative wrapped variance; DuckDB's HUGEINT sum
+    # never wraps, so only the Spark side lied). Summing in
+    # DECIMAL(38,0) is this module's documented doctrine — the cast
+    # must be on the TERM, not the finished sum.
+    yd = F.col("y").cast(d)
     s = o.agg(
         F.sum(F.when(urgent, 1).otherwise(0)).cast(d).alias("n1"),
-        F.sum(F.when(urgent, F.col("y")).otherwise(0)).cast(d).alias("s1"),
-        F.sum(F.when(urgent, F.col("y") * F.col("y")).otherwise(0))
+        F.sum(F.when(urgent, yd).otherwise(F.lit(0).cast(d))).alias("s1"),
+        F.sum(F.when(urgent, yd * yd).otherwise(F.lit(0).cast(d)))
         .cast(d)
         .alias("q1"),
         F.sum(F.when(~urgent, 1).otherwise(0)).cast(d).alias("n2"),
-        F.sum(F.when(~urgent, F.col("y")).otherwise(0)).cast(d).alias("s2"),
-        F.sum(F.when(~urgent, F.col("y") * F.col("y")).otherwise(0))
+        F.sum(F.when(~urgent, yd).otherwise(F.lit(0).cast(d))).alias("s2"),
+        F.sum(F.when(~urgent, yd * yd).otherwise(F.lit(0).cast(d)))
         .cast(d)
         .alias("q2"),
     )
