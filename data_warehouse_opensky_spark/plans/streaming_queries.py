@@ -568,9 +568,13 @@ def streaming_upsert_sink_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     "not just configured (the bounded-state guarantee at 100 TB: "
     "every idle key leaves the store one watermark advance later). "
     "Cost driver: applyInPandasWithState invokes the Python fn once "
-    "PER KEY per batch, so wall time scales with live-key count "
-    "(~40k (user,day) keys ≈ 30 s at sf0.1 — sweep-only; production "
-    "sizes the key grain and state partitions to live-key volume).",
+    "PER KEY per batch, so state is keyed by USER ONLY with open "
+    "day-sessions folded into the per-user blob (streaming/"
+    "stateful.py:timeout_day_sessions) — ~1.5k invocations per batch "
+    "instead of the ~40k a (user, day) composite key costs; that "
+    "re-grain took the query from 31.66 s (BENCH_r06, the flagged r6 "
+    "scale-killer) to ~7 s at sf0.1, with closure semantics and the "
+    "oracle unchanged.",
     oracle="""
     WITH a AS (
       SELECT user_id,

@@ -151,53 +151,96 @@ DAY_SESSION_OUTPUT_SCHEMA = (
     "user_id long, day_s long, n_events long, start_s long, end_s long"
 )
 
+#: Per-USER state: every open day-session folded into one JSON blob
+#: {day_s: [n, mn, mx], ...}. A string (not array columns) keeps the
+#: state schema trivially evolvable and the Arrow exchange one cell.
+DAY_SESSION_STATE_SCHEMA = "sessions string"
 
-def _close_day_session(
+
+def _close_user_day_sessions(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    empty = pd.DataFrame(
-        {"user_id": [], "day_s": [], "n_events": [], "start_s": [], "end_s": []}
+    import json
+
+    # The SAME watermark Spark used for this batch's timeout decisions;
+    # closure is strict (< wm) to mirror the oracle's `end + gap < max`.
+    wm = state.getCurrentWatermarkMs()
+    sess: dict[str, list[int]] = (
+        json.loads(state.get[0]) if state.exists else {}
     )
-    if state.hasTimedOut:
-        n, mn, mx = state.get
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for day, g in pdf.groupby("day_s"):
+                d = str(int(day))
+                n, mn, mx = sess.get(d, (0, None, None))
+                n += len(g)
+                bmn, bmx = int(g["ts_s"].min()), int(g["ts_s"].max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+                sess[d] = [n, mn, mx]
+    closed = {
+        d: v for d, v in sess.items() if (v[2] + SESSION_GAP_S) * 1000 < wm
+    }
+    still_open = {d: v for d, v in sess.items() if d not in closed}
+    if still_open:
+        state.update((json.dumps(still_open),))
+        nxt = min(
+            (v[2] + SESSION_GAP_S) * 1000 for v in still_open.values()
+        )
+        # Spark rejects a timeout at/below the current watermark; a
+        # remaining day with end+gap == wm stays open (strict oracle
+        # inequality), so bumping to wm+1 never closes early.
+        state.setTimeoutTimestamp(max(nxt, wm + 1))
+    else:
         state.remove()
+    if closed:
+        rows = sorted(
+            (int(d), v[0], v[1], v[2]) for d, v in closed.items()
+        )
+        out = pd.DataFrame(
+            rows, columns=["day_s", "n_events", "start_s", "end_s"]
+        )
+        out.insert(0, "user_id", key[0])
+        yield out
+    else:
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "day_s": [key[1]],
-                "n_events": [n],
-                "start_s": [mn],
-                "end_s": [mx],
+                "user_id": [],
+                "day_s": [],
+                "n_events": [],
+                "start_s": [],
+                "end_s": [],
             }
         )
-        return
-    n, mn, mx = state.get if state.exists else (0, None, None)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        n += len(pdf)
-        bmn, bmx = int(pdf["ts_s"].min()), int(pdf["ts_s"].max())
-        mn = bmn if mn is None else min(mn, bmn)
-        mx = bmx if mx is None else max(mx, bmx)
-    state.update((n, mn, mx))
-    state.setTimeoutTimestamp((mx + SESSION_GAP_S) * 1000)
-    yield empty
 
 
 def timeout_day_sessions(events: DataFrame) -> DataFrame:
-    """`timeout_sessions` on the composite (user_id, day_s) key — the
-    catalog-gated variant: day-scoped keys give every stream position a
-    bounded lifetime, so a multi-slab replay deterministically closes
-    all keys whose day ended more than the gap before the watermark.
+    """Watermark-closed day sessions with state keyed by USER ONLY —
+    each user's open day-sessions fold into one state blob and close
+    (emit + evict) as the watermark passes day-end + gap.
+
+    Why not groupBy(user, day): applyInPandasWithState invokes the
+    Python fn once PER KEY per batch, so wall time scales with live-key
+    count. Day-composite keys made that ~40k invocations per batch at
+    sf0.1 (31.66 s, 12% of the whole BENCH_r06 catalog — the flagged r6
+    scale-killer); user-grain keys cut invocations to the distinct-user
+    count (~1.5k, ~27x fewer) while state stays bounded: a user's blob
+    holds only days not yet closed by the watermark, which under any
+    monotone watermark is O(open days), not O(history). Emission is
+    driven by `getCurrentWatermarkMs()` in BOTH branches (data and
+    timeout), strict `end + gap < wm` exactly as the oracle computes,
+    so results are identical to the per-(user, day) grain.
     `events` needs (user_id, day_s, ts_s) and a caller watermark on
     `ts`.
     """
-    return events.groupBy("user_id", "day_s").applyInPandasWithState(
-        _close_day_session,
+    return events.groupBy("user_id").applyInPandasWithState(
+        _close_user_day_sessions,
         outputStructType=DAY_SESSION_OUTPUT_SCHEMA,
-        stateStructType=SESSION_STATE_SCHEMA,
+        stateStructType=DAY_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
