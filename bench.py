@@ -24,17 +24,51 @@ from data_warehouse_opensky_spark.session import get_spark
 
 #: Benched = the ENTIRE catalog (VERDICT r5 #4: a complete per-round
 #: perf ledger — an unbenched query is a blind spot where a regression
-#: goes unnoticed) minus the explicit exclusions below.
-EXCLUDED = {
-    # AllPairs prefix filtering assumes a Zipf-ish vocabulary; the
-    # synthetic documents table's tiny vocabulary makes every doc share
-    # its prefix tokens, so the candidate set degenerates toward
-    # all-pairs (~44 s at sf0.1 — a test-data artifact, not a plan
-    # property; correctness stays gated by the driver window and
-    # tests/test_oracle.py).
-    "dedup_prefix_filter_jaccard",
-}
+#: goes unnoticed). No exclusions since r7.
+EXCLUDED: set[str] = set()
 HEADLINE = [n for n in QUERIES if n not in EXCLUDED]
+
+#: Queries benched on a PURPOSE-BUILT slice instead of the run's
+#: sf_dir. AllPairs prefix filtering assumes vocabulary >> corpus
+#: (true of real web text); the driver's synthetic documents table has
+#: a ~31-word vocabulary, so on it the candidate set degenerates
+#: toward all-pairs (~44 s at sf0.1 — a test-data artifact, not a plan
+#: property, which is why r1-r6 excluded the query from the bench
+#: entirely). The Zipf-vocabulary slice (scripts/gen_scale_slice.py
+#: --zipf-only: 5k docs x 50 words from a 50k-word Zipf(1.07) vocab,
+#: 100 planted near-dups, deterministic seed) is the query's intended
+#: regime at the same sf0.1 row scale: measured 5.6 s, found exactly
+#: the 100 planted pairs. Correctness stays gated on the DRIVER's
+#: documents table (driver window + tests/test_oracle.py). NOTE the
+#: slice is fixed at sf0.1 scale whatever the run's sf — its number
+#: only enters history on sf0.1 runs, so the baseline stays clean.
+SPECIAL_SF_DIR = {
+    "dedup_prefix_filter_jaccard": os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scale_data", "zipf_docs_sf0.1",
+    ),
+}
+
+
+def ensure_special_slices() -> None:
+    """(Re)generate purpose-built bench slices if absent — they are
+    gitignored artifacts; generation is deterministic and ~1 s."""
+    if all(
+        os.path.exists(os.path.join(d, "documents.parquet"))
+        for d in SPECIAL_SF_DIR.values()
+    ):
+        return
+    import subprocess
+
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "gen_scale_slice.py"),
+            "--zipf-only",
+        ],
+        check=True,
+    )
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -123,6 +157,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    ensure_special_slices()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -152,9 +187,9 @@ def main() -> None:
     for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            QUERIES[name].fn(
+                spark, SPECIAL_SF_DIR.get(name, sf_dir)
+            ).write.format("noop").mode("overwrite").save()
             best[name] = min(best[name], time.perf_counter() - t0)
             spark.catalog.clearCache()
 
@@ -162,11 +197,16 @@ def main() -> None:
     total = sum(per_query.values())
     slowest = sorted(per_query.items(), key=lambda kv: -kv[1])[:5]
 
-    # Regression gate vs the previous recorded run (same-sf runs only:
-    # a sf0.01 dev run must not become the baseline a sf0.1 driver run
-    # is judged against — history records sf per line).
-    base_src, baseline = load_baseline()
-    regressions = compute_regressions(per_query, baseline)
+    # Regression gate vs the previous recorded run — SAME-SF ONLY, both
+    # directions: history only ever holds sf0.1 lines, so comparing a
+    # run at any other sf against it is meaningless (sf>0.1 flags
+    # everything, sf<0.1 prints a reassuring zero). Skip the gate and
+    # say so instead.
+    if sf == 0.1:
+        base_src, baseline = load_baseline()
+        regressions = compute_regressions(per_query, baseline)
+    else:
+        base_src, regressions = f"skipped (sf={sf} != 0.1)", []
 
     record = {
         # Huge fields FIRST, headline fields LAST: the driver records
@@ -179,6 +219,7 @@ def main() -> None:
         "regressions": regressions,
         "n_regressions": len(regressions),
         "excluded": sorted(EXCLUDED),
+        "special_slice": sorted(SPECIAL_SF_DIR),
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
         "unit": "sec",
@@ -187,10 +228,24 @@ def main() -> None:
     }
     # Full record survives driver-side truncation via the history file
     # (appended only for the driver's benchmark scale, so dev runs at
-    # other SFs never poison the baseline).
+    # other SFs never poison the baseline). One O_APPEND write of one
+    # pre-serialized buffer under an exclusive flock: two concurrent
+    # runs can otherwise interleave partial lines, which load_baseline
+    # silently skips — quietly weakening every future baseline.
     if sf == 0.1:
-        with open(os.path.join(_REPO, "BENCH_HISTORY.jsonl"), "a") as fh:
-            fh.write(json.dumps(record) + "\n")
+        buf = (json.dumps(record) + "\n").encode()
+        fd = os.open(
+            os.path.join(_REPO, "BENCH_HISTORY.jsonl"),
+            os.O_WRONLY | os.O_CREAT | os.O_APPEND,
+            0o644,
+        )
+        try:
+            import fcntl
+
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            os.write(fd, buf)
+        finally:
+            os.close(fd)
     print(
         json.dumps(
             {
