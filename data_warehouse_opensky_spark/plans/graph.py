@@ -33,6 +33,35 @@ from .catalog import query
 PR_SCALE = 1_000_000_000_000
 PR_ITERS = 3
 
+#: JEP-223-style size suffixes Spark accepts for byte configs.
+_SIZE_UNITS = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's spark.sql.autoBroadcastJoinThreshold in bytes
+    (<= 0 when broadcast is disabled). Spark serves the value back in
+    whatever form it was set — bare bytes, "10MB", "10m", "-1" — so
+    parse all of them rather than assume the canonical default."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    import re as _re
+
+    m = _re.fullmatch(r"(-?\d+)\s*([a-z]*)", raw)
+    if not m:
+        return 10 * (1 << 20)
+    return int(m.group(1)) * _SIZE_UNITS.get(m.group(2) or "b", 1)
+
 
 def _pagerank_oracle() -> str:
     rounds = []
@@ -324,21 +353,29 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Closing join strategy is a CONTROL-PLANE decision off the cached
-    # edge count, not a hope: under ~3M edges the un-hinted join lets
-    # AQE broadcast the packed edge side from runtime stats (~15 MB at
-    # sf0.1, measured 1.5 s faster than a hinted shuffle-hash join
-    # because the 35M-row wedge stream then never shuffles). ABOVE
-    # that, the edge side blows the 64 MB broadcast gate and the
-    # un-hinted planner falls back to SORT-MERGE — which sorts the
-    # O(m^1.5)-row wedge stream (measured: 22x wall at 10x data on the
-    # sf1 slice, 101 s, almost all of it the wedge sort). The
-    # shuffle_hash hint restores the right asymptotics: build on the
-    # edge side, STREAM the wedges through probe-side counting
-    # (measured 101 -> ~9 s at sf1; see SCALE.md §31).
+    # edge count, not a hope: while the packed edge side fits the
+    # session's broadcast gate the un-hinted join lets AQE broadcast it
+    # from runtime stats (~15 MB at sf0.1, measured 1.5 s faster than a
+    # hinted shuffle-hash join because the 35M-row wedge stream then
+    # never shuffles). ABOVE the gate the un-hinted planner falls back
+    # to SORT-MERGE — which sorts the O(m^1.5)-row wedge stream
+    # (measured: 22x wall at 10x data on the sf1 slice, 101 s, almost
+    # all of it the wedge sort). The shuffle_hash hint restores the
+    # right asymptotics: build on the edge side, STREAM the wedges
+    # through probe-side counting (measured 101 -> ~9 s at sf1; see
+    # SCALE.md §31). The row cutover is DERIVED from the session's
+    # spark.sql.autoBroadcastJoinThreshold (r6 ADVICE #4 — a fixed 3M
+    # rows silently encoded the 64 MB default and broke on sessions
+    # with a smaller gate): ~22 B/edge is the measured in-memory
+    # relation footprint of the packed (one-long) edge row, and the
+    # 0.7 margin keeps estimate error from landing exactly on the
+    # cliff. Threshold -1 (broadcast disabled) always hints.
     n_edge_rows = pairs.count()  # cached — one metadata-cheap action
+    bcast_gate = _broadcast_threshold_bytes(spark)
+    edge_cutover = int(bcast_gate * 0.7) // 22 if bcast_gate > 0 else 0
     edge_hint = (
         (lambda d: d)
-        if n_edge_rows <= 3_000_000
+        if n_edge_rows <= edge_cutover
         else (lambda d: d.hint("shuffle_hash"))
     )
     if packable:
