@@ -1550,7 +1550,10 @@ _MWU_Z = (
     "(doc: r1x2 <= 2*n1*n bounds int64 through ~2e9 rows; past that "
     "the sums lift to DECIMAL(38,0) unchanged); only the final z "
     "division goes through double (identical IEEE ops both engines, "
-    "rounded to e6).",
+    "rounded to e6). Cost profile: 2.20 s at sf0.1 (BENCH_r06) — the "
+    "slowest new non-graph entry of round 6; the wall is the full "
+    "value-domain prefix scan (two jobs by construction), not a skew "
+    "or a plan miss — watchlist, compare round over round.",
     oracle=f"""
     WITH v AS (
       SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS val,
@@ -1635,7 +1638,12 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e6 BEFORE summation, and the total is an exact int64 sum of "
     "those rounded cells — float addition order never touches the "
     "hash (the cell-level rounding is the documented semantic: "
-    "chi2_e6 is the sum of e6-rounded per-cell contributions). At "
+    "chi2_e6 is the sum of e6-rounded per-cell contributions). Cells "
+    "come from the CROSS JOIN of observed priorities x observed "
+    "statuses with coalesce(o_cnt, 0) — a structurally empty cell "
+    "still owes its expected-count contribution (o=0 -> dev=-R*C -> "
+    "contrib=R*C/N); summing only observed cells would understate "
+    "chi^2 whenever a combination has zero rows (r6 ADVICE #2). At "
     "100 TB this is a 1-scan + combiner-friendly agg on a tiny key "
     "space; the quadratic margin join is over the CELL table, not "
     "the fact.",
@@ -1650,11 +1658,16 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT status, CAST(sum(o_cnt) AS BIGINT) AS c_cnt
           FROM ct GROUP BY 1),
     tt AS (SELECT CAST(sum(o_cnt) AS BIGINT) AS n FROM ct),
+    full_ct AS (
+      SELECT r.pri, c.status, COALESCE(ct.o_cnt, 0) AS o_cnt
+      FROM r CROSS JOIN c
+      LEFT JOIN ct ON ct.pri = r.pri AND ct.status = c.status
+    ),
     cells AS (
-      SELECT ct.pri, ct.status, r_cnt, c_cnt, n,
+      SELECT full_ct.pri, full_ct.status, r_cnt, c_cnt, n,
              CAST(o_cnt AS DOUBLE) * CAST(n AS DOUBLE)
                - CAST(r_cnt AS DOUBLE) * CAST(c_cnt AS DOUBLE) AS dev
-      FROM ct JOIN r USING (pri) JOIN c USING (status) CROSS JOIN tt
+      FROM full_ct JOIN r USING (pri) JOIN c USING (status) CROSS JOIN tt
     ),
     k AS (
       SELECT pri, status, n,
@@ -1683,8 +1696,17 @@ def stats_chi_square_independence(
     rt = ct.groupBy("pri").agg(F.sum("o_cnt").cast("long").alias("r_cnt"))
     cl = ct.groupBy("status").agg(F.sum("o_cnt").cast("long").alias("c_cnt"))
     tot = ct.agg(F.sum("o_cnt").cast("long").alias("n"))
+    # Full |pri| x |status| grid so a structurally empty cell still
+    # contributes its expected count (see doc) — margins are tiny, so
+    # the grid and the observed-cell join-back are all broadcasts.
+    full_ct = (
+        rt.select("pri")
+        .crossJoin(F.broadcast(cl.select("status")))
+        .join(F.broadcast(ct), ["pri", "status"], "left")
+        .withColumn("o_cnt", F.coalesce(F.col("o_cnt"), F.lit(0)))
+    )
     cells = (
-        ct.join(F.broadcast(rt), "pri")
+        full_ct.join(F.broadcast(rt), "pri")
         .join(F.broadcast(cl), "status")
         .crossJoin(F.broadcast(tot))
         .selectExpr(
@@ -1755,7 +1777,10 @@ _BH_P = (
     "cutoff k are two 1-row control-plane aggregates broadcast back. "
     f"Top-{_BH_TOP} rows carry rank, p, the BH boundary, and the "
     "reject flag, so the correction is visible even when nothing "
-    "clears it.",
+    "clears it. Cost profile: 1.98 s at sf0.1 (BENCH_r06) — the "
+    "significance rank routes through the two-phase distributed "
+    "prefix scan over the full day domain (two jobs by construction); "
+    "watchlist, compare round over round.",
     oracle=f"""
     WITH d AS (
       SELECT CAST(o_orderdate AS DATE) AS od,
@@ -1872,4 +1897,137 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
         .limit(_BH_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Logistic regression via IRLS (Newton) — iterative ML on DataFrames
+# --------------------------------------------------------------------------
+_IRLS_ITERS = 3
+
+#: per-row sigmoid, staged once; references columns b0, b1, x.
+_IRLS_P = "(1.0 / (1.0 + exp(-(b0 + b1 * x))))"
+
+#: per-row IRLS terms quantized to the e9 integer grid (see doc) —
+#: reference columns p, x, y. SINGLE SOURCE for both engines.
+_IRLS_TERMS = [
+    "CAST(round(p * (1.0 - p) * 1000000000) AS BIGINT) AS wq",
+    "CAST(round(p * (1.0 - p) * x * 1000000000) AS BIGINT) AS wxq",
+    "CAST(round(p * (1.0 - p) * x * x * 1000000000) AS BIGINT) AS wxxq",
+    "CAST(round((y - p) * 1000000000) AS BIGINT) AS rq",
+    "CAST(round((y - p) * x * 1000000000) AS BIGINT) AS rxq",
+]
+
+#: Newton step from the five exact sums — the e9 scale cancels in the
+#: 2x2 solve, so deltas need no de-scaling. Identical text both
+#: engines; the sums are exact integers, so the double casts and the
+#: two divisions are the ONLY float ops per iteration.
+_IRLS_B0 = (
+    "b0 + CAST(sr * swxx - srx * swx AS DOUBLE)"
+    " / CAST(sw * swxx - swx * swx AS DOUBLE) AS b0"
+)
+_IRLS_B1 = (
+    "b1 + CAST(srx * sw - sr * swx AS DOUBLE)"
+    " / CAST(sw * swxx - swx * swx AS DOUBLE) AS b1"
+)
+
+
+def _irls_oracle() -> str:
+    cte = [
+        """
+    u AS (
+      SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS x,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ),
+    b0t AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1)
+        """.strip()
+    ]
+    prev = "b0t"
+    for i in range(1, _IRLS_ITERS + 1):
+        terms = ", ".join(_IRLS_TERMS)
+        cte.append(
+            f"t{i} AS (SELECT x, y, b0, b1, {_IRLS_P} AS p"
+            f" FROM u CROSS JOIN {prev}),\n"
+            f"q{i} AS (SELECT b0, b1, {terms} FROM t{i}),\n"
+            f"s{i} AS (SELECT min(b0) AS b0, min(b1) AS b1,"
+            f" sum(wq) AS sw, sum(wxq) AS swx, sum(wxxq) AS swxx,"
+            f" sum(rq) AS sr, sum(rxq) AS srx FROM q{i}),\n"
+            f"b{i}t AS (SELECT {_IRLS_B0}, {_IRLS_B1} FROM s{i})"
+        )
+        prev = f"b{i}t"
+    body = ",\n".join(cte)
+    return f"""
+    WITH {body}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_rows,
+           CAST(round(b0 * 1000000) AS BIGINT) AS beta0_e6,
+           CAST(round(b1 * 1000000) AS BIGINT) AS beta1_e6
+    FROM {prev}
+    """
+
+
+@query(
+    "stats_logistic_regression_irls",
+    tier="T3",
+    doc="Logistic regression fit by IRLS/Newton — P(order is URGENT) "
+    "vs total price in $10k units, 3 unrolled iterations from "
+    "beta=(0,0). The iterative-ML-on-DataFrames shape: each "
+    "iteration is ONE map-side-combined aggregation of five "
+    "sufficient statistics (sum of w, wx, wxx, r, rx with w=p(1-p), "
+    "r=y-p), and the 1-row Newton solve rides a broadcast crossJoin "
+    "back onto the fact for the next pass — no collect anywhere, "
+    "state between iterations is one 2-vector. Cross-engine "
+    "determinism: the per-row sigmoid chain is textually identical "
+    "in both engines and every per-row term is quantized to an e9 "
+    "integer grid BEFORE summation (exact int64 sums lifted to "
+    "DECIMAL/HUGEINT for the 2x2 solve's cross-products — the Welch "
+    "doctrine), so libm exp() ulp disagreements perturb a sum of "
+    "~1e14 by at most a few units, ~1e-14 relative — absorbed by "
+    "the final e6 rounding. At 100 TB: 3 scans of the fact (persist "
+    "if memory allows, recompute if not), 5 longs per task per "
+    "iteration of shuffle traffic, driver state O(1) — this is "
+    "exactly how Spark MLlib's GLM fits, rebuilt deterministic.",
+    oracle=_irls_oracle(),
+)
+def stats_logistic_regression_irls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    u = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)"
+        " / 1000000.0 AS x",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y",
+    )
+    # Scanned once per iteration + once for n — persist the projected
+    # 2-double row, not the full orders scan.
+    u = u.persist()
+    d38 = "decimal(38,0)"
+    b = spark.range(1).selectExpr(
+        "CAST(0.0 AS DOUBLE) AS b0", "CAST(0.0 AS DOUBLE) AS b1"
+    )
+    for _ in range(_IRLS_ITERS):
+        t = (
+            u.crossJoin(F.broadcast(b))
+            .selectExpr("x", "y", "b0", "b1", f"{_IRLS_P} AS p")
+            .selectExpr("b0", "b1", *_IRLS_TERMS)
+        )
+        s = t.agg(
+            F.min("b0").alias("b0"),
+            F.min("b1").alias("b1"),
+            F.sum("wq").cast(d38).alias("sw"),
+            F.sum("wxq").cast(d38).alias("swx"),
+            F.sum("wxxq").cast(d38).alias("swxx"),
+            F.sum("rq").cast(d38).alias("sr"),
+            F.sum("rxq").cast(d38).alias("srx"),
+        )
+        b = s.selectExpr(_IRLS_B0, _IRLS_B1)
+    n = u.agg(F.count("*").cast("long").alias("n_rows"))
+    return (
+        n.crossJoin(F.broadcast(b))
+        .selectExpr(
+            "n_rows",
+            "CAST(round(b0 * 1000000) AS BIGINT) AS beta0_e6",
+            "CAST(round(b1 * 1000000) AS BIGINT) AS beta1_e6",
+        )
     )
