@@ -880,3 +880,109 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist").between(1, _SNM_MAXDIST))
         .orderBy("a_key", "b_key")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication spans (Lee et al. "Deduplicating Training
+# Data Makes Language Models Better" — the EXACT-SUBSTRING family that
+# set-similarity dedup cannot see: two documents sharing one long
+# verbatim passage can still have low Jaccard)
+# --------------------------------------------------------------------------
+_SPAN_W = 40  # window length (chars); spans reported are >= this
+
+
+@query(
+    "dedup_exact_substring_spans",
+    tier="T3",
+    doc=f"Exact shared-substring spans >= {_SPAN_W} chars across "
+    "document pairs: every doc explodes into its step-1 char "
+    f"{_SPAN_W}-gram windows with positions, identical windows "
+    "equi-join across docs (doc_a < doc_b), and each pair's matches "
+    "group by DIAGONAL (pos_a - pos_b): a run of c consecutive "
+    "positions on one diagonal is a verbatim shared substring of "
+    f"length {_SPAN_W} + c - 1, recovered exactly by the "
+    "gaps-and-islands trick (pos - row_number per diagonal). Top-20 "
+    "pairs by longest span, fully tiebroken. This is the "
+    "exact-substring dedup family (suffix-array style, Lee et al. "
+    "2022) that complements set-similarity: a doc quoting one long "
+    "passage of another has near-zero Jaccard but a giant span. "
+    "Scale shape: the window explode is row-local (~len windows/doc), "
+    "the join is a hash equi-join on window text whose output is "
+    "bounded by true duplication (unique windows join nothing), and "
+    "the islands window partitions by (pair, diagonal) — match-"
+    "structure grain, never corpus grain. At 100 TB the window "
+    "column would carry a 64-bit digest instead of the raw 40 chars "
+    "(same join, 5x narrower shuffle); kept as raw text here so the "
+    "oracle is hash-function-free.",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, i AS pos, substring(text, CAST(i AS INTEGER), {_SPAN_W}) AS win
+      FROM documents, unnest(range(1, greatest(length(text) - {_SPAN_W - 1}, 0) + 1)) AS t(i)
+      WHERE length(text) >= {_SPAN_W}
+    ),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY da, db, diag ORDER BY pa) AS island
+      FROM p
+    ),
+    spans AS (
+      SELECT da, db, CAST(count(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY da, db, diag, island
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST({_SPAN_W - 1} + max(run_len) AS BIGINT) AS longest_len,
+           CAST(sum(run_len) AS BIGINT) AS n_aligned_matches
+    FROM spans GROUP BY 1, 2
+    ORDER BY longest_len DESC, doc_a ASC, doc_b ASC LIMIT 20
+    """,
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _spread(spark, load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") >= _SPAN_W
+    )
+    w = d.selectExpr(
+        "doc_id",
+        "text",
+        f"explode(sequence(1, length(text) - {_SPAN_W - 1})) AS pos",
+    ).selectExpr(
+        "doc_id", "pos", f"substring(text, pos, {_SPAN_W}) AS win"
+    )
+    a = w.selectExpr("doc_id AS da", "pos AS pa", "win")
+    b = w.selectExpr("doc_id AS db", "pos AS pb", "win")
+    p = a.join(
+        b, (a.win == b.win) & (F.col("da") < F.col("db"))
+    ).select("da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "pa")
+    runs = p.withColumn(
+        "island",
+        F.col("pa")
+        - F.row_number().over(
+            Window.partitionBy("da", "db", "diag").orderBy("pa")
+        ),
+    )
+    spans = runs.groupBy("da", "db", "diag", "island").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    return (
+        spans.groupBy("da", "db")
+        .agg(
+            (F.lit(_SPAN_W - 1) + F.max("run_len")).cast("long")
+            .alias("longest_len"),
+            F.sum("run_len").cast("long").alias("n_aligned_matches"),
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "longest_len",
+            "n_aligned_matches",
+        )
+        .orderBy(F.desc("longest_len"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
