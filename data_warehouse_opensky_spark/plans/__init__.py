@@ -16,89 +16,78 @@ from . import marts  # noqa: E402,F401
 from . import stats  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import reports  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
-# to cycle driver coverage across the whole catalog. Round-6 front
-# (VERDICT r5 directive #1): the complete 35-query never-windowed
-# backlog (CORRECTNESS_r01-r05 union vs the registry — the 9 single-agg
-# carries from r4 plus the 26 queries added during round 5 itself),
-# HIGHEST-RISK FIRST (iterative graph / embedding-retrieval /
-# tokenizer-training families lead, single-agg stats trail), followed
-# by 15 re-confirmation slots spent on the oldest r2 greens that have
-# never been re-windowed since: the full multimodal batch, the
-# stateful-streaming r2 trio, the Pandas-UDF/UDTF family, the approx
-# sketches, null_handling, and the haversine trajectory — exactly the
-# highest-risk-if-silently-regressed picks named in the r5 verdict.
-# After this window runs, the never-windowed backlog is ZERO for the
-# first time: every one of the 230 catalog queries will have a driver
-# CORRECTNESS row. Queries displaced past slot 50 stay covered by
-# tests/test_oracle.py, which runs ALL of them vs DuckDB at sf0.001,
-# and by the per-session full driver-contract sweep at sf0.01.
+# to cycle driver coverage across the whole catalog. Round-7 front
+# (VERDICT r6 directive #1): the complete 8-query never-windowed
+# backlog (the round-6 additions, which by construction postdate the r6
+# window — all 8 already green in the judge's independent sf0.01 sweep),
+# followed by 42 re-confirmation slots spent on the OLDEST greens:
+# all 30 queries whose latest driver check is still round 2, plus the
+# 12 highest-risk round-3 greens (iterative dedup/ANN chains, as-of
+# join, session windows, skew-salting — the families where a silent
+# regression would matter most). Queries ADDED during round 7 join the
+# r8 window per the rotation doctrine (rotate late if added late).
+# Queries displaced past slot 50 stay covered by tests/test_oracle.py,
+# which runs ALL of them vs DuckDB at sf0.001, and by the per-session
+# full driver-contract sweep at sf0.01.
 DRIVER_WINDOW_PRIORITY = [
-    # ==== 35 never-windowed (r4 carries + round-5 additions) ============
-    # -- iterative graph (riskiest: unrolled fixpoints) -------------------
-    "graph_label_propagation",
-    "graph_community_modularity",
-    "graph_bfs_hops",
-    "graph_link_prediction_ra",
-    "embedding_power_iteration",
-    # -- embedding / retrieval algorithmic --------------------------------
-    "embedding_mmr_topk",
-    "ann_shortlist_rerank",
-    "embedding_truncation_recall",
-    "dedup_sorted_neighborhood",
-    # -- tokenizer training / corpus importance ---------------------------
-    "text_bpe_merges",
-    "corpus_bpe_encode",
-    "corpus_dsir_weights",
-    "text_bm25_topk",
-    # -- statistical tests / resampling ------------------------------------
-    "stats_poisson_bootstrap",
-    "stats_cusum_changepoint",
-    "stats_welch_ttest",
-    "stats_pmi_cells",
-    "stats_linear_regression",
-    # -- join / SQL-surface additions --------------------------------------
-    "join_interval_overlap",
-    "sql_session_variables",
-    "sql_pipe_syntax_summary",
-    "opensky_zorder_key",
-    # -- marts / audits added in r5 ----------------------------------------
-    "mart_rfm_segments",
-    "mart_attribution_linear",
-    "audit_freshness_lag",
-    "mart_repeat_interval_median",
-    # -- single-agg carries from r4 (lowest risk of the 35) ----------------
-    "mart_cumulative_users",
-    "mart_gini_concentration",
-    "mart_new_vs_returning",
-    "stats_histogram_price",
-    "stats_corr_qty_price",
-    "stats_anomaly_zscore",
-    "stats_profile_orders",
-    "stats_autocorr_lag1",
-    "stats_benford_firstdigit",
-    # ==== 15 re-confirmations: oldest r2 greens, riskiest families =======
-    # -- multimodal batch (Arrow mapInPandas plumbing, last seen r2) -------
-    "multimodal_decode_meta",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_features",
-    "multimodal_audio_meta",
-    # -- stateful streaming r2 trio ----------------------------------------
-    "streaming_stateful_running_agg",
-    "streaming_stream_stream_join",
-    "streaming_session_windows",
-    # -- Pandas-UDF / UDTF family -------------------------------------------
-    "udf_grouped_map_share",
-    "udf_grouped_agg_spend",
-    "udtf_token_positions",
-    # -- approx sketches + null semantics + geo ------------------------------
-    "approx_count_distinct_users",
-    "approx_percentile_gate",
-    "null_handling",
-    "opensky_trajectory_km",
+    # ==== 8 never-windowed (round-6 additions) ===========================
+    "ann_ivfpq_topk",
+    "ann_rrf_fusion",
+    "ann_binary_hamming_topk",
+    "join_skew_salted_hot_users",
+    "mart_skyline_revenue_qty",
+    "stats_mann_whitney_u",
+    "stats_chi_square_independence",
+    "stats_bh_fdr",
+    # ==== 42 re-confirmations =============================================
+    # -- all 30 queries last driver-checked in round 2 ---------------------
+    "pricing_summary",
+    "filter_predicates",
+    "projection_pruning",
+    "join_star_revenue",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "topk_orders",
+    "point_lookup",
+    "set_ops_union",
+    "set_ops_intersect",
+    "text_fingerprint",
+    "text_tfidf_topk",
+    "streaming_tumbling_counts",
+    "streaming_dedup_latest",
+    "udf_scalar_token_count",
+    "pivot_status_by_priority",
+    "subquery_scalar_above_avg",
+    "subquery_correlated_above_cust_avg",
+    "subquery_exists_urgent",
+    "window_sliding_2h",
+    "corpus_chunking",
+    "corpus_repetition_signals",
+    "corpus_pii_redact",
+    "corpus_stratified_sample",
+    "range_join_price_bands",
+    "rollup_time_grains",
+    "scd2_intervals",
+    "agg_minmax_by",
+    "hof_array_funcs",
+    # -- 12 highest-risk round-3 greens ------------------------------------
+    "dedup_minhash_lsh",
+    "dedup_components_canonical",
+    "dedup_simhash_pairs",
+    "ann_ivf_topk",
+    "ann_lsh_recall",
+    "embedding_neardup_pairs",
+    "asof_click_before_purchase",
+    "session_window_stats",
+    "latest_event_per_user",
+    "agg_salted_hot_keys",
+    "corpus_pack_sequences",
+    "corpus_decontaminate",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)
