@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """Measure the wall-time-vs-sf scaling curve for the heaviest queries.
 
-Runs the lineitem-only heavy hitters (the 5 slowest BENCH entries plus
-two scan-shape references) across sf0.001 → sf1 (driver slices plus
+Runs heavy-hitter families across sf0.001 → sf1 (driver slices plus
 the replica-disjoint slices from gen_scale_slice.py) and prints a
 markdown table for SCALE.md §31. min-of-2 per (query, sf); caches
 cleared between runs (catalog contract).
+
+Usage: python scripts/run_scale_curve.py [lineitem|embeddings|all]
+(default lineitem — the original §31 family; `embeddings` runs the
+similarity/ANN chain on the isomorphic text/vector replicas,
+VERDICT r6 #4).
 """
 
 from __future__ import annotations
@@ -19,22 +23,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from data_warehouse_opensky_spark.plans import QUERIES
 from data_warehouse_opensky_spark.session import get_spark
 
-CURVE_QUERIES = [
-    "pricing_summary",
-    "stats_weighted_median",
-    "graph_triangle_count",
-    "graph_kcore_peeling",
-    "graph_label_propagation",
-    "graph_bfs_hops",
-    "graph_community_modularity",
-    # events-family (per-user series replicate exactly in the slices)
-    "mart_sessionize_gaps",
-    "window_range_trailing_1h",
-    "mart_attribution_last_touch",
-    "stats_gapfill_interpolate",
-    "audit_burst_rate",
-    "mart_markov_transitions",
-]
+FAMILIES = {
+    "lineitem": [
+        "pricing_summary",
+        "stats_weighted_median",
+        "graph_triangle_count",
+        "graph_kcore_peeling",
+        "graph_label_propagation",
+        "graph_bfs_hops",
+        "graph_community_modularity",
+        # events-family (per-user series replicate exactly in the slices)
+        "mart_sessionize_gaps",
+        "window_range_trailing_1h",
+        "mart_attribution_last_touch",
+        "stats_gapfill_interpolate",
+        "audit_burst_rate",
+        "mart_markov_transitions",
+    ],
+    # similarity/ANN chain (k-means fit + PQ encode + probe is the most
+    # plan-complex family; gen_scale_slice replicates documents via
+    # per-replica Caesar bijection and embeddings via per-replica
+    # isometry, so within-replica similarity structure is EXACT while
+    # replicas stay disjoint — weak scaling, not duplicate blowup)
+    "embeddings": [
+        "ann_ivfpq_topk",
+        "ann_binary_hamming_topk",
+        "embedding_semantic_dedup",
+        "dedup_minhash_lsh",
+        "ann_shortlist_rerank",
+    ],
+}
+CURVE_QUERIES = FAMILIES["lineitem"]
 SLICES = [
     ("0.001", "/root/testdata/sf0.001"),
     ("0.01", "/root/testdata/sf0.01"),
@@ -45,6 +64,14 @@ SLICES = [
 
 
 def main() -> None:
+    fam = sys.argv[1] if len(sys.argv) > 1 else "lineitem"
+    queries = (
+        [q for f in FAMILIES.values() for q in f]
+        if fam == "all"
+        else FAMILIES[fam]
+    )
+    global CURVE_QUERIES
+    CURVE_QUERIES = queries
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = get_spark("scale-curve")
     spark.sparkContext.setLogLevel("ERROR")

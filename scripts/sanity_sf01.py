@@ -9,6 +9,17 @@ session_window merges at the boundary — green at sf0.001/sf0.01, wrong
 at sf0.1). Takes ~10 min on local[32]; too slow for the default suite,
 cheap insurance once per round.
 
+Transient adjudication (VERDICT r6 #5): a multi-hundred-query sweep in
+ONE long-lived JVM occasionally throws a SparkException that a fresh
+session cannot reproduce (r6: graph_pagerank died 25 min in, green on
+manual re-run, values hash-matched). Long-session stability is itself
+a 100x property, but a red that a human must re-adjudicate is harness
+debt — so any EXCEPTION result is automatically retried ONCE in a
+fresh SparkSession and reported as `transient-recovered` (green
+retry: the long-session JVM, not the plan) or `fail` (red retry:
+deterministic, fix the query). Value mismatches are deterministic by
+construction and are never retried.
+
 Usage: python scripts/sanity_sf01.py [sf_dir]
 """
 
@@ -29,10 +40,38 @@ def main() -> int:
     spark = get_spark("sf01-sanity")
     spark.sparkContext.setLogLevel("ERROR")
     results = run_all(spark, sf_dir)
-    bad = [(r.name, r.errors[:2]) for r in results if not r.ok]
-    print(f"TOTAL {len(results)} FAILURES: {bad or 'none'}")
     spark.stop()
-    return 1 if bad else 0
+
+    exceptions = [
+        r.name
+        for r in results
+        if not r.ok and any(e.startswith("EXCEPTION:") for e in r.errors)
+    ]
+    mismatches = [
+        (r.name, r.errors[:2])
+        for r in results
+        if not r.ok and r.name not in exceptions
+    ]
+
+    recovered, still_failing = [], []
+    for name in exceptions:
+        # newSession() shares the JVM whose episode we are ruling out —
+        # a genuine fresh session needs a new SparkContext, which in
+        # local mode means stop + rebuild (get_spark recreates it).
+        retry = get_spark(f"sf01-retry-{name}")
+        retry.sparkContext.setLogLevel("ERROR")
+        rr = run_all(retry, sf_dir, names=[name])
+        retry.stop()
+        if rr and rr[0].ok:
+            recovered.append(name)
+        else:
+            still_failing.append((name, rr[0].errors[:2] if rr else ["no result"]))
+
+    fails = mismatches + still_failing
+    print(f"TOTAL {len(results)}")
+    print(f"transient-recovered: {recovered or 'none'}")
+    print(f"FAILURES: {fails or 'none'}")
+    return 1 if fails else 0
 
 
 if __name__ == "__main__":

