@@ -705,6 +705,10 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SEM_K = 8
 _SEM_RED_THR = 0.3
+#: target cluster size for the adaptive cluster count (see query doc):
+#: k = max(_SEM_K, n // _SEM_TARGET) keeps sum(cluster^2) ~ n * target
+#: — LINEAR in corpus size — instead of n^2/k under a fixed k.
+_SEM_TARGET = 250
 
 
 def _semantic_dedup_oracle() -> str:
@@ -760,10 +764,18 @@ def _semantic_dedup_oracle() -> str:
     f"cluster: pair count, count of redundant pairs (cos ≥ "
     f"{_SEM_RED_THR}), and the single most-similar pair. The kernel "
     "is one exact int64 X·Xᵀ matmul per cluster group "
-    "(applyInPandas; cluster sizes are the operator's unit of work — "
-    "a skewed bucket is re-split by a coarser k upstream). Cosines "
-    "round at 6 dp before any comparison so both engines rank "
-    "identically.",
+    "(applyInPandas; cluster sizes are the operator's unit of work). "
+    "Cluster COUNT is a control-plane decision off the corpus count: "
+    "k = max(8, n/250) holds cluster size ~constant as the corpus "
+    "grows, so sum(cluster^2) — the kernel's total work — stays "
+    "LINEAR in n; a fixed k made the sf0.001->sf1 weak-scaling curve "
+    "go 7.1x at 10x data (clusters grew 10x, pair kernels 100x — the "
+    "round-7 curve finding), and the adaptive k brings it back to "
+    "~data-linear. The oracle replays k=8, which IS the adaptive "
+    "choice at every oracle-gated scale (n <= 2000 at sf0.1 and "
+    "below); larger corpora only run in the timing-only scale "
+    "slices. Cosines round at 6 dp before any comparison so both "
+    "engines rank identically.",
     oracle=_semantic_dedup_oracle(),
 )
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,7 +785,11 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import clustering as C
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = C.kmeans_assign(emb, k=_SEM_K, iters=2, dim=DIM)
+    # one metadata-cheap control-plane action; the count also bounds
+    # the seed collect inside kmeans_fit (k rows of k*dim ints).
+    n = emb.count()
+    k = max(_SEM_K, n // _SEM_TARGET)
+    a = C.kmeans_assign(emb, k=k, iters=2, dim=DIM)
 
     schema = (
         "cluster long, n_pairs long, n_redundant long, "

@@ -52,6 +52,16 @@ FAMILIES = {
         "dedup_minhash_lsh",
         "ann_shortlist_rerank",
     ],
+    # text-dedup/IR chain over the Caesar-replicated documents corpus
+    # (within-replica shingle relations exact, replicas disjoint)
+    "documents": [
+        "dedup_exact_substring_spans",
+        "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+        "text_tfidf_topk",
+        "text_bm25_topk",
+        "corpus_decontaminate",
+    ],
 }
 CURVE_QUERIES = FAMILIES["lineitem"]
 SLICES = [
