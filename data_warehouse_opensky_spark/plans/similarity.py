@@ -1983,3 +1983,60 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ksub=_PQ_KSUB,
         dim=DIM,
     )
+
+
+# --------------------------------------------------------------------------
+# T3.2 — batch range search: many queries, a radius instead of a k
+# --------------------------------------------------------------------------
+_RANGE_TAU = 0.25
+_RANGE_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@query(
+    "ann_batch_range_search",
+    tier="T3",
+    doc=f"Batch range retrieval: ALL neighbors within cosine >= "
+    f"{_RANGE_TAU} for a 5-query batch, in one pass — the two shapes "
+    "the top-k family doesn't cover: (a) BATCHED queries amortize the "
+    "corpus scan across the whole query set (the right unit of work "
+    "for offline retrieval: scan once, score q x n pairs), (b) a "
+    "RADIUS predicate returns however many neighbors qualify (dedup "
+    "candidate generation, near-duplicate audits) instead of a fixed "
+    "k. Plan: the 5-row query side broadcasts onto the corpus scan "
+    "(BroadcastNestedLoopJoin — q*n scored rows with NO shuffle of "
+    "the corpus), the radius filter prunes before any exchange, and "
+    "the only shuffle is the final small-result sort. At 100 TB with "
+    "big query batches this becomes block-partitioned matmul "
+    "(queries bucketed, corpus scanned once per bucket wave); the "
+    "5-query broadcast is the degenerate case of that plan. Cosines "
+    "round at 6 dp pre-filter so both engines admit identical edge "
+    "rows.",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, e.vec_id,
+           round({_cos_sql('e.embedding', 'q.embedding')}, 6) AS cos_sim
+    FROM embeddings e
+    JOIN embeddings q
+      ON q.vec_id IN ({", ".join(str(i) for i in _RANGE_QUERY_IDS)})
+     AND e.vec_id != q.vec_id
+    WHERE round({_cos_sql('e.embedding', 'q.embedding')}, 6) >= {_RANGE_TAU}
+    ORDER BY query_id, cos_sim DESC, e.vec_id
+    """,
+)
+def ann_batch_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(_RANGE_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= _RANGE_TAU)
+        .orderBy("query_id", F.desc("cos_sim"), F.asc("vec_id"))
+    )

@@ -2031,3 +2031,299 @@ def stats_logistic_regression_irls(
             "CAST(round(b1 * 1000000) AS BIGINT) AS beta1_e6",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival over customer purchase lifetimes
+# --------------------------------------------------------------------------
+_KM_CENSOR_DAYS = 90
+
+#: per-duration log-survival increment, quantized to the e9 grid;
+#: references columns d (events) and n (at-risk). d = n (the whole
+#: risk set churns) sends S to exactly 0 via a -100 log (exp(-100)
+#: underflows the e6 grid) instead of ln(0) = -inf, which the two
+#: engines could format differently.
+_KM_TERM = (
+    "CASE WHEN d = 0 THEN CAST(0 AS BIGINT)"
+    " WHEN d < n THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) * 1000000000) AS BIGINT)"
+    " ELSE CAST(-100000000000 AS BIGINT) END"
+)
+
+
+@query(
+    "stats_kaplan_meier_churn",
+    tier="T3",
+    doc="Kaplan-Meier survival estimate of customer lifetime (days "
+    "from first to last order), right-censored: customers whose last "
+    f"order falls within {_KM_CENSOR_DAYS} days of the dataset's max "
+    "date are still-active (censored), everyone else churned at their "
+    "last order — the survival-analysis shape (churn curves, "
+    "retention horizons, hardware failure) that plain ECDFs get "
+    "WRONG because censored units must leave the risk set without "
+    "counting as events. Scale shape: one groupBy collapses the fact "
+    "to per-customer (first, last), a second collapses customers to "
+    "the per-duration grain (events d, censored c); the at-risk "
+    "count n and the running log-survival are BOTH two-phase "
+    "distributed prefix scans over the duration order (operators/"
+    "prefix.py — never a single-partition window), and S(t) = "
+    "exp(running sum of ln(1 - d/n)) with each increment quantized "
+    "to an e9 integer BEFORE the exact cumulative sum, so libm ln() "
+    "ulp noise cannot move the hash and the float product never "
+    "depends on fold order.",
+    oracle=f"""
+    WITH life AS (
+      SELECT o_custkey,
+             CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS first_d,
+             CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS last_d
+      FROM orders GROUP BY 1
+    ),
+    horizon AS (SELECT max(last_d) AS mx FROM life),
+    u AS (
+      SELECT datediff('day', first_d, last_d) AS t,
+             CASE WHEN datediff('day', last_d, mx) < {_KM_CENSOR_DAYS}
+                  THEN 0 ELSE 1 END AS churned
+      FROM life CROSS JOIN horizon
+    ),
+    g AS (
+      SELECT t, CAST(sum(churned) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS tot
+      FROM u GROUP BY t
+    ),
+    r AS (
+      SELECT t, d, tot,
+             (SELECT CAST(count(*) AS BIGINT) FROM u) -
+               (CAST(coalesce(sum(tot) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT)) AS n
+      FROM g
+    ),
+    s AS (
+      SELECT t, d, tot - d AS c, n, {_KM_TERM} AS term
+      FROM r
+    ),
+    k AS (
+      SELECT t, d, c, n,
+             CAST(sum(term) OVER (ORDER BY t) AS BIGINT) AS cum
+      FROM s
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           n AS n_at_risk, d AS n_events, c AS n_censored,
+           CAST(round(exp(CAST(cum AS DOUBLE) / 1000000000.0) * 1000000)
+             AS BIGINT) AS survival_e6
+    FROM k ORDER BY duration_days
+    """,
+)
+def stats_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import distributed_cumsum
+
+    life = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+    )
+    horizon = life.agg(F.max("last_d").alias("mx"))
+    u = life.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").cast("long").alias("t"),
+        F.when(
+            F.datediff("mx", "last_d") < _KM_CENSOR_DAYS, F.lit(0)
+        ).otherwise(F.lit(1)).alias("churned"),
+    )
+    g = u.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count("*").cast("long").alias("tot"),
+    )
+    n_total = u.agg(F.count("*").cast("long").alias("n_all"))
+    # at-risk = N - (everyone who left at a strictly earlier duration):
+    # running total of `tot` minus the row's own mass.
+    r = (
+        distributed_cumsum(g, order_cols=["t"], value_col="tot",
+                           out_col="cum_tot")
+        .crossJoin(F.broadcast(n_total))
+        .selectExpr("t", "d", "tot", "n_all - (cum_tot - tot) AS n")
+    )
+    s = r.selectExpr("t", "d", "tot - d AS c", "n", f"{_KM_TERM} AS term")
+    k = distributed_cumsum(s, order_cols=["t"], value_col="term",
+                           out_col="cum")
+    return k.selectExpr(
+        "CAST(t AS BIGINT) AS duration_days",
+        "n AS n_at_risk",
+        "d AS n_events",
+        "c AS n_censored",
+        "CAST(round(exp(CAST(cum AS DOUBLE) / 1000000000.0) * 1000000)"
+        " AS BIGINT) AS survival_e6",
+    ).orderBy("duration_days")
+
+
+# --------------------------------------------------------------------------
+# CUPED-adjusted A/B lift (variance-reduced experiment readout)
+# --------------------------------------------------------------------------
+_CUPED_SPLIT_DATE = "1998-01-01"
+
+
+@query(
+    "stats_cuped_ab_lift",
+    tier="T3",
+    doc="CUPED variance-reduced A/B readout: customers hash-split "
+    "50/50 (custkey parity), metric = post-period spend (orders from "
+    f"{_CUPED_SPLIT_DATE}), covariate = the same customer's "
+    "PRE-period spend; theta = cov(x,y)/var(x) over all units, and "
+    "each arm's adjusted mean is mean(y) - theta*(mean(x) - "
+    "mean_all(x)) — the standard experimentation-platform correction "
+    "that removes pre-existing between-user variance from the lift "
+    "estimate. The whole readout reduces to NINE exact sufficient "
+    "statistics (n, Sx, Sy per arm; Sxx, Sxy, Syy globally), each an "
+    "exact DECIMAL/HUGEINT sum of cents products (term-level cast — "
+    "the Welch overflow doctrine), from ONE map-side-combined "
+    "aggregation over the per-customer spend table; theta, lift, and "
+    "the variance-reduction ratio rho^2 are then a handful of double "
+    "ops on exact integers, identical text both engines, e6-rounded. "
+    "At 100 TB: one scan of orders, one shuffle to customer grain, "
+    "one 2-row (per-arm) reduce — no covariate join, because the "
+    "covariate lives on the same row after the pivot-by-period agg. "
+    "Fixture honesty: this synthetic generator assigns orders to "
+    "customers i.i.d., so the measured rho^2 is ~0 (corr(pre, post) "
+    "= -0.004) and the adjustment is a near-no-op HERE — the value "
+    "of the query is the oracle-gated algebra; on real data with "
+    "user-level propensity the identical plan removes that variance "
+    "share from the lift.",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust,
+             CAST(o_custkey % 2 AS BIGINT) AS arm,
+             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+                    < DATE '{_CUPED_SPLIT_DATE}'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+                    >= DATE '{_CUPED_SPLIT_DATE}'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy
+      FROM per_cust GROUP BY arm
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+               AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+               AS sxy,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+               AS syy
+      FROM per_cust
+    ),
+    th AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_all,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+      FROM tot
+    ),
+    a AS (
+      SELECT arm,
+             CAST(n AS BIGINT) AS n_users,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+               - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                          - mean_x_all) AS mean_y_adj
+      FROM arms CROSS JOIN th
+    )
+    SELECT a1.n_users AS n_treat, a0.n_users AS n_ctrl,
+           CAST(round(th.theta * 1000000) AS BIGINT) AS theta_e6,
+           CAST(round((a1.mean_y - a0.mean_y) * 1000000) AS BIGINT)
+             AS lift_raw_cents_e6,
+           CAST(round((a1.mean_y_adj - a0.mean_y_adj) * 1000000) AS BIGINT)
+             AS lift_cuped_cents_e6,
+           CAST(round(th.rho2 * 1000000) AS BIGINT) AS var_reduction_e6
+    FROM (SELECT * FROM a WHERE arm = 1) a1,
+         (SELECT * FROM a WHERE arm = 0) a0, th
+    """,
+)
+def stats_cuped_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d38 = "decimal(38,0)"
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey AS cust",
+            "CAST(o_custkey % 2 AS BIGINT) AS arm",
+            f"CASE WHEN CAST(o_orderdate AS DATE)"
+            f" < DATE '{_CUPED_SPLIT_DATE}'"
+            " THEN CAST(round(o_totalprice * 100) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END AS xr",
+            f"CASE WHEN CAST(o_orderdate AS DATE)"
+            f" >= DATE '{_CUPED_SPLIT_DATE}'"
+            " THEN CAST(round(o_totalprice * 100) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END AS yr",
+        )
+        .groupBy("cust", "arm")
+        .agg(
+            F.sum("xr").cast("long").alias("x"),
+            F.sum("yr").cast("long").alias("y"),
+        )
+    )
+    arms = per_cust.groupBy("arm").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+    )
+    tot = per_cust.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38))
+        .cast(d38).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38))
+        .cast(d38).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38))
+        .cast(d38).alias("syy"),
+    )
+    th = tot.selectExpr(
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE) AS theta",
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_all",
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " * CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+        "    * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2",
+    )
+    a = arms.crossJoin(F.broadcast(th)).selectExpr(
+        "arm",
+        "CAST(n AS BIGINT) AS n_users",
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y",
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+        " - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+        "            - mean_x_all) AS mean_y_adj",
+    )
+    a1 = a.filter("arm = 1").selectExpr(
+        "n_users AS n_treat", "mean_y AS y1", "mean_y_adj AS ya1"
+    )
+    a0 = a.filter("arm = 0").selectExpr(
+        "n_users AS n_ctrl", "mean_y AS y0", "mean_y_adj AS ya0"
+    )
+    return (
+        a1.crossJoin(F.broadcast(a0))
+        .crossJoin(F.broadcast(th))
+        .selectExpr(
+            "n_treat",
+            "n_ctrl",
+            "CAST(round(theta * 1000000) AS BIGINT) AS theta_e6",
+            "CAST(round((y1 - y0) * 1000000) AS BIGINT)"
+            " AS lift_raw_cents_e6",
+            "CAST(round((ya1 - ya0) * 1000000) AS BIGINT)"
+            " AS lift_cuped_cents_e6",
+            "CAST(round(rho2 * 1000000) AS BIGINT) AS var_reduction_e6",
+        )
+    )
