@@ -205,8 +205,21 @@ def main() -> None:
     if sf == 0.1:
         base_src, baseline = load_baseline()
         regressions = compute_regressions(per_query, baseline)
+        # Whole-run shift indicator: the MEDIAN ratio vs best-known
+        # across every baselined query. Individual flags on a run
+        # whose median sits well above 1.0 are a machine episode
+        # (uniformly warm JVM/host), not per-query plan drift — round
+        # 7 saw runs at median ~1.15 flag 8-9 untouched queries at
+        # once. Read the flags through this number.
+        ratios = sorted(
+            v / baseline[n]
+            for n, v in per_query.items()
+            if n in baseline and baseline[n] > 0
+        )
+        run_shift = round(ratios[len(ratios) // 2], 3) if ratios else None
     else:
         base_src, regressions = f"skipped (sf={sf} != 0.1)", []
+        run_shift = None
 
     record = {
         # Huge fields FIRST, headline fields LAST: the driver records
@@ -218,6 +231,7 @@ def main() -> None:
         "baseline_src": base_src,
         "regressions": regressions,
         "n_regressions": len(regressions),
+        "run_shift_median_ratio": run_shift,
         "excluded": sorted(EXCLUDED),
         "special_slice": sorted(SPECIAL_SF_DIR),
         "metric": "headline_queries_total_time",
