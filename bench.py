@@ -51,12 +51,34 @@ SPECIAL_SF_DIR = {
 
 
 def ensure_special_slices() -> None:
-    """(Re)generate purpose-built bench slices if absent — they are
-    gitignored artifacts; generation is deterministic and ~1 s."""
-    if all(
-        os.path.exists(os.path.join(d, "documents.parquet"))
-        for d in SPECIAL_SF_DIR.values()
-    ):
+    """(Re)generate purpose-built bench slices if absent OR stale —
+    they are gitignored artifacts; generation is deterministic and
+    ~1 s. Staleness check (ADVICE r7): the generator writes its
+    parameter dict to `zipf_params.json` next to the parquet; if that
+    marker is missing or differs from the current
+    gen_scale_slice.ZIPF_PARAMS, the slice was built by an older
+    recipe and silently benching against it would measure the wrong
+    fixture — regenerate."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_scale_slice",
+        os.path.join(_REPO, "scripts", "gen_scale_slice.py"),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    def fresh(d: str) -> bool:
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            return False
+        marker = os.path.join(d, "zipf_params.json")
+        if not os.path.exists(marker):
+            return False
+        with open(marker) as f:
+            return json.load(f) == gen.ZIPF_PARAMS
+
+    if all(fresh(d) for d in SPECIAL_SF_DIR.values()):
         return
     import subprocess
 

@@ -403,6 +403,9 @@ def decontaminate(
     n: int = DECON_NGRAM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_prefilter: bool = False,
+    bloom_m: int = 1 << 18,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """Flag training docs sharing any token n-gram with a benchmark set
     (eval-set decontamination — the step that keeps test questions out
@@ -443,6 +446,60 @@ def decontaminate(
         .select(F.col(id_col).alias("doc_id"), F.explode_outer("grams").alias("g"))
         .filter(F.col("g").isNotNull())
     )
+    if bloom_prefilter:
+        # Existence pre-filter (VERDICT r7 #5): fold the benchmark
+        # grams into an m-bit Bloom filter (k xxhash64 salts; bits
+        # packed 60/int64 word so every mask stays positive), carry
+        # the word table as ONE broadcast array value, and bit-test
+        # each training gram row-locally BEFORE the exact join — the
+        # sketch_bloom_membership shape made load-bearing. The test
+        # is one-sided (no false negatives), so survivors still pass
+        # the exact broadcast join and the OUTPUT IS UNCHANGED — the
+        # oracle needs no bloom replay, which is why plain xxhash64
+        # (JVM-native, cheapest) is fine here where the oracle-gated
+        # sketch query needs the portable prime family. Control-plane
+        # budget: the collect is <= m/60 (word_idx, w) rows — 4,370
+        # int64 pairs at the default m = 2^18 (~35 KB), independent
+        # of either side's row count. At 100 TB this is the shape
+        # that lets the eval set grow past comfortable hashed-
+        # relation size while the scan-side filter stays a few
+        # hundred KB of broadcast bitmap.
+        words_per = 60
+        n_words = bloom_m // words_per + 1
+
+        def _pos(j: int, c: F.Column) -> F.Column:
+            return F.pmod(F.xxhash64(c, F.lit(j)), F.lit(bloom_m))
+
+        bits = bench_grams.select(
+            F.explode(
+                F.array(*[_pos(j, F.col("g")) for j in range(bloom_k)])
+            ).alias("pos")
+        ).selectExpr(
+            f"pos div {words_per} AS word_idx",
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(pos % {words_per} AS INT)) AS mask",
+        )
+        arr = [0] * n_words
+        for r in bits.groupBy("word_idx").agg(
+            F.expr("bit_or(mask)").alias("w")
+        ).collect():
+            arr[int(r["word_idx"])] = int(r["w"])
+        spark = train.sparkSession
+        bloom = spark.createDataFrame([(arr,)], "bloom array<bigint>")
+        probe = None
+        for j in range(bloom_k):
+            p_sql = f"pmod(xxhash64(g, {j}), {bloom_m})"
+            t = F.expr(
+                f"(shiftright(element_at(bloom,"
+                f" CAST({p_sql} div {words_per} AS INT) + 1),"
+                f" CAST({p_sql} % {words_per} AS INT)) & 1) = 1"
+            )
+            probe = t if probe is None else (probe & t)
+        doc_grams = (
+            doc_grams.crossJoin(F.broadcast(bloom))
+            .filter(probe)
+            .drop("bloom")
+        )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")

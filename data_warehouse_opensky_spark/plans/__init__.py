@@ -20,74 +20,79 @@ from . import sketches  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
-# to cycle driver coverage across the whole catalog. Round-7 front
-# (VERDICT r6 directive #1): the complete 8-query never-windowed
-# backlog (the round-6 additions, which by construction postdate the r6
+# to cycle driver coverage across the whole catalog. Round-8 front
+# (VERDICT r7 directive #1): the complete 8-query never-windowed
+# backlog (the round-7 additions, which by construction postdate the r7
 # window — all 8 already green in the judge's independent sf0.01 sweep),
-# followed by 42 re-confirmation slots spent on the OLDEST greens:
-# all 30 queries whose latest driver check is still round 2, plus the
-# 12 highest-risk round-3 greens (iterative dedup/ANN chains, as-of
-# join, session windows, skew-salting — the families where a silent
-# regression would matter most). Queries ADDED during round 7 join the
-# r8 window per the rotation doctrine (rotate late if added late).
-# Queries displaced past slot 50 stay covered by tests/test_oracle.py,
-# which runs ALL of them vs DuckDB at sf0.001, and by the per-session
-# full driver-contract sweep at sf0.01.
+# followed by 42 re-confirmation slots: all 38 queries whose latest
+# driver check is still round 3 (the oldest cohort left — every r2
+# query was re-confirmed in r7), then 4 slots for queries whose PLAN
+# CODE changed in round 7 after their last driver check —
+# streaming_timeout_sessions (state re-grained to per-user,
+# streaming/stateful.py, last checked r4), embedding_semantic_dedup
+# (adaptive k = max(8, n/250), similarity.py, last checked r5),
+# graph_triangle_count (broadcast-threshold-derived cutover, graph.py,
+# last checked r5), and graph_pagerank (heaviest iterative of the r4
+# cohort). Queries ADDED during round 8 join the r9 window per the
+# rotation doctrine (rotate late if added late). Queries displaced past
+# slot 50 stay covered by tests/test_oracle.py, which runs ALL of them
+# vs DuckDB at sf0.001, and by the per-session full driver-contract
+# sweep at sf0.01.
 DRIVER_WINDOW_PRIORITY = [
-    # ==== 8 never-windowed (round-6 additions) ===========================
-    "ann_ivfpq_topk",
-    "ann_rrf_fusion",
-    "ann_binary_hamming_topk",
-    "join_skew_salted_hot_users",
-    "mart_skyline_revenue_qty",
-    "stats_mann_whitney_u",
-    "stats_chi_square_independence",
-    "stats_bh_fdr",
+    # ==== 8 never-windowed (round-7 additions) ===========================
+    "sketch_bloom_membership",
+    "sketch_countmin_frequency",
+    "stats_logistic_regression_irls",
+    "dedup_exact_substring_spans",
+    "mart_ndcg_ranking_quality",
+    "ann_batch_range_search",
+    "stats_kaplan_meier_churn",
+    "stats_cuped_ab_lift",
     # ==== 42 re-confirmations =============================================
-    # -- all 30 queries last driver-checked in round 2 ---------------------
-    "pricing_summary",
-    "filter_predicates",
-    "projection_pruning",
-    "join_star_revenue",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "topk_orders",
-    "point_lookup",
-    "set_ops_union",
-    "set_ops_intersect",
-    "text_fingerprint",
-    "text_tfidf_topk",
-    "streaming_tumbling_counts",
-    "streaming_dedup_latest",
-    "udf_scalar_token_count",
-    "pivot_status_by_priority",
-    "subquery_scalar_above_avg",
-    "subquery_correlated_above_cust_avg",
-    "subquery_exists_urgent",
-    "window_sliding_2h",
-    "corpus_chunking",
-    "corpus_repetition_signals",
-    "corpus_pii_redact",
-    "corpus_stratified_sample",
-    "range_join_price_bands",
-    "rollup_time_grains",
-    "scd2_intervals",
-    "agg_minmax_by",
-    "hof_array_funcs",
-    # -- 12 highest-risk round-3 greens ------------------------------------
-    "dedup_minhash_lsh",
-    "dedup_components_canonical",
-    "dedup_simhash_pairs",
-    "ann_ivf_topk",
-    "ann_lsh_recall",
-    "embedding_neardup_pairs",
-    "asof_click_before_purchase",
-    "session_window_stats",
-    "latest_event_per_user",
-    "agg_salted_hot_keys",
-    "corpus_pack_sequences",
-    "corpus_decontaminate",
+    # -- all 38 queries last driver-checked in round 3 ---------------------
+    "set_ops_except",
+    "count_distinct_users",
+    "agg_rollup",
+    "agg_cube",
+    "grouping_sets",
+    "string_funcs",
+    "datetime_funcs",
+    "math_funcs",
+    "case_when_buckets",
+    "join_right_outer",
+    "join_full_outer",
+    "sample_hash_5pct",
+    "percentile_disc_price",
+    "window_lag_delta",
+    "window_rolling_avg",
+    "rank_topn_per_group",
+    "window_rank_dense_ntile",
+    "window_value_functions",
+    "date_spine_daily_orders",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "opensky_clean_parity",
+    "opensky_latest_position",
+    "json_extract_props",
+    "unpivot_nation_metrics",
+    "map_funcs",
+    "corpus_domain_cap",
+    "corpus_quality_funnel",
+    "opensky_per_file_profile",
+    "corpus_contiguous_ids",
+    "join_salted_skew",
+    # -- 4 queries whose plan code changed in r7 after their last check ----
+    "streaming_timeout_sessions",
+    "embedding_semantic_dedup",
+    "graph_triangle_count",
+    "graph_pagerank",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

@@ -58,8 +58,15 @@ def _broadcast_threshold_bytes(spark: SparkSession) -> int:
     import re as _re
 
     m = _re.fullmatch(r"(-?\d+)\s*([a-z]*)", raw)
-    if not m:
-        return 10 * (1 << 20)
+    if not m or (m.group(2) and m.group(2) not in _SIZE_UNITS):
+        # Fail loudly (ADVICE r7): silently substituting a stock
+        # default here would shrink/grow the un-hinted broadcast
+        # window ~6x relative to the repo session's 64 MB pin — a
+        # plan-shape change with no visible cause.
+        raise ValueError(
+            "unparseable spark.sql.autoBroadcastJoinThreshold: "
+            f"{raw!r}"
+        )
     return int(m.group(1)) * _SIZE_UNITS.get(m.group(2) or "b", 1)
 
 

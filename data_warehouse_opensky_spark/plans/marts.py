@@ -2465,7 +2465,11 @@ def audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the order key — market-basket's plan); item totals broadcast "
     "back; per-item top-3 rides WindowGroupLimit after the pair set "
     "UNIONS both directions. Cosine rounds at 6 dp (continuous) with "
-    "a rec-partkey tiebreak; counts stay exact BIGINTs.",
+    "a rec-partkey tiebreak; counts stay exact BIGINTs. Cost "
+    "profile: 3.20 s at sf0.1 (BENCH_r07) — the wall is the "
+    "Σ items²/order pair mass (~25 items/order at TPC-H shape) "
+    "through one shuffle plus the doubled-pair window, inherent to "
+    "item-CF, not a plan miss; watchlist, compare round over round.",
     oracle="""
     WITH po AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

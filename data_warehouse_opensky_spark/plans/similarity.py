@@ -1966,7 +1966,11 @@ def _ivfpq_oracle() -> str:
     "centroids, probe set, and ADC tables are all control-plane "
     "broadcasts. Exact int64 on the e6 grid end-to-end, so the SQL "
     "oracle replays coarse training, residual encoding, probing, and "
-    "the ADC scan bit-for-bit.",
+    "the ADC scan bit-for-bit. Cost profile: 2.66 s at sf0.1 "
+    "(BENCH_r07; 2.66-3.57 s across the r7 runs) — the wall is the "
+    "three mandatory fact scans (assign, encode, ADC), all "
+    "whole-stage int64 arithmetic, not a plan miss; watchlist, "
+    "compare round over round.",
     oracle=_ivfpq_oracle(),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

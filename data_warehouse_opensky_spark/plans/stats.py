@@ -873,14 +873,17 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small-group two-phase prefix sum keeps every core busy: one
     # ranged exchange, one partition-local window, one control-plane
     # collect (n_partitions × 3 rows), one broadcast join back.
-    # Driver-measured (sf0.1, min-of-3): BENCH_r05 2.724 s with this
-    # fused shape; BENCH_r04 2.744 s with the general
+    # Driver-measured (sf0.1, min-of-3): BENCH_r07 2.94 s (2.724 s
+    # BENCH_r05 — drift is run-to-run noise on the two-job prefix
+    # scan) with this fused shape; BENCH_r04 2.744 s with the general
     # distributed_cumsum_grouped shape — at sf0.1 the two are within
     # noise (the fused variant saves an input persist, a totals
     # shuffle, and a join, which is a plan-width win that matters at
-    # scale, not at 600k rows). Perf doctrine (VERDICT r5 #2):
-    # in-source numbers quote the driver's BENCH_r{N} file, never
-    # ad-hoc local runs.
+    # scale, not at 600k rows). The wall is the near-unique price
+    # domain riding the full two-phase scan — inherent, not a plan
+    # miss; watchlist, compare round over round. Perf doctrine
+    # (VERDICT r5 #2): in-source numbers quote the driver's
+    # BENCH_r{N} file, never ad-hoc local runs.
     c = distributed_cumsum_small_groups(
         g, group_cols=["flag"], order_cols=["price_c"], value_col="w",
         out_col="cw", total_col="tw",
@@ -1550,8 +1553,8 @@ _MWU_Z = (
     "(doc: r1x2 <= 2*n1*n bounds int64 through ~2e9 rows; past that "
     "the sums lift to DECIMAL(38,0) unchanged); only the final z "
     "division goes through double (identical IEEE ops both engines, "
-    "rounded to e6). Cost profile: 2.20 s at sf0.1 (BENCH_r06) — the "
-    "slowest new non-graph entry of round 6; the wall is the full "
+    "rounded to e6). Cost profile: 2.24 s at sf0.1 (BENCH_r07; "
+    "2.20 s BENCH_r06 — flat round over round); the wall is the full "
     "value-domain prefix scan (two jobs by construction), not a skew "
     "or a plan miss — watchlist, compare round over round.",
     oracle=f"""
@@ -1777,10 +1780,11 @@ _BH_P = (
     "cutoff k are two 1-row control-plane aggregates broadcast back. "
     f"Top-{_BH_TOP} rows carry rank, p, the BH boundary, and the "
     "reject flag, so the correction is visible even when nothing "
-    "clears it. Cost profile: 1.98 s at sf0.1 (BENCH_r06) — the "
-    "significance rank routes through the two-phase distributed "
-    "prefix scan over the full day domain (two jobs by construction); "
-    "watchlist, compare round over round.",
+    "clears it. Cost profile: 1.97 s at sf0.1 (BENCH_r07; 1.98 s "
+    "BENCH_r06 — flat round over round) — the significance rank "
+    "routes through the two-phase distributed prefix scan over the "
+    "full day domain (two jobs by construction); watchlist, compare "
+    "round over round.",
     oracle=f"""
     WITH d AS (
       SELECT CAST(o_orderdate AS DATE) AS od,

@@ -165,9 +165,27 @@ CUSTOM_REPLICATED = {
 }
 
 
+#: Single source of truth for the Zipf slice recipe. bench.py compares
+#: this dict against the `zipf_params.json` marker written next to the
+#: generated parquet and regenerates on any mismatch — editing a
+#: parameter here can no longer leave a stale slice on disk silently
+#: feeding the bench (ADVICE r7). Bump nothing else: the dict IS the
+#: version.
+ZIPF_PARAMS = {
+    "n_docs": 5_000,
+    "words_per_doc": 50,
+    "vocab": 50_000,
+    "neardup_pairs": 100,
+    "seed": 20260815,
+}
+
+
 def gen_zipf_documents(
-    dst_dir: str, n_docs: int = 5_000, words_per_doc: int = 50,
-    vocab: int = 50_000, neardup_pairs: int = 100, seed: int = 20260815,
+    dst_dir: str, n_docs: int = ZIPF_PARAMS["n_docs"],
+    words_per_doc: int = ZIPF_PARAMS["words_per_doc"],
+    vocab: int = ZIPF_PARAMS["vocab"],
+    neardup_pairs: int = ZIPF_PARAMS["neardup_pairs"],
+    seed: int = ZIPF_PARAMS["seed"],
 ) -> str:
     """Zipf-vocabulary documents slice (VERDICT r6 #3 / What's-wrong #2).
 
@@ -217,6 +235,14 @@ def gen_zipf_documents(
     os.makedirs(dst_dir, exist_ok=True)
     out = os.path.join(dst_dir, "documents.parquet")
     pq.write_table(t, out)
+    import json
+
+    params = {
+        "n_docs": n_docs, "words_per_doc": words_per_doc,
+        "vocab": vocab, "neardup_pairs": neardup_pairs, "seed": seed,
+    }
+    with open(os.path.join(dst_dir, "zipf_params.json"), "w") as f:
+        json.dump(params, f, sort_keys=True)
     print(f"zipf documents: {n_docs} docs, vocab {vocab} -> {out}")
     return out
 

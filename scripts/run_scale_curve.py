@@ -6,10 +6,13 @@ the replica-disjoint slices from gen_scale_slice.py) and prints a
 markdown table for SCALE.md §31. min-of-2 per (query, sf); caches
 cleared between runs (catalog contract).
 
-Usage: python scripts/run_scale_curve.py [lineitem|embeddings|all]
+Usage: python scripts/run_scale_curve.py
+    [lineitem|embeddings|documents|streaming|all]
 (default lineitem — the original §31 family; `embeddings` runs the
 similarity/ANN chain on the isomorphic text/vector replicas,
-VERDICT r6 #4).
+VERDICT r6 #4; `documents` the text/corpus chain on the Caesar
+replicas; `streaming` the stateful micro-batch chain on the events
+replicas, VERDICT r7 #2).
 """
 
 from __future__ import annotations
@@ -62,6 +65,20 @@ FAMILIES = {
         "text_bm25_topk",
         "corpus_decontaminate",
     ],
+    # stateful micro-batch chain over the key-offset events replicas
+    # (VERDICT r7 #2 — the last family with no sf0.3/sf1 point).
+    # Per-user event series replicate exactly under the key offset, so
+    # user count scales with sf while per-user state stays constant —
+    # weak scaling for keyed state: invocation counts and state-store
+    # size should scale ~linearly with users, and the per-user blob
+    # (open day-sessions) should NOT grow with sf at all.
+    "streaming": [
+        "streaming_timeout_sessions",
+        "streaming_stream_stream_join",
+        "streaming_dedup_within_watermark",
+        "streaming_stateful_running_agg",
+        "session_window_stats",
+    ],
 }
 CURVE_QUERIES = FAMILIES["lineitem"]
 SLICES = [
@@ -75,6 +92,11 @@ SLICES = [
 
 def main() -> None:
     fam = sys.argv[1] if len(sys.argv) > 1 else "lineitem"
+    if fam != "all" and fam not in FAMILIES:
+        valid = " | ".join([*FAMILIES, "all"])
+        raise SystemExit(
+            f"unknown family {fam!r}; valid families: {valid}"
+        )
     queries = (
         [q for f in FAMILIES.values() for q in f]
         if fam == "all"

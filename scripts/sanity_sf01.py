@@ -14,11 +14,15 @@ ONE long-lived JVM occasionally throws a SparkException that a fresh
 session cannot reproduce (r6: graph_pagerank died 25 min in, green on
 manual re-run, values hash-matched). Long-session stability is itself
 a 100x property, but a red that a human must re-adjudicate is harness
-debt — so any EXCEPTION result is automatically retried ONCE in a
-fresh SparkSession and reported as `transient-recovered` (green
-retry: the long-session JVM, not the plan) or `fail` (red retry:
-deterministic, fix the query). Value mismatches are deterministic by
-construction and are never retried.
+debt — so any EXCEPTION result is automatically retried TWICE, each
+in a fresh SparkSession, and reported as `transient-recovered` only
+if BOTH retries are green (ADVICE r7: a single green retry would let
+a genuinely flaky ~50%-failure query pass the sweep — two independent
+greens drop that escape probability to ~25% per sweep, and recovered
+names are printed for the round ledger so a repeat offender across
+rounds is flagged as a real defect). Any red retry → `fail`
+(deterministic or flaky: fix the query). Value mismatches are
+deterministic by construction and are never retried.
 
 Usage: python scripts/sanity_sf01.py [sf_dir]
 """
@@ -58,17 +62,31 @@ def main() -> int:
         # newSession() shares the JVM whose episode we are ruling out —
         # a genuine fresh session needs a new SparkContext, which in
         # local mode means stop + rebuild (get_spark recreates it).
-        retry = get_spark(f"sf01-retry-{name}")
-        retry.sparkContext.setLogLevel("ERROR")
-        rr = run_all(retry, sf_dir, names=[name])
-        retry.stop()
-        if rr and rr[0].ok:
+        # Two independent fresh-JVM retries, BOTH must be green: one
+        # green retry cannot distinguish a long-session episode from a
+        # coin-flip-flaky plan (ADVICE r7).
+        retries = []
+        for attempt in (1, 2):
+            retry = get_spark(f"sf01-retry-{name}-{attempt}")
+            retry.sparkContext.setLogLevel("ERROR")
+            rr = run_all(retry, sf_dir, names=[name])
+            retry.stop()
+            retries.append(rr[0] if rr else None)
+        if all(r is not None and r.ok for r in retries):
             recovered.append(name)
         else:
-            still_failing.append((name, rr[0].errors[:2] if rr else ["no result"]))
+            errs = [
+                e
+                for r in retries
+                if r is not None and not r.ok
+                for e in r.errors[:2]
+            ] or ["no result"]
+            still_failing.append((name, errs[:2]))
 
     fails = mismatches + still_failing
     print(f"TOTAL {len(results)}")
+    # Record recovered names in the round ledger (SCALE.md close-out);
+    # a query that recovers in CONSECUTIVE rounds is a real defect.
     print(f"transient-recovered: {recovered or 'none'}")
     print(f"FAILURES: {fails or 'none'}")
     return 1 if fails else 0

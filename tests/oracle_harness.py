@@ -35,6 +35,41 @@ class CompareResult:
     spark_rows: int = -1
     oracle_rows: int = -1
     errors: list[str] = field(default_factory=list)
+    #: sha256 over the driver-normalized, column-sorted, order-
+    #: insensitive Spark result — the result-pinning scheme
+    #: (VERDICT r7 #8): a recorded hash per (query, fixture) lets a
+    #: later round prove "result unchanged" locally without re-running
+    #: the DuckDB twin, so external-driver slots can concentrate on
+    #: new and changed plans.
+    spark_hash: str = ""
+
+
+def result_hash(cols, rows) -> str:
+    """Stable digest of a normalized result set (driver hash semantics:
+    lowercase column names sorted, rows order-insensitive, values
+    through the same type-tag normalization the compare uses)."""
+    import hashlib
+
+    payload = repr((sorted(cols), _sorted_rows(cols, rows)))
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def fixture_digest(sf_dir: str) -> str:
+    """Digest of the fixture the pins were recorded against — pin
+    checks are void (skipped loudly) when the driver regenerates
+    testdata. File bytes, not mtimes: a byte-identical regeneration
+    keeps pins valid."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        h.update(t.encode())
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(hashlib.md5(f.read()).digest())
+    return h.hexdigest()
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -78,6 +113,7 @@ def compare(name: str, sdf, oracle: str, con) -> CompareResult:
     spdf = sdf.toPandas()
     scols = [str(c).lower() for c in spdf.columns]
     srows = list(spdf.itertuples(index=False, name=None))
+    res.spark_hash = result_hash(scols, srows)
     odf = con.execute(oracle).df()
     ocols = [str(c).lower() for c in odf.columns]
     orows = list(odf.itertuples(index=False, name=None))

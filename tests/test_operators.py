@@ -205,6 +205,39 @@ def test_decode_image_real_requires_pillow_or_decodes(spark):
     assert row.n_bytes == len(png)
 
 
+def test_decontaminate_bloom_prefilter_identical_output(spark):
+    """The Bloom existence pre-filter (VERDICT r7 #5) is one-sided —
+    no false negatives — and its survivors re-verify in the exact
+    broadcast join, so flipping it on must be output-invariant
+    row-for-row. Also pins the control-plane shape: the word table
+    rides a single broadcast array value, never a per-gram join."""
+    from data_warehouse_opensky_spark.operators.text import decontaminate
+    from data_warehouse_opensky_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+
+    plain = decontaminate(train, bench).orderBy("doc_id").collect()
+    bloomed = (
+        decontaminate(train, bench, bloom_prefilter=True)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert plain == bloomed
+    assert any(r["contaminated"] for r in plain)  # fixture has signal
+
+    # Tiny m forces false positives — output must STILL be identical
+    # (the exact join eats them); only the pre-filter selectivity
+    # degrades.
+    tiny = (
+        decontaminate(train, bench, bloom_prefilter=True, bloom_m=1 << 8)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert plain == tiny
+
+
 def test_corpus_pipeline_end_to_end(spark):
     """The composed corpus pipeline: every stage monotonically shrinks
     the doc set, packed sequences conserve the survivors' tokens, and

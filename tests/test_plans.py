@@ -1590,12 +1590,20 @@ def test_kaplan_meier_scans_are_distributed(spark):
     two-phase distributed scan — no single-partition global window
     (a `Window` with a non-empty partition spec is fine; an empty
     one serializes the duration domain onto one task)."""
+    import re
+
     plan = plan_of(spark, "stats_kaplan_meier_churn")
     body = plan.split("== Physical Plan ==")[-1]
-    # the two-phase scan's signature: SinglePartition exchanges only
-    # for the tiny per-partition totals, never the data itself — the
-    # catalog-wide proxy assertion used by the other prefix-scan
-    # consumers: no row_number/sum window over an unpartitioned spec.
+    # The two-phase scan's signature (same proxy assertion as the
+    # other prefix-scan consumers): every Window node is partitioned
+    # by the physical partition id — a regression to a global window
+    # would print an empty/non-_pid partition spec here.
+    windows = re.findall(
+        r"^\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)$", body, re.MULTILINE
+    )
+    assert windows, plan
+    for args in windows:
+        assert "_pid" in args, plan
     assert "BatchEvalPython" not in body
     assert "CartesianProduct" not in body, plan
 
