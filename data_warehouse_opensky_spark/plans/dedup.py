@@ -907,26 +907,34 @@ _SPAN_W = 40  # window length (chars); spans reported are >= this
     "2022) that complements set-similarity: a doc quoting one long "
     "passage of another has near-zero Jaccard but a giant span. "
     "Scale shape: the window explode is row-local (~len windows/doc), "
-    "the join is a hash equi-join on a 60-bit md5 digest of the "
-    "window (15 hex chars -> int64; the repo's standard engine-"
-    "portable md5 family, so the oracle replays it bit-for-bit; "
-    "collision odds at 1e8 windows are ~1e-3 per corpus, and a "
-    f"collision only ever ADDS a length-{_SPAN_W} candidate run, "
-    "never drops a true span) whose output is bounded by true "
-    "duplication (unique windows join nothing), and the islands "
-    "window partitions by (pair, diagonal) — match-structure grain, "
-    "never corpus grain. The digest row is 24 B vs 56 B for the raw "
-    "40-char window — at 100 TB, where both join sides are "
-    "fact-scale and must exchange on win, that is the dominant "
-    "shuffle cut ~2.3x (and the key compare in the join drops from "
-    "40-byte strings to int64); at fixture scale the window table "
-    "broadcasts, and the digest shrinks the hashed relation + probe "
-    "cost instead: sf1 wall 16.4 -> 13.4 s measured A/B (round-8 "
-    "development observation, same session best-of-2).",
+    "the join is a hash equi-join on the FULL 128-bit md5 of the "
+    "window as one 16-byte binary key (unhex(md5(window)) — the "
+    "repo's standard engine-portable md5 family, so the oracle "
+    "replays the identical equality). 128 bits makes digest "
+    "equality exact in practice: a birthday collision needs ~2^64 "
+    "DISTINCT windows, vs ~1e-3/corpus false-positive odds at 1e8 "
+    "windows for the round-8 single 60-bit half (ADVICE r8 — a "
+    "collision there could emit a spurious span the "
+    "digest-replaying oracle could not detect). Join output is "
+    "bounded by true duplication (unique windows join nothing), and "
+    "the islands window partitions by (pair, diagonal) — "
+    "match-structure grain, never corpus grain. The digest row is "
+    "~24 B vs 56 B for the raw 40-char window — at 100 TB, where "
+    "both join sides are fact-scale and must exchange on the window "
+    "key, that is the dominant shuffle cut ~2.3x (and the key "
+    "compare drops from 40-byte strings to a 16-byte memcmp); at "
+    "fixture scale the window table broadcasts, and the digest "
+    "shrinks the hashed relation + probe cost instead: sf1 wall "
+    "16.4 -> 13.4 s measured A/B digest-vs-raw (round-8 development "
+    "observation, best-of-2), and the round-9 three-way isolated "
+    "min-of-3 at sf0.1 ranked unhex-128-bit 1.72 s < 60-bit conv "
+    "1.84 s < two-half conv 2.19 s — the full hash is FASTER than "
+    "either truncation because one unhex replaces substring+conv "
+    "hex parsing per window per side.",
     oracle=f"""
     WITH w AS (
       SELECT doc_id, i AS pos,
-             CAST(('0x' || substring(md5(substring(text, CAST(i AS INTEGER), {_SPAN_W})), 1, 15)) AS BIGINT) AS win
+             unhex(md5(substring(text, CAST(i AS INTEGER), {_SPAN_W}))) AS win
       FROM documents, unnest(range(1, greatest(length(text) - {_SPAN_W - 1}, 0) + 1)) AS t(i)
       WHERE length(text) >= {_SPAN_W}
     ),
@@ -965,13 +973,14 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "doc_id",
         "pos",
-        # 60-bit digest of the window (15 hex chars of md5 -> int64):
-        # the join shuffles 8 bytes/window instead of the raw 40-char
-        # text. Same digest family every other dedup plan uses, so
-        # the DuckDB oracle replays it exactly.
-        "CAST(conv(substring(md5("
-        f"substring(text, pos, {_SPAN_W})), 1, 15), 16, 10) AS BIGINT)"
-        " AS win",
+        # Full 128-bit md5 as one 16-byte binary key: the join
+        # shuffles ~16 bytes/window instead of the raw 40-char text,
+        # digest equality is exact in practice (birthday bound ~2^64
+        # distinct windows), and unhex is cheaper than hex-substring
+        # parsing (round-9 isolated min-of-3 at sf0.1: 1.72 s vs
+        # 1.84 s for the 60-bit conv truncation). Same md5 family
+        # every other dedup plan uses — DuckDB replays it exactly.
+        f"unhex(md5(substring(text, pos, {_SPAN_W}))) AS win",
     )
     a = w.selectExpr("doc_id AS da", "pos AS pa", "win")
     b = w.selectExpr("doc_id AS db", "pos AS pb", "win")

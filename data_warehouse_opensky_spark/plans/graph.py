@@ -44,6 +44,8 @@ _SIZE_UNITS = {
     "gb": 1 << 30,
     "t": 1 << 40,
     "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
 }
 
 

@@ -4,6 +4,20 @@ The decode step is a deterministic fake (container has no media libs —
 see operators/multimodal.py), so the Arrow/mapInPandas plumbing gets a
 REAL SQL oracle: the fake dims are pure arithmetic on payload length,
 which DuckDB reproduces from octet_length(encode(text)).
+
+Partitioning (VERDICT r8 — `weak` plan shape): the fixture corpus is
+ONE parquet file → one input partition, so every mapInPandas chain
+here ran as a single Python/Arrow task on 1 of 32 cores. The fix is
+``spread=True`` on the load (round-robin to default parallelism; a
+no-op on any multi-file production table, where the scan already
+exceeds the parallelism) — but ONLY where the Python stage is heavy
+enough to pay for the exchange + 32-worker fan-out. Measured at
+sf0.1 (BENCH r9 A/B vs best-known): the payload-EXPANDING resize
+drops 6.0 → 0.93 s with spread, while the five metadata-light plans
+each LOSE 0.3–0.55 s to pure exchange/worker overhead (e.g.
+decode_meta 0.45 → 1.0 s) — their serial Python stage is already
+<0.5 s at fixture scale. So resize spreads; the rest keep the plain
+scan, which at 100 TB parallelizes naturally by file splits.
 """
 
 from __future__ import annotations
@@ -81,7 +95,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     r = M.resize_image(M.attach_binary(d))
     # n_kept_bytes: length of the resized payload with zero-padding
     # stripped — equals min(original length, target).

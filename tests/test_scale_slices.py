@@ -135,3 +135,12 @@ def test_broadcast_threshold_parses_all_config_forms():
     assert _broadcast_threshold_bytes(_S("10m")) == 10 * (1 << 20)
     assert _broadcast_threshold_bytes(_S("1g")) == 1 << 30
     assert _broadcast_threshold_bytes(_S("-1")) == -1
+    # full Spark byte-suffix alphabet incl. petabytes (ADVICE r8: a
+    # legitimately set '1p' must parse, not crash plan construction)
+    assert _broadcast_threshold_bytes(_S("2t")) == 2 * (1 << 40)
+    assert _broadcast_threshold_bytes(_S("1p")) == 1 << 50
+    assert _broadcast_threshold_bytes(_S("1PB")) == 1 << 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _broadcast_threshold_bytes(_S("10 parsecs"))
