@@ -20,79 +20,76 @@ from . import sketches  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
-# to cycle driver coverage across the whole catalog. Round-8 front
-# (VERDICT r7 directive #1): the complete 8-query never-windowed
-# backlog (the round-7 additions, which by construction postdate the r7
-# window — all 8 already green in the judge's independent sf0.01 sweep),
-# followed by 42 re-confirmation slots: all 38 queries whose latest
-# driver check is still round 3 (the oldest cohort left — every r2
-# query was re-confirmed in r7), then 4 slots for queries whose PLAN
-# CODE changed in round 7 after their last driver check —
-# streaming_timeout_sessions (state re-grained to per-user,
-# streaming/stateful.py, last checked r4), embedding_semantic_dedup
-# (adaptive k = max(8, n/250), similarity.py, last checked r5),
-# graph_triangle_count (broadcast-threshold-derived cutover, graph.py,
-# last checked r5), and graph_pagerank (heaviest iterative of the r4
-# cohort). Queries ADDED during round 8 join the r9 window per the
-# rotation doctrine (rotate late if added late). Queries displaced past
-# slot 50 stay covered by tests/test_oracle.py, which runs ALL of them
-# vs DuckDB at sf0.001, and by the per-session full driver-contract
-# sweep at sf0.01.
+# to cycle driver coverage across the whole catalog. Round-9 front
+# (VERDICT r8 directive #6): no new queries were added in round 8, so
+# there is no never-windowed backlog; the window leads with the 7
+# queries whose PLAN CODE changed in round 9 — the 6 multimodal plans
+# (documents load switched to spread=True, fixing the single-partition
+# Python stage the r8 judge graded `weak`) and
+# dedup_exact_substring_spans (join key widened from one 60-bit md5
+# half to two halves / 120 bits, ADVICE r8) — followed by 43 of the 47
+# remaining round-4-cohort greens (oldest latest-driver-check in the
+# catalog; multimodal_phash_dedup is r4-cohort AND r9-touched). The 4
+# r4 stragglers that do not fit (alphabetical cut: text_heavy_hitters,
+# text_inverted_index, text_langid_confusion,
+# window_percent_rank_cume_dist) lead the round-10 window. Queries
+# displaced past slot 50 stay covered by tests/test_oracle.py, which
+# runs ALL of them vs DuckDB at sf0.001 AND asserts every result
+# against the committed pin table (tests/oracle_pins.json, new in r9),
+# and by the per-session full driver-contract sweep at sf0.01.
 DRIVER_WINDOW_PRIORITY = [
-    # ==== 8 never-windowed (round-7 additions) ===========================
-    "sketch_bloom_membership",
-    "sketch_countmin_frequency",
-    "stats_logistic_regression_irls",
+    # ==== 7 plans whose code changed in round 9 ===========================
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_features",
+    "multimodal_audio_meta",
+    "multimodal_phash_dedup",
     "dedup_exact_substring_spans",
-    "mart_ndcg_ranking_quality",
-    "ann_batch_range_search",
-    "stats_kaplan_meier_churn",
-    "stats_cuped_ab_lift",
-    # ==== 42 re-confirmations =============================================
-    # -- all 38 queries last driver-checked in round 3 ---------------------
-    "set_ops_except",
-    "count_distinct_users",
-    "agg_rollup",
-    "agg_cube",
-    "grouping_sets",
-    "string_funcs",
-    "datetime_funcs",
-    "math_funcs",
-    "case_when_buckets",
-    "join_right_outer",
-    "join_full_outer",
-    "sample_hash_5pct",
-    "percentile_disc_price",
-    "window_lag_delta",
-    "window_rolling_avg",
-    "rank_topn_per_group",
-    "window_rank_dense_ntile",
-    "window_value_functions",
-    "date_spine_daily_orders",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_brute_force_topk",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "opensky_clean_parity",
-    "opensky_latest_position",
-    "json_extract_props",
-    "unpivot_nation_metrics",
-    "map_funcs",
-    "corpus_domain_cap",
-    "corpus_quality_funnel",
-    "opensky_per_file_profile",
-    "corpus_contiguous_ids",
-    "join_salted_skew",
-    # -- 4 queries whose plan code changed in r7 after their last check ----
-    "streaming_timeout_sessions",
-    "embedding_semantic_dedup",
-    "graph_triangle_count",
-    "graph_pagerank",
+    # ==== 43 re-confirmations: oldest (round-4) cohort ====================
+    "agg_mode_deterministic",
+    "approx_distinct_hll_mart",
+    "audit_expectations",
+    "audit_referential_integrity",
+    "cdc_apply_log",
+    "cdc_snapshot_diff",
+    "corpus_cross_source_dups",
+    "corpus_duplicated_spans",
+    "corpus_length_buckets",
+    "corpus_mixture_weights",
+    "corpus_ngram_novelty",
+    "corpus_reservoir_per_source",
+    "corpus_split_assign",
+    "corpus_vocab_growth",
+    "corpus_weighted_sample",
+    "dedup_containment_pairs",
+    "dedup_fuzzy_levenshtein",
+    "dedup_impact_report",
+    "dedup_incremental_minhash",
+    "dedup_minhash_calibration",
+    "embedding_covariance_audit",
+    "embedding_kmeans",
+    "embedding_quantize_sq8",
+    "join_asof_nearest",
+    "join_null_safe",
+    "lateral_top3_per_segment",
+    "mart_event_funnel",
+    "mart_incremental_merge",
+    "mart_market_basket",
+    "mart_retention_cohorts",
+    "mart_rolling_distinct_7d",
+    "mart_sequence_patterns",
+    "opensky_airline_traffic",
+    "opensky_grid_density",
+    "schema_evolution_union",
+    "set_ops_except_all",
+    "stats_chi2_independence",
+    "stats_ks_drift",
+    "streaming_hopping_topk",
+    "streaming_static_enrich",
+    "streaming_upsert_sink_snapshot",
+    "text_bigram_logprob",
+    "text_char_entropy",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)
