@@ -21,16 +21,21 @@ from . import sketches  # noqa: E402,F401
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
 # to cycle driver coverage across the whole catalog. Round-9 front
-# (VERDICT r8 directive #6): no new queries were added in round 8, so
-# there is no never-windowed backlog; the window leads with the 7
-# queries whose PLAN CODE changed in round 9 — the 6 multimodal plans
+# (VERDICT r8 directive #6, amended late round 9): the window leads
+# with the 6 queries ADDED in round 9 (never driver-checked:
+# winnowing fingerprints + pairs, KMV distinct sketch, Theil–Sen
+# trend, shuffle shards, mixture interleave), then the 7 queries
+# whose PLAN CODE changed in round 9 — the 6 multimodal plans
 # (documents load switched to spread=True, fixing the single-partition
 # Python stage the r8 judge graded `weak`) and
 # dedup_exact_substring_spans (join key widened from one 60-bit md5
-# half to two halves / 120 bits, ADVICE r8) — followed by 43 of the 47
+# half to the full 128 bits, ADVICE r8) — followed by 37 of the 47
 # remaining round-4-cohort greens (oldest latest-driver-check in the
-# catalog; multimodal_phash_dedup is r4-cohort AND r9-touched). The 4
-# r4 stragglers that do not fit (alphabetical cut: text_heavy_hitters,
+# catalog; multimodal_phash_dedup is r4-cohort AND r9-touched). The
+# r4 stragglers that no longer fit (stats_ks_drift,
+# streaming_hopping_topk, streaming_static_enrich,
+# streaming_upsert_sink_snapshot, text_bigram_logprob,
+# text_char_entropy, plus the 4 already queued: text_heavy_hitters,
 # text_inverted_index, text_langid_confusion,
 # window_percent_rank_cume_dist) lead the round-10 window. Queries
 # displaced past slot 50 stay covered by tests/test_oracle.py, which
@@ -38,6 +43,13 @@ from . import sketches  # noqa: E402,F401
 # against the committed pin table (tests/oracle_pins.json, new in r9),
 # and by the per-session full driver-contract sweep at sf0.01.
 DRIVER_WINDOW_PRIORITY = [
+    # ==== 6 queries added in round 9 (never windowed) =====================
+    "text_winnowing",
+    "dedup_winnowing_pairs",
+    "sketch_kmv_distinct",
+    "stats_theil_sen_trend",
+    "corpus_shuffle_shards",
+    "corpus_interleave_order",
     # ==== 7 plans whose code changed in round 9 ===========================
     "multimodal_decode_meta",
     "multimodal_frame_sample",
@@ -46,7 +58,7 @@ DRIVER_WINDOW_PRIORITY = [
     "multimodal_audio_meta",
     "multimodal_phash_dedup",
     "dedup_exact_substring_spans",
-    # ==== 43 re-confirmations: oldest (round-4) cohort ====================
+    # ==== 37 re-confirmations: oldest (round-4) cohort ====================
     "agg_mode_deterministic",
     "approx_distinct_hll_mart",
     "audit_expectations",
@@ -84,12 +96,6 @@ DRIVER_WINDOW_PRIORITY = [
     "schema_evolution_union",
     "set_ops_except_all",
     "stats_chi2_independence",
-    "stats_ks_drift",
-    "streaming_hopping_topk",
-    "streaming_static_enrich",
-    "streaming_upsert_sink_snapshot",
-    "text_bigram_logprob",
-    "text_char_entropy",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

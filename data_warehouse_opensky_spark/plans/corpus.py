@@ -1172,3 +1172,193 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-order construction (round 9): global shuffle shards and
+# mixture-weighted interleave — the two steps between a curated corpus
+# and the byte stream a trainer actually reads.
+# --------------------------------------------------------------------------
+_SHUFFLE_SHARDS = 8
+_HEAD_K = 3
+
+
+@query(
+    "corpus_shuffle_shards",
+    tier="T3",
+    doc="Deterministic global training shuffle + shard assignment: "
+    "order key = md5('shuffle:'||doc_id) (32-bit prefix, doc_id "
+    f"tiebreak), shard = key % {_SHUFFLE_SHARDS}, intra-shard order "
+    "by key. A training run needs the corpus in a reproducible "
+    "pseudo-random order — an actual global sort of 100 TB is the "
+    "most expensive operation Spark can run, but hash-ordering "
+    "needs NO total sort: shard = one hash exchange (exactly a "
+    "shuffle write), intra-shard order = partition-local sort — "
+    "i.e. the training shuffle is ONE repartition+sortWithinPartitions "
+    "whatever the corpus size, and re-runs land byte-identical "
+    "(contrast RNG-based shuffles, which change under retries / "
+    "partition count). Emits per-shard balance stats + the first "
+    f"{_HEAD_K} doc_ids in shard order (head probe rides "
+    "WindowGroupLimit — partial top-k before the exchange). "
+    "Complements corpus_split_assign (train/val/test membership) — "
+    "this is the ORDER within the training split.",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS pos
+      FROM documents
+    ),
+    s AS (SELECT doc_id, n_chars, pos, pos % {_SHUFFLE_SHARDS} AS shard FROM b),
+    r AS (
+      SELECT shard, doc_id, pos,
+             row_number() OVER (PARTITION BY shard ORDER BY pos, doc_id) AS rn
+      FROM s
+    ),
+    heads AS (
+      SELECT shard,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos, doc_id)
+               AS head_ids
+      FROM r WHERE rn <= {_HEAD_K} GROUP BY shard
+    )
+    SELECT s.shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s.n_chars) AS BIGINT) AS sum_chars,
+           min(heads.head_ids) AS head_ids
+    FROM s JOIN heads ON heads.shard = s.shard
+    GROUP BY s.shard ORDER BY s.shard
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = d.select(
+        "doc_id",
+        "n_chars",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("pos"),
+    ).withColumn("shard", F.col("pos") % _SHUFFLE_SHARDS)
+    stats = s.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    w = Window.partitionBy("shard").orderBy("pos", "doc_id")
+    heads = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HEAD_K)
+        .groupBy("shard")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "doc_id"))
+                    ),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("head_ids")
+        )
+    )
+    return stats.join(heads, "shard").orderBy("shard")
+
+
+@query(
+    "corpus_interleave_order",
+    tier="T3",
+    doc="Mixture-weighted source interleave: the deterministic merge "
+    "order in which a trainer consumes a multi-source corpus so that "
+    "EVERY prefix of the stream holds each source in proportion to "
+    "its size (the 'don't front-load one source' requirement — "
+    "curriculum drift from source clumping is a real training "
+    "pathology). Each doc gets a within-source shuffled rank rn "
+    "(md5 order), then a virtual position (2*rn-1)*1e9 div (2*n_s) — "
+    "the rank's midpoint quantile in [0,1) scaled to exact integer "
+    "e9 — and the global order is simply ORDER BY vpos. "
+    "Scale: vpos needs one count per source (broadcast back) and no "
+    "shuffle beyond the md5-rank exchange; the emitted head of the "
+    "stream rides TakeOrderedAndProject (top-k, never a global "
+    "sort). The step after corpus_mixture_weights: that query decides "
+    "HOW MUCH of each source, this one decides WHEN each doc arrives.",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('interleave:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS pos
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, pos,
+             row_number() OVER (PARTITION BY source ORDER BY pos, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_s
+      FROM b
+    ),
+    v AS (
+      SELECT doc_id, source,
+             (2 * rn - 1) * 1000000000 // (2 * n_s) AS vpos_e9
+      FROM r
+    ),
+    topk AS (
+      SELECT doc_id, source, vpos_e9
+      FROM v ORDER BY vpos_e9, source, doc_id LIMIT 24
+    )
+    SELECT CAST(row_number() OVER (ORDER BY vpos_e9, source, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, source, CAST(vpos_e9 AS BIGINT) AS vpos_e9
+    FROM topk ORDER BY rank
+    """,
+)
+def corpus_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    b = d.select(
+        "doc_id",
+        "source",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("interleave:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+    ws = Window.partitionBy("source").orderBy("pos", "doc_id")
+    v = b.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "(2 * CAST(row_number() OVER (PARTITION BY source"
+            " ORDER BY pos, doc_id) AS BIGINT) - 1) * 1000000000"
+        ).alias("_num"),
+        F.count("*").over(Window.partitionBy("source")).alias("_n_s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("_num div (2 * _n_s)").alias("vpos_e9"),
+    )
+    topk = v.orderBy("vpos_e9", "source", "doc_id").limit(24)
+    wr = Window.orderBy("vpos_e9", "source", "doc_id")
+    return topk.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "doc_id",
+        "source",
+        F.col("vpos_e9").cast("long").alias("vpos_e9"),
+    ).orderBy("rank")

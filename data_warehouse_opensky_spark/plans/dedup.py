@@ -1013,3 +1013,46 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("longest_len"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing pair candidates (round 9) — the scale-path pre-filter for
+# the exact substring verifiers above; operator in operators/winnow.py.
+# --------------------------------------------------------------------------
+from ..operators import winnow as WN  # noqa: E402
+
+
+@query(
+    "dedup_winnowing_pairs",
+    tier="T3",
+    doc="Near-duplicate candidate pairs via winnowed fingerprints "
+    "(T3.2): documents sharing >= 2 distinct selected fingerprints, "
+    "after dropping boilerplate fingerprints with document frequency "
+    f"> {WN.WINNOW_DF_CAP} (the hot-shingle cap doctrine — bounds "
+    "every bucket's pair fan-out at cap^2, so shuffle mass stays "
+    "sum-of-bounded-buckets on a crawl corpus full of shared "
+    "boilerplate). Contrast dedup_exact_substring_spans: that "
+    "operator shuffles one row per token position to verify spans "
+    "EXACTLY; winnowing keeps the >= 8-token match GUARANTEE while "
+    "shuffling only the ~2/(W+1) selected fraction — at 100 TB this "
+    "is the affordable first pass whose survivors feed the exact "
+    "verifier. Bucket join on fp (LSH band-join shape) — never "
+    "all-pairs.",
+    oracle=f"""
+    WITH {WN.WINNOW_ORACLE_CTE},
+    fps AS (SELECT DISTINCT doc_id, fp FROM win),
+    keep AS (SELECT fp FROM fps GROUP BY fp
+             HAVING count(*) <= {WN.WINNOW_DF_CAP}),
+    kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fps
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return WN.pair_candidates(WN.fingerprint_stream(d)).orderBy(
+        "doc_a", "doc_b"
+    )

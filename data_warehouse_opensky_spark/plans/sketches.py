@@ -311,3 +311,145 @@ def sketch_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.orderBy(F.desc("n_exact"), F.asc("user_id"))
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch — round 9
+# --------------------------------------------------------------------------
+# Unlike HLL (approx_count_distinct_users, whose engine-private
+# register layout forces a tolerance GATE), a KMV sketch is fully
+# deterministic given the hash: both engines compute the same k
+# smallest hash values, the same k-th order statistic, and therefore
+# the SAME estimate — so the estimate itself hash-matches the oracle,
+# the strongest correctness statement an approximate-distinct operator
+# can make. Estimator (Bar-Yossef et al. 2002): with U_(k) the k-th
+# smallest of n distinct uniform hashes on [0, P), E[U_(k)] ~ k*P/(n+1),
+# so n_hat = (k-1) * P div U_(k) (the unbiased variant).
+_KMV_K = 128
+_KMV_A = 2_654_435_761  # Knuth multiplicative family — see _bloom_pos_sql
+_KMV_B = 1_779_033_703
+_KMV_SQL_H = f"(({_KMV_A} * o_custkey + {_KMV_B}) % {_BLOOM_PRIME})"
+
+
+@query(
+    "sketch_kmv_distinct",
+    tier="T3",
+    doc="KMV (bottom-k) distinct-count sketch over ordering customers, "
+    f"k = {_KMV_K}: per order priority AND a merged _ALL_ row built "
+    "from the UNION of the per-group sketches — the global bottom-k "
+    "is provably contained in the union of group bottom-ks, so the "
+    "merged row demonstrates the mergeability that makes KMV the "
+    "distributed distinct-count structure (map-side bottom-k per "
+    "partition, combine by keep-k-smallest; at 100 TB the sketch is "
+    "k int64s per group riding a broadcast, vs a data-sized exact "
+    "distinct shuffle). Bottom-k rides row_number + filter, which "
+    "Spark executes as WindowGroupLimit (partial per-partition top-k "
+    "BEFORE the exchange — the rank_topn_per_group plan shape). "
+    "Estimate = (k-1)*P div h_(k), exact integer division both "
+    "engines reproduce bit-for-bit; err_ppm quantifies the ~1/sqrt(k) "
+    "(~9%) expected relative error against the exact count computed "
+    "side-by-side.",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority AS grp, o_custkey,
+             {_KMV_SQL_H} AS h
+      FROM orders
+    ),
+    exact AS (
+      SELECT grp, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM d GROUP BY grp
+      UNION ALL
+      SELECT '_ALL_', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM d
+    ),
+    hashes AS (
+      SELECT grp, h FROM (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM (SELECT DISTINCT grp, h FROM d)
+      ) WHERE rn <= {_KMV_K}
+    ),
+    merged AS (
+      SELECT '_ALL_' AS grp, h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM hashes)
+      ) WHERE rn <= {_KMV_K}
+    ),
+    sk AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_sketch,
+             CAST(max(h) AS BIGINT) AS kth_hash
+      FROM (SELECT * FROM hashes UNION ALL SELECT * FROM merged)
+      GROUP BY grp
+    )
+    SELECT sk.grp,
+           exact.n_exact,
+           sk.n_sketch,
+           sk.kth_hash,
+           CAST(CASE WHEN sk.n_sketch < {_KMV_K} THEN sk.n_sketch
+                ELSE ({_KMV_K - 1} * {_BLOOM_PRIME}) // sk.kth_hash
+                END AS BIGINT) AS kmv_est,
+           CAST(abs(CASE WHEN sk.n_sketch < {_KMV_K} THEN sk.n_sketch
+                    ELSE ({_KMV_K - 1} * {_BLOOM_PRIME}) // sk.kth_hash
+                    END - exact.n_exact) * 1000000
+                // exact.n_exact AS BIGINT) AS err_ppm
+    FROM sk JOIN exact ON exact.grp = sk.grp
+    ORDER BY sk.grp
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.selectExpr(
+        "o_orderpriority AS grp", "o_custkey", f"{_KMV_SQL_H} AS h"
+    ).distinct()
+    exact = d.groupBy("grp").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    exact_all = d.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    ).select(F.lit("_ALL_").alias("grp"), "n_exact")
+    exact = exact.unionByName(exact_all)
+
+    w = Window.partitionBy("grp").orderBy("h")
+    hashes = (
+        d.select("grp", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+        # feeds BOTH the per-group sketch agg and the _ALL_ merge
+        .persist()
+    )
+    merged = (
+        hashes.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+        .select(F.lit("_ALL_").alias("grp"), "h")
+    )
+    sk = (
+        hashes.unionByName(merged)
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_sketch"),
+            F.max("h").cast("long").alias("kth_hash"),
+        )
+    )
+    est = F.when(
+        F.col("n_sketch") < _KMV_K, F.col("n_sketch")
+    ).otherwise(
+        F.expr(f"{_KMV_K - 1} * {_BLOOM_PRIME} div kth_hash")
+    ).cast("long")
+    return (
+        sk.join(exact, "grp")
+        .withColumn("kmv_est", est)
+        .withColumn(
+            "err_ppm",
+            F.expr("abs(kmv_est - n_exact) * 1000000 div n_exact")
+            .cast("long"),
+        )
+        .select(
+            "grp", "n_exact", "n_sketch", "kth_hash", "kmv_est", "err_ppm"
+        )
+        .orderBy("grp")
+    )

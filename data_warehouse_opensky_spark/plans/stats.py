@@ -2331,3 +2331,105 @@ def stats_cuped_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(rho2 * 1000000) AS BIGINT) AS var_reduction_e6",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend (round 9) — median-of-pairwise-slopes
+# --------------------------------------------------------------------------
+@query(
+    "stats_theil_sen_trend",
+    tier="T2",
+    doc="Theil–Sen robust slope of daily order revenue per year: the "
+    "median of all pairwise slopes (rev_j - rev_i)/(day_j - day_i) — "
+    "29% breakdown point vs OLS's zero (stats_linear_regression is "
+    "the OLS twin; one corrupted day there moves the fit, here it "
+    "moves nothing). Exactness: revenue is cent-integers at the day "
+    "grain, each slope is ONE truncating integer division "
+    "(dy * 1e6 div dx — Spark `div` and DuckDB `//` both truncate "
+    "toward zero, verified including negative dy), and the median of "
+    "an integer multiset is a deterministic order statistic (lower "
+    "median at rank (n+1) div 2), so both engines agree bit-for-bit "
+    "with no float in sight. Scale shape: the pairwise stage is "
+    "O(days^2) on the DAY-GRAIN aggregate — calendar-bounded "
+    "(~365 days/year -> ~66k pairs/year) and INDEPENDENT of fact "
+    "rows, so the self-join rides a broadcast of the tiny day table "
+    "at any corpus size; the only data-sized pass is the first "
+    "map-side-combined day aggregate. Packed bounds: |dy|*1e6 is "
+    "int64-exact while daily revenue < ~9e12 cents (~3 orders of "
+    "magnitude above sf1); past that, lift the slope scale to "
+    "DECIMAL(38,0) as the covariance gates do.",
+    oracle="""
+    WITH d AS (
+      SELECT year(o_orderdate) AS yr, dayofyear(o_orderdate) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.yr, (b.rev_c - a.rev_c) * 1000000 // (b.x - a.x) AS slope_e6
+      FROM d a JOIN d b ON a.yr = b.yr AND a.x < b.x
+    ),
+    r AS (
+      SELECT yr, slope_e6,
+             row_number() OVER (PARTITION BY yr ORDER BY slope_e6) AS rn,
+             count(*) OVER (PARTITION BY yr) AS n_pairs
+      FROM p
+    )
+    SELECT r.yr AS yr,
+           CAST(nd.n_days AS BIGINT) AS n_days,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           CAST(r.slope_e6 AS BIGINT) AS theilsen_slope_e6
+    FROM r
+    JOIN (SELECT yr, count(*) AS n_days FROM d GROUP BY yr) nd
+      ON nd.yr = r.yr
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    ORDER BY yr
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.dayofyear("o_orderdate").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+        # day grain feeds the pair join twice + the n_days agg; it is
+        # calendar-bounded (~2.4k rows at ANY sf), hence the persist +
+        # broadcast below stay valid at 100 TB.
+        .persist()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(
+        F.broadcast(b),
+        (F.col("a.yr") == F.col("b.yr")) & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.yr").alias("yr"),
+        F.expr("(b.rev_c - a.rev_c) * 1000000 div (b.x - a.x)").alias(
+            "slope_e6"
+        ),
+    )
+    w = Window.partitionBy("yr").orderBy("slope_e6")
+    r = p.select(
+        "yr",
+        "slope_e6",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("yr")).alias("n_pairs"),
+    ).filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+    nd = d.groupBy("yr").agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        r.join(F.broadcast(nd), "yr")
+        .select(
+            "yr",
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_e6").cast("long").alias("theilsen_slope_e6"),
+        )
+        .orderBy("yr")
+    )

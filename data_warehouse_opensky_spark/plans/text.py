@@ -870,3 +870,41 @@ def bpe_train(spark: SparkSession, sf_dir: str):
             ),
         )
     return cur.persist(), merges
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (round 9) — local fingerprinting with the
+# K+W-1 match guarantee; operator + doctrine in operators/winnow.py.
+# --------------------------------------------------------------------------
+from ..operators import winnow as WN  # noqa: E402
+
+
+@query(
+    "text_winnowing",
+    tier="T3",
+    doc="Per-document winnowing profile (Schleimer et al. 2003, the "
+    "MOSS fingerprinting scheme; T3.4): polynomial 4-token-gram "
+    "hashes, min selected over every 5-gram window, distinct selected "
+    "set per document — any shared run of >= K+W-1 = 8 tokens is "
+    "GUARANTEED to share a fingerprint (same 8-token grain as "
+    "operators/text.py SPAN_NGRAM, so winnowing's ~2/(W+1) density "
+    "is directly comparable to the exhaustive span report it "
+    "pre-filters for). density_e6 is exact ppm; observed mean "
+    "~0.36e6 vs the paper's 2/(W+1) = 0.33e6 expectation. One "
+    "exchange on doc_id; every other step is a doc-local window.",
+    oracle=f"""
+    WITH {WN.WINNOW_ORACLE_CTE}
+    SELECT doc_id,
+           CAST(max(n_grams) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_fps,
+           CAST(min(fp) AS BIGINT) AS fp_min,
+           CAST(max(fp) AS BIGINT) AS fp_max,
+           CAST(count(DISTINCT fp) * 1000000 // count(*) AS BIGINT)
+             AS density_e6
+    FROM win GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return WN.doc_profile(WN.fingerprint_stream(d)).orderBy("doc_id")

@@ -7,7 +7,7 @@ markdown table for SCALE.md §31. min-of-2 per (query, sf); caches
 cleared between runs (catalog contract).
 
 Usage: python scripts/run_scale_curve.py
-    [lineitem|embeddings|documents|streaming|all]
+    [lineitem|embeddings|documents|streaming|round9|all]
 (default lineitem — the original §31 family; `embeddings` runs the
 similarity/ANN chain on the isomorphic text/vector replicas,
 VERDICT r6 #4; `documents` the text/corpus chain on the Caesar
@@ -78,6 +78,23 @@ FAMILIES = {
         "streaming_dedup_within_watermark",
         "streaming_stateful_running_agg",
         "session_window_stats",
+    ],
+    # round-9 additions. Winnowing is the data-heavy one (token-grain
+    # explode + pair join); under the Caesar replication each replica's
+    # token hashes are bijectively remapped, so winnowed fingerprints
+    # never collide across replicas — pair structure replicates exactly
+    # (weak scaling). KMV/Theil–Sen ride the key-offset orders
+    # replicas: distinct customers scale with k, the KMV sketch stays
+    # 128 words, and the Theil–Sen pairwise stage is calendar-bounded
+    # (day count constant under replication) — the curve should show
+    # the first-aggregate linear term only.
+    "round9": [
+        "text_winnowing",
+        "dedup_winnowing_pairs",
+        "sketch_kmv_distinct",
+        "stats_theil_sen_trend",
+        "corpus_shuffle_shards",
+        "corpus_interleave_order",
     ],
 }
 CURVE_QUERIES = FAMILIES["lineitem"]

@@ -363,3 +363,136 @@ def test_zorder_interleave_bit_exact(spark):
     ).select("want", F.expr(_z_interleave("div")).alias("got"))
     for r in df.collect():
         assert r["got"] == r["want"], (r["want"], r["got"])
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (operators/winnow.py) — round 9
+# ---------------------------------------------------------------------------
+def test_winnowing_match_guarantee(spark):
+    """The paper's guarantee: two documents sharing a token run of
+    length >= K + W - 1 (= 8 here) MUST share at least one selected
+    fingerprint, whatever the surrounding text. Planted: an 8-token
+    run embedded in otherwise-disjoint vocabularies."""
+    from data_warehouse_opensky_spark.operators import winnow as W
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb cc dd ee ff {run} gg hh ii jj kk"),
+            (2, f"zz yy xx ww vv uu tt ss {run} rr qq pp"),
+            # control: fully disjoint vocabulary, no shared run
+            (3, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12 m13 m14 m15 m16"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = {
+        (r["doc_id"], r["fp"])
+        for r in W.fingerprint_stream(docs).select("doc_id", "fp").collect()
+    }
+    s1 = {fp for d, fp in fps if d == 1}
+    s2 = {fp for d, fp in fps if d == 2}
+    s3 = {fp for d, fp in fps if d == 3}
+    assert s1 & s2, "guaranteed shared fingerprint missing"
+    assert not (s1 & s3) and not (s2 & s3), "disjoint docs share a fp"
+
+
+def test_winnowing_profile_invariants(spark):
+    """Structural invariants on real fixture docs: n_windows =
+    n_grams - W + 1 (every fixture doc has >= W grams), 1 <= n_fps <=
+    n_windows, and fp bounds are consistent."""
+    from data_warehouse_opensky_spark.operators import winnow as W
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    prof = W.doc_profile(W.fingerprint_stream(d)).collect()
+    assert len(prof) == d.count()
+    for r in prof:
+        assert r["n_windows"] == r["n_grams"] - W.WINNOW_W + 1
+        assert 1 <= r["n_fps"] <= r["n_windows"]
+        assert r["fp_min"] <= r["fp_max"]
+        assert r["density_e6"] == r["n_fps"] * 1_000_000 // r["n_windows"]
+
+
+def test_winnowing_pair_df_cap_drops_boilerplate(spark):
+    """pair_candidates must drop fingerprints whose document frequency
+    exceeds WINNOW_DF_CAP before the bucket join (the hot-shingle cap):
+    a boilerplate fp shared by 60 docs contributes NO pairs, while two
+    fps shared by 3 docs produce exactly those 3 pairs at
+    n_shared_fps = 2."""
+    from data_warehouse_opensky_spark.operators import winnow as W
+
+    rows = [(d, 777) for d in range(100, 160)]  # hot fp: df = 60 > cap
+    rows += [(d, 11) for d in (1, 2, 3)]        # cold fps: df = 3
+    rows += [(d, 22) for d in (1, 2, 3)]
+    stream = spark.createDataFrame(rows, "doc_id LONG, fp LONG")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_fps"]
+        for r in W.pair_candidates(stream).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 2, (2, 3): 2}
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch + Theil–Sen + interleave (round 9)
+# ---------------------------------------------------------------------------
+def test_kmv_merge_equals_direct_global():
+    """Mergeability, the property the _ALL_ row of sketch_kmv_distinct
+    rides: the k smallest of a union equal the k smallest of the union
+    of per-group k-smallest sets. Pure arithmetic over the query's own
+    hash family."""
+    k = 128
+    a, b, p = 2_654_435_761, 1_779_033_703, 4294967311
+    keys = list(range(1, 5001))
+    h = {x: (a * x + b) % p for x in keys}
+    groups: dict[int, list[int]] = {}
+    for x in keys:
+        groups.setdefault(x % 7, []).append(h[x])
+    merged_input = sorted(
+        {v for g in groups.values() for v in sorted(set(g))[:k]}
+    )[:k]
+    direct = sorted(set(h.values()))[:k]
+    assert merged_input == direct
+
+
+def test_theil_sen_ignores_outlier_day(tmp_path, spark):
+    """Planted series: revenue rises exactly 500 cents/day except one
+    catastrophic outlier day (1000x). OLS over this series is dragged
+    by the outlier; the Theil–Sen median slope must still read exactly
+    500 cents/day = 500e6 slope_e6 (the median of pairwise slopes is
+    untouched while < 29% of points are corrupt)."""
+    import datetime
+
+    from data_warehouse_opensky_spark.plans.stats import stats_theil_sen_trend
+
+    rows = []
+    for day in range(1, 61):
+        price = (1000 + 500 * day) / 100.0  # dollars; cents = 1000+500*day
+        if day == 30:
+            price *= 1000  # the outlier
+        rows.append((datetime.date(2024, 1, 1) + datetime.timedelta(days=day - 1), price))
+    spark.createDataFrame(rows, "o_orderdate DATE, o_totalprice DOUBLE").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    out = stats_theil_sen_trend(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["yr"] == 2024 and r["n_days"] == 60
+    assert r["theilsen_slope_e6"] == 500 * 1_000_000
+
+
+def test_interleave_prefix_is_source_proportional(tmp_path, spark):
+    """With sources of size 10 and 30, every prefix of the interleaved
+    stream must hold the sources in ~1:3 proportion (midpoint-quantile
+    virtual positions guarantee it to within one doc). The emitted
+    24-row head of a 40-doc corpus must therefore carry 6 +/- 1 docs
+    of the small source."""
+    from data_warehouse_opensky_spark.plans.corpus import corpus_interleave_order
+
+    rows = [(i, "small", "x", "en", 10) for i in range(10)]
+    rows += [(100 + i, "big", "x", "en", 10) for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, text STRING, lang STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = corpus_interleave_order(spark, str(tmp_path)).collect()
+    assert [r["rank"] for r in out] == list(range(1, 25))
+    n_small = sum(1 for r in out if r["source"] == "small")
+    assert 5 <= n_small <= 7, n_small
