@@ -22,18 +22,20 @@ from . import sketches  # noqa: E402,F401
 # registration order, so the front of the registry is rotated each round
 # to cycle driver coverage across the whole catalog. Round-9 front
 # (VERDICT r8 directive #6, amended late round 9): the window leads
-# with the 6 queries ADDED in round 9 (never driver-checked:
+# with the 10 queries ADDED in round 9 (never driver-checked:
 # winnowing fingerprints + pairs, KMV distinct sketch, Theil–Sen
-# trend, shuffle shards, mixture interleave), then the 7 queries
-# whose PLAN CODE changed in round 9 — the 6 multimodal plans
+# trend, shuffle shards, mixture interleave, neighbor Jaccard,
+# l-diversity audit, runs test, recursive-CTE hierarchy), then the 7
+# queries whose PLAN CODE changed in round 9 — the 6 multimodal plans
 # (documents load switched to spread=True, fixing the single-partition
 # Python stage the r8 judge graded `weak`) and
 # dedup_exact_substring_spans (join key widened from one 60-bit md5
-# half to the full 128 bits, ADVICE r8) — followed by 37 of the 47
+# half to the full 128 bits, ADVICE r8) — followed by 33 of the 47
 # remaining round-4-cohort greens (oldest latest-driver-check in the
 # catalog; multimodal_phash_dedup is r4-cohort AND r9-touched). The
-# r4 stragglers that no longer fit (stats_ks_drift,
-# streaming_hopping_topk, streaming_static_enrich,
+# r4 stragglers that no longer fit (opensky_grid_density,
+# schema_evolution_union, set_ops_except_all, stats_chi2_independence,
+# stats_ks_drift, streaming_hopping_topk, streaming_static_enrich,
 # streaming_upsert_sink_snapshot, text_bigram_logprob,
 # text_char_entropy, plus the 4 already queued: text_heavy_hitters,
 # text_inverted_index, text_langid_confusion,
@@ -43,13 +45,17 @@ from . import sketches  # noqa: E402,F401
 # against the committed pin table (tests/oracle_pins.json, new in r9),
 # and by the per-session full driver-contract sweep at sf0.01.
 DRIVER_WINDOW_PRIORITY = [
-    # ==== 6 queries added in round 9 (never windowed) =====================
+    # ==== 10 queries added in round 9 (never windowed) ====================
     "text_winnowing",
     "dedup_winnowing_pairs",
     "sketch_kmv_distinct",
     "stats_theil_sen_trend",
     "corpus_shuffle_shards",
     "corpus_interleave_order",
+    "graph_neighbor_jaccard",
+    "audit_l_diversity",
+    "stats_runs_test",
+    "sql_recursive_hierarchy",
     # ==== 7 plans whose code changed in round 9 ===========================
     "multimodal_decode_meta",
     "multimodal_frame_sample",
@@ -58,7 +64,7 @@ DRIVER_WINDOW_PRIORITY = [
     "multimodal_audio_meta",
     "multimodal_phash_dedup",
     "dedup_exact_substring_spans",
-    # ==== 37 re-confirmations: oldest (round-4) cohort ====================
+    # ==== 33 re-confirmations: oldest (round-4) cohort ====================
     "agg_mode_deterministic",
     "approx_distinct_hll_mart",
     "audit_expectations",
@@ -92,10 +98,6 @@ DRIVER_WINDOW_PRIORITY = [
     "mart_rolling_distinct_7d",
     "mart_sequence_patterns",
     "opensky_airline_traffic",
-    "opensky_grid_density",
-    "schema_evolution_union",
-    "set_ops_except_all",
-    "stats_chi2_independence",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

@@ -980,3 +980,72 @@ def join_skew_salted_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_key"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 recursive CTE (WITH RECURSIVE → UnionLoop) — round 9b
+# --------------------------------------------------------------------------
+_RECURSIVE_HIERARCHY = """
+WITH RECURSIVE edges AS (
+  SELECT 'R' || CAST(n_regionkey AS STRING) AS parent,
+         'N' || CAST(n_nationkey AS STRING) AS child
+  FROM {nation}
+  UNION ALL
+  SELECT 'N' || CAST(c_nationkey AS STRING),
+         'C' || CAST(c_custkey AS STRING)
+  FROM {customer}
+),
+tree(node, root, depth) AS (
+  SELECT 'R' || CAST(r_regionkey AS STRING), r_name, 0 FROM {region}
+  UNION ALL
+  SELECT e.child, t.root, t.depth + 1
+  FROM tree t JOIN edges e ON e.parent = t.node
+)
+SELECT root, CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM tree GROUP BY root, depth ORDER BY root, depth
+"""
+
+
+@query(
+    "sql_recursive_hierarchy",
+    tier="T2",
+    doc="WITH RECURSIVE over the region→nation→customer tree: per-root "
+    "node counts by depth, written as a genuine recursive CTE — the "
+    "Spark 4.0+ surface (UnionLoop physical operator: the recursion "
+    "repeats frontier⋈edges until a fixpoint, exactly the "
+    "level-synchronous join graph_bfs_hops hand-unrolls). Recursion "
+    "is the RIGHT tool here because the walked structure is a TREE — "
+    "paths are unique, so UNION ALL recursion carries no "
+    "combinatorial blowup (contrast graph_bfs_hops' docstring: on a "
+    "cyclic graph all-paths recursion explodes and the deduped "
+    "frontier form is mandatory; its oracle hand-unrolls for the same "
+    "reason). Each recursive step is one hash join bounded by the "
+    "level's size, so a 100 TB child table costs the same single "
+    "equi-join it would in the unrolled plan. Keys are prefixed "
+    "('R'/'N'/'C') because the three key spaces overlap numerically.",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT 'R' || CAST(n_regionkey AS VARCHAR) AS parent,
+             'N' || CAST(n_nationkey AS VARCHAR) AS child
+      FROM nation
+      UNION ALL
+      SELECT 'N' || CAST(c_nationkey AS VARCHAR),
+             'C' || CAST(c_custkey AS VARCHAR)
+      FROM customer
+    ),
+    tree(node, root, depth) AS (
+      SELECT 'R' || CAST(r_regionkey AS VARCHAR), r_name, 0 FROM region
+      UNION ALL
+      SELECT e.child, t.root, t.depth + 1
+      FROM tree t JOIN edges e ON e.parent = t.node
+    )
+    SELECT root, CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM tree GROUP BY root, depth ORDER BY root, depth
+    """,
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_over_views(
+        spark, sf_dir, _RECURSIVE_HIERARCHY, ["region", "nation", "customer"]
+    )

@@ -1038,3 +1038,95 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lbl")
     )
+
+
+# --------------------------------------------------------------------------
+# Neighbor-set Jaccard link scoring (round 9b)
+# --------------------------------------------------------------------------
+@query(
+    "graph_neighbor_jaccard",
+    tier="T3",
+    doc="Link prediction via neighbor-set Jaccard on the repeat "
+    "co-purchase graph: score(x,z) = |N(x) ∩ N(z)| / |N(x) ∪ N(z)|, "
+    "held exact as the integer pair (n_common, deg_x + deg_z - "
+    "n_common) and emitted as jaccard_e6 = n_common * 1e6 div union "
+    "— no float until nothing is left to round. Complements "
+    "graph_link_prediction_ra: RA weights RARE common neighbors "
+    "(sum 1/deg), Jaccard normalizes by how connected the endpoints "
+    "already are — a hub pair with one shared neighbor scores low "
+    "here even when RA ranks it. Same scale-correct plan shape: one "
+    "wedge self-join on the center of the SPARSE signal graph "
+    "(degree-bounded), a broadcast-back of the tiny degree table, "
+    "anti-join out existing edges, TakeOrdered top-20.",
+    oracle=f"""
+    WITH e2 AS ({_repeat_edges_sql()}),
+    e AS (SELECT u, v FROM e2 UNION ALL SELECT v AS u, u AS v FROM e2),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    w AS (
+      SELECT a.v AS x, b.v AS z
+      FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+    ),
+    common AS (
+      SELECT x, z, CAST(count(*) AS BIGINT) AS n_common
+      FROM w GROUP BY x, z
+    ),
+    scored AS (
+      SELECT c.x, c.z, c.n_common,
+             dx.d + dz.d - c.n_common AS n_union,
+             c.n_common * 1000000 // (dx.d + dz.d - c.n_common)
+               AS jaccard_e6
+      FROM common c
+      JOIN deg dx ON dx.node = c.x
+      JOIN deg dz ON dz.node = c.z
+    )
+    SELECT s.x AS u, s.z AS v, s.n_common,
+           CAST(s.n_union AS BIGINT) AS n_union,
+           CAST(s.jaccard_e6 AS BIGINT) AS jaccard_e6
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM e2 WHERE e2.u = s.x AND e2.v = s.z)
+    ORDER BY s.jaccard_e6 DESC, u, v
+    LIMIT 20
+    """,
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e2 = _repeat_edges(spark, sf_dir).persist()
+    e = e2.unionAll(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    wa, wb = e.alias("wa"), e.alias("wb")
+    common = (
+        wa.join(
+            wb,
+            (F.col("wa.u") == F.col("wb.u")) & (F.col("wa.v") < F.col("wb.v")),
+        )
+        .groupBy(F.col("wa.v").alias("x"), F.col("wb.v").alias("z"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dz = deg.select(F.col("node").alias("z"), F.col("d").alias("dz"))
+    scored = (
+        common.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dz), "z")
+        .withColumn("n_union", F.expr("dx + dz - n_common").cast("long"))
+        .withColumn(
+            "jaccard_e6",
+            F.expr("n_common * 1000000 div n_union").cast("long"),
+        )
+    )
+    return (
+        scored.join(
+            e2,
+            (F.col("x") == F.col("u")) & (F.col("z") == F.col("v")),
+            "left_anti",
+        )
+        .select(
+            F.col("x").alias("u"),
+            F.col("z").alias("v"),
+            "n_common",
+            "n_union",
+            "jaccard_e6",
+        )
+        .orderBy(F.desc("jaccard_e6"), "u", "v")
+        .limit(20)
+    )

@@ -3216,3 +3216,61 @@ def mart_ndcg_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (round 9b) — companion to audit_k_anonymity
+# --------------------------------------------------------------------------
+L_DIVERSITY = 3  # minimum distinct sensitive values per QI group
+
+
+@query(
+    "audit_l_diversity",
+    tier="T2",
+    doc="l-diversity audit (Machanavajjhala et al. 2007), the privacy "
+    "gate k-anonymity alone cannot provide: a quasi-identifier group "
+    "can be large (k-anonymous) yet expose everyone in it when all "
+    "members share one sensitive value. Same QI tuple as "
+    "audit_k_anonymity (nation, market segment); sensitive attribute "
+    "= account-balance band (negative / 2500-dollar bands, exact "
+    "cent-integer banding with the negative case split out because "
+    "integer `div` truncates toward zero on both engines). Reports "
+    f"EVERY group with its distinct-band count and a below_l (l = "
+    f"{L_DIVERSITY}) flag. One map-side-combined groupBy on the QI "
+    "tuple + a distinct-count — the same single-scan shape as the "
+    "k-audit, so running both costs two scans at any corpus size.",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT CASE
+                  WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0 THEN -1
+                  ELSE CAST(round(c_acctbal * 100) AS BIGINT) // 250000
+                END) AS BIGINT) AS n_bands,
+           count(DISTINCT CASE
+                  WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0 THEN -1
+                  ELSE CAST(round(c_acctbal * 100) AS BIGINT) // 250000
+                END) < {L_DIVERSITY} AS below_l
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY nationkey, segment
+    """,
+)
+def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    band = F.expr(
+        "CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0 THEN -1 "
+        "ELSE CAST(round(c_acctbal * 100) AS BIGINT) div 250000 END"
+    )
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.countDistinct(band).cast("long").alias("n_bands"),
+        )
+        .withColumn("below_l", F.col("n_bands") < L_DIVERSITY)
+        .orderBy("nationkey", "segment")
+    )

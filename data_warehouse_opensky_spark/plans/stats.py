@@ -2433,3 +2433,136 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (round 9b) — randomness of a daily series
+# --------------------------------------------------------------------------
+@query(
+    "stats_runs_test",
+    tier="T2",
+    doc="Wald–Wolfowitz runs test on the daily order-count series: is "
+    "the sequence of above/below-median days random, or does demand "
+    "cluster (trend/seasonality leave long runs; negative "
+    "autocorrelation leaves too many short ones)? Complements "
+    "stats_autocorr_lag1 (parametric, magnitude-sensitive) with the "
+    "distribution-free sign-pattern view. Mechanics: lower median of "
+    "daily counts (exact order statistic), days equal to the median "
+    "dropped (the standard treatment), runs counted with one lag over "
+    "the date order, then z = (R - E[R]) / sqrt(Var[R]) with "
+    "E = 1 + 2*n1*n2/n and Var = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)) "
+    "— every input to the float stage is an exact int64 (n1, n2, R), "
+    "the formula is evaluated identically on both engines, and z "
+    "rounds at 6 dp (continuous-value doctrine). Scale: every window "
+    "here runs on the DAY GRAIN — calendar-bounded (~2.4k rows at any "
+    "sf), so the single-partition sequence windows are control-plane "
+    "sized by construction; the only data-sized pass is the "
+    "map-side-combined daily count.",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS od, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT n AS med FROM (
+        SELECT n, row_number() OVER (ORDER BY n) AS rn,
+               count(*) OVER () AS nd
+        FROM d
+      ) WHERE rn = (nd + 1) // 2
+    ),
+    s AS (
+      SELECT d.od, d.n > m.med AS above
+      FROM d, m WHERE d.n != m.med
+    ),
+    r AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY od) IS NULL THEN 1
+                  WHEN above != lag(above) OVER (ORDER BY od) THEN 1
+                  ELSE 0 END AS brk
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(sum(brk) AS BIGINT) AS n_runs
+      FROM r
+    )
+    SELECT n1 AS n_above, n2 AS n_below, n1 + n2 AS n_used, n_runs,
+           round((CAST(n_runs AS DOUBLE)
+                  - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * (n1 + n2) * (n1 + n2 - 1))), 6) AS z_score
+    FROM agg
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("od")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    med = (
+        d.select(
+            "n",
+            F.row_number().over(Window.orderBy("n")).alias("rn"),
+            F.count("*").over(
+                Window.partitionBy()
+            ).alias("nd"),
+        )
+        .filter(F.col("rn") == F.expr("(nd + 1) div 2"))
+        .select(F.col("n").alias("med"))
+    )
+    s = d.crossJoin(F.broadcast(med)).filter(F.col("n") != F.col("med"))
+    s = s.select("od", (F.col("n") > F.col("med")).alias("above"))
+    wseq = Window.orderBy("od")
+    r = s.select(
+        "above",
+        F.when(F.lag("above").over(wseq).isNull(), 1)
+        .when(F.col("above") != F.lag("above").over(wseq), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1))
+        .cast("long")
+        .alias("n2"),
+        F.sum("brk").cast("long").alias("n_runs"),
+    )
+    return agg.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        (F.col("n1") + F.col("n2")).cast("long").alias("n_used"),
+        "n_runs",
+        F.round(
+            (
+                F.col("n_runs").cast("double")
+                - (
+                    F.lit(1.0)
+                    + F.lit(2.0)
+                    * F.col("n1")
+                    * F.col("n2")
+                    / (F.col("n1") + F.col("n2"))
+                )
+            )
+            / F.sqrt(
+                F.lit(2.0)
+                * F.col("n1")
+                * F.col("n2")
+                * (
+                    F.lit(2.0) * F.col("n1") * F.col("n2")
+                    - (F.col("n1") + F.col("n2"))
+                )
+                / (
+                    (F.col("n1") + F.col("n2")).cast("double")
+                    * (F.col("n1") + F.col("n2"))
+                    * (F.col("n1") + F.col("n2") - 1)
+                )
+            ),
+            6,
+        ).alias("z_score"),
+    )

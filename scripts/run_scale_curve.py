@@ -95,6 +95,13 @@ FAMILIES = {
         "stats_theil_sen_trend",
         "corpus_shuffle_shards",
         "corpus_interleave_order",
+        # batch 2: wedge join on the sparse signal graph / single-scan
+        # QI audit / day-grain sequence stat / UnionLoop recursion whose
+        # deepest level joins the replicated customer table
+        "graph_neighbor_jaccard",
+        "audit_l_diversity",
+        "stats_runs_test",
+        "sql_recursive_hierarchy",
     ],
 }
 CURVE_QUERIES = FAMILIES["lineitem"]

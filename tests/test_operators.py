@@ -496,3 +496,91 @@ def test_interleave_prefix_is_source_proportional(tmp_path, spark):
     assert [r["rank"] for r in out] == list(range(1, 25))
     n_small = sum(1 for r in out if r["source"] == "small")
     assert 5 <= n_small <= 7, n_small
+
+
+# ---------------------------------------------------------------------------
+# Round-9b additions: runs test, l-diversity, neighbor Jaccard
+# ---------------------------------------------------------------------------
+def test_runs_test_reads_clustering_and_alternation(tmp_path, spark):
+    """Planted sign patterns: a half-high/half-low series has exactly
+    2 runs (maximal clustering, z << 0); a perfectly alternating
+    series has n runs (maximal mixing, z > 0)."""
+    import datetime
+
+    from data_warehouse_opensky_spark.plans.stats import stats_runs_test
+
+    def mk(pattern, sub):
+        rows = []
+        d0 = datetime.date(2024, 1, 1)
+        for day, n in enumerate(pattern):
+            for k in range(n):
+                rows.append((d0 + datetime.timedelta(days=day), 1.0))
+        p = tmp_path / sub
+        spark.createDataFrame(
+            rows, "o_orderdate DATE, o_totalprice DOUBLE"
+        ).write.mode("overwrite").parquet(str(p / "orders.parquet"))
+        return str(p)
+
+    # Bands must straddle the median: a two-valued series degenerates
+    # (the lower median equals the low value and median-ties drop).
+    # Here the median is 3 (the top of the low band), the seven 3-days
+    # drop, and the remaining 20-above/14-below sequence is two blocks.
+    clustered = mk(
+        [10 + d % 3 for d in range(20)] + [1 + d % 3 for d in range(21)],
+        "clustered",
+    )
+    r = stats_runs_test(spark, clustered).collect()[0]
+    assert r["n_runs"] == 2 and r["n_above"] == 20 and r["n_below"] == 14
+    assert r["z_score"] < -5
+
+    # Alternating high/low; half the low days tie the median (2) and
+    # drop, leaving the h,l,h,h,l,h,... pattern with 1 + 2*10 runs.
+    alternating = mk(
+        [(10 + d // 2 % 2) if d % 2 == 0 else (1 + d // 2 % 2)
+         for d in range(40)],
+        "alternating",
+    )
+    r = stats_runs_test(spark, alternating).collect()[0]
+    assert r["n_above"] == 20 and r["n_below"] == 10
+    assert r["n_runs"] == 21
+    assert r["z_score"] > 2
+
+
+def test_l_diversity_flags_homogeneous_group(tmp_path, spark):
+    """A QI group whose members all share one sensitive band must be
+    flagged below_l even when it is large (k-anonymous); a group with
+    3 bands must not."""
+    from data_warehouse_opensky_spark.plans.marts import audit_l_diversity
+
+    rows = [(1, "AUTO", 100.0)] * 10                      # 1 band, big group
+    rows += [(2, "AUTO", v) for v in (100.0, 3000.0, 6000.0)]  # 3 bands
+    spark.createDataFrame(
+        rows, "c_nationkey INT, c_mktsegment STRING, c_acctbal DOUBLE"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = {
+        (r["nationkey"], r["segment"]): r
+        for r in audit_l_diversity(spark, str(tmp_path)).collect()
+    }
+    assert out[(1, "AUTO")]["below_l"] and out[(1, "AUTO")]["n_bands"] == 1
+    assert not out[(2, "AUTO")]["below_l"]
+    assert out[(2, "AUTO")]["n_bands"] == 3
+
+
+def test_neighbor_jaccard_path_graph(tmp_path, spark):
+    """Planted repeat co-purchase path a-b-c (each edge in 2 orders):
+    the only non-edge candidate is (a, c) with one common neighbor and
+    degree-1 endpoints -> Jaccard exactly 1.0 (1e6)."""
+    from data_warehouse_opensky_spark.plans.graph import graph_neighbor_jaccard
+
+    a, b, c = 10, 20, 30
+    baskets = {1: (a, b), 2: (a, b), 3: (b, c), 4: (b, c)}
+    rows = [(ok, p) for ok, ps in baskets.items() for p in ps]
+    spark.createDataFrame(
+        rows, "l_orderkey LONG, l_partkey LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = graph_neighbor_jaccard(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["v"]) == (a, c)
+    assert r["n_common"] == 1 and r["n_union"] == 1
+    assert r["jaccard_e6"] == 1_000_000
