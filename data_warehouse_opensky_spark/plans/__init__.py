@@ -22,23 +22,24 @@ from . import sketches  # noqa: E402,F401
 # registration order, so the front of the registry is rotated each round
 # to cycle driver coverage across the whole catalog. Round-9 front
 # (VERDICT r8 directive #6, amended late round 9): the window leads
-# with the 10 queries ADDED in round 9 (never driver-checked:
+# with the 12 queries ADDED in round 9 (never driver-checked:
 # winnowing fingerprints + pairs, KMV distinct sketch, Theil–Sen
 # trend, shuffle shards, mixture interleave, neighbor Jaccard,
-# l-diversity audit, runs test, recursive-CTE hierarchy), then the 7
-# queries whose PLAN CODE changed in round 9 — the 6 multimodal plans
-# (documents load switched to spread=True, fixing the single-partition
-# Python stage the r8 judge graded `weak`) and
-# dedup_exact_substring_spans (join key widened from one 60-bit md5
-# half to the full 128 bits, ADVICE r8) — followed by 33 of the 47
-# remaining round-4-cohort greens (oldest latest-driver-check in the
-# catalog; multimodal_phash_dedup is r4-cohort AND r9-touched). The
-# r4 stragglers that no longer fit (opensky_grid_density,
-# schema_evolution_union, set_ops_except_all, stats_chi2_independence,
-# stats_ks_drift, streaming_hopping_topk, streaming_static_enrich,
-# streaming_upsert_sink_snapshot, text_bigram_logprob,
-# text_char_entropy, plus the 4 already queued: text_heavy_hitters,
-# text_inverted_index, text_langid_confusion,
+# l-diversity audit, runs test, recursive-CTE hierarchy, Spearman
+# rho, Kendall tau-b), then the 7 queries whose PLAN CODE changed in
+# round 9 — the 6 multimodal plans (documents load switched to
+# spread=True, fixing the single-partition Python stage the r8 judge
+# graded `weak`) and dedup_exact_substring_spans (join key widened
+# from one 60-bit md5 half to the full 128 bits, ADVICE r8) —
+# followed by 31 of the 47 remaining round-4-cohort greens (oldest
+# latest-driver-check in the catalog; multimodal_phash_dedup is
+# r4-cohort AND r9-touched). The r4 stragglers that no longer fit
+# (mart_sequence_patterns, opensky_airline_traffic,
+# opensky_grid_density, schema_evolution_union, set_ops_except_all,
+# stats_chi2_independence, stats_ks_drift, streaming_hopping_topk,
+# streaming_static_enrich, streaming_upsert_sink_snapshot,
+# text_bigram_logprob, text_char_entropy, plus the 4 already queued:
+# text_heavy_hitters, text_inverted_index, text_langid_confusion,
 # window_percent_rank_cume_dist) lead the round-10 window. Queries
 # displaced past slot 50 stay covered by tests/test_oracle.py, which
 # runs ALL of them vs DuckDB at sf0.001 AND asserts every result
@@ -56,6 +57,8 @@ DRIVER_WINDOW_PRIORITY = [
     "audit_l_diversity",
     "stats_runs_test",
     "sql_recursive_hierarchy",
+    "stats_spearman_rank_corr",
+    "stats_kendall_tau",
     # ==== 7 plans whose code changed in round 9 ===========================
     "multimodal_decode_meta",
     "multimodal_frame_sample",
@@ -64,7 +67,7 @@ DRIVER_WINDOW_PRIORITY = [
     "multimodal_audio_meta",
     "multimodal_phash_dedup",
     "dedup_exact_substring_spans",
-    # ==== 33 re-confirmations: oldest (round-4) cohort ====================
+    # ==== 31 re-confirmations: oldest (round-4) cohort ====================
     "agg_mode_deterministic",
     "approx_distinct_hll_mart",
     "audit_expectations",
@@ -96,8 +99,6 @@ DRIVER_WINDOW_PRIORITY = [
     "mart_market_basket",
     "mart_retention_cohorts",
     "mart_rolling_distinct_7d",
-    "mart_sequence_patterns",
-    "opensky_airline_traffic",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

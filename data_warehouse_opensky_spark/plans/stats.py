@@ -2566,3 +2566,205 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rank correlations (round 9b): Spearman rho and Kendall tau-b
+# --------------------------------------------------------------------------
+@query(
+    "stats_spearman_rank_corr",
+    tier="T2",
+    doc="Spearman rank correlation between daily order COUNT and daily "
+    "revenue — the monotonic-association twin of stats_corr_qty_price "
+    "(Pearson measures linearity; Spearman survives any monotone "
+    "transform and is outlier-robust). Tie handling is the textbook "
+    "average rank, kept EXACT by working in doubled ranks: avg rank "
+    "of a tie block = min_rank + (cnt-1)/2, so 2*avg = 2*rank() + "
+    "count(*)-over-value - 1 is always an integer. rho is then the "
+    "Pearson of the doubled ranks — numerator and both variance terms "
+    "are exact int64 sufficient statistics (day grain: n ~ 2.4k, "
+    "sums < 2^47), one final float division rounded at 6 dp. Scale: "
+    "the only data-sized pass is the daily aggregate; ranking windows "
+    "run on the CALENDAR-BOUNDED day grain.",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS od,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT 2 * rank() OVER (ORDER BY n)
+               + count(*) OVER (PARTITION BY n) - 1 AS rx,
+             2 * rank() OVER (ORDER BY rev_c)
+               + count(*) OVER (PARTITION BY rev_c) - 1 AS ry
+      FROM d
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy
+      FROM r
+    )
+    SELECT nd AS n_days,
+           round((CAST(nd * sxy - sx * sy AS DOUBLE))
+                 / sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
+                        * CAST(nd * syy - sy * sy AS DOUBLE)), 6)
+             AS spearman_rho
+    FROM s
+    """,
+)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("od")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c"),
+    )
+    rx = (
+        F.lit(2) * F.rank().over(Window.orderBy("n"))
+        + F.count("*").over(Window.partitionBy("n"))
+        - 1
+    ).cast("long")
+    ry = (
+        F.lit(2) * F.rank().over(Window.orderBy("rev_c"))
+        + F.count("*").over(Window.partitionBy("rev_c"))
+        - 1
+    ).cast("long")
+    r = d.select(rx.alias("rx"), ry.alias("ry"))
+    s = r.agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        F.col("nd").alias("n_days"),
+        F.round(
+            (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * (F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "stats_kendall_tau",
+    tier="T2",
+    doc="Kendall tau-b between daily order count and daily revenue: "
+    "concordant minus discordant pairs over the tie-corrected "
+    "geometric mean, the third classical correlation (Pearson = "
+    "linearity, Spearman = monotonicity via ranks, Kendall = pairwise "
+    "order agreement with the cleanest tie theory and ~normal null "
+    "already at small n). C, D and the tie terms are exact int64 "
+    "counts; only the final ratio is float (6 dp). The O(days^2) "
+    "pair stage is CALENDAR-BOUNDED (~2.9M pairs at any sf — same "
+    "broadcast self-join doctrine as stats_theil_sen_trend); the "
+    "only data-sized pass is the daily aggregate.",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS od,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT CASE WHEN (a.n < b.n AND a.rev_c < b.rev_c)
+                    OR (a.n > b.n AND a.rev_c > b.rev_c) THEN 1 ELSE 0
+             END AS conc,
+             CASE WHEN (a.n < b.n AND a.rev_c > b.rev_c)
+                    OR (a.n > b.n AND a.rev_c < b.rev_c) THEN 1 ELSE 0
+             END AS disc,
+             CASE WHEN a.n = b.n THEN 1 ELSE 0 END AS tie_x,
+             CASE WHEN a.rev_c = b.rev_c THEN 1 ELSE 0 END AS tie_y
+      FROM d a JOIN d b ON a.od < b.od
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(conc) AS BIGINT) AS c,
+             CAST(sum(disc) AS BIGINT) AS dd,
+             CAST(sum(tie_x) AS BIGINT) AS n1,
+             CAST(sum(tie_y) AS BIGINT) AS n2
+      FROM p
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+    SELECT nd.n_days, s.n0 AS n_pairs, s.c AS n_concordant,
+           s.dd AS n_discordant,
+           round(CAST(s.c - s.dd AS DOUBLE)
+                 / sqrt(CAST(s.n0 - s.n1 AS DOUBLE)
+                        * CAST(s.n0 - s.n2 AS DOUBLE)), 6) AS kendall_tau_b
+    FROM s, nd
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(F.to_date("o_orderdate").alias("od"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c"),
+        )
+        # day grain feeds the pair join twice + the count — calendar-
+        # bounded, so persist + broadcast stay valid at any sf.
+        .persist()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(F.broadcast(b), F.col("a.od") < F.col("b.od")).select(
+        F.when(
+            ((F.col("a.n") < F.col("b.n")) & (F.col("a.rev_c") < F.col("b.rev_c")))
+            | ((F.col("a.n") > F.col("b.n")) & (F.col("a.rev_c") > F.col("b.rev_c"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            ((F.col("a.n") < F.col("b.n")) & (F.col("a.rev_c") > F.col("b.rev_c")))
+            | ((F.col("a.n") > F.col("b.n")) & (F.col("a.rev_c") < F.col("b.rev_c"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("disc"),
+        F.when(F.col("a.n") == F.col("b.n"), 1).otherwise(0).alias("tie_x"),
+        F.when(F.col("a.rev_c") == F.col("b.rev_c"), 1)
+        .otherwise(0)
+        .alias("tie_y"),
+    )
+    s = p.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum("conc").cast("long").alias("c"),
+        F.sum("disc").cast("long").alias("dd"),
+        F.sum("tie_x").cast("long").alias("n1"),
+        F.sum("tie_y").cast("long").alias("n2"),
+    )
+    nd = d.agg(F.count("*").cast("long").alias("n_days"))
+    return s.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("n_concordant"),
+        F.col("dd").alias("n_discordant"),
+        F.round(
+            (F.col("c") - F.col("dd")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("n1")).cast("double")
+                * (F.col("n0") - F.col("n2")).cast("double")
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )

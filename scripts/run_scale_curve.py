@@ -102,6 +102,9 @@ FAMILIES = {
         "audit_l_diversity",
         "stats_runs_test",
         "sql_recursive_hierarchy",
+        # batch 3: day-grain rank correlations (flat by construction)
+        "stats_spearman_rank_corr",
+        "stats_kendall_tau",
     ],
 }
 CURVE_QUERIES = FAMILIES["lineitem"]

@@ -584,3 +584,72 @@ def test_neighbor_jaccard_path_graph(tmp_path, spark):
     assert (r["u"], r["v"]) == (a, c)
     assert r["n_common"] == 1 and r["n_union"] == 1
     assert r["jaccard_e6"] == 1_000_000
+
+
+def test_rank_correlations_on_planted_monotone_series(tmp_path, spark):
+    """A strictly increasing day series must read rho = tau = 1; a
+    strictly decreasing one -1; and Spearman's tie handling must agree
+    with the closed form on a series with one tied pair."""
+    import datetime
+
+    from data_warehouse_opensky_spark.plans.stats import (
+        stats_kendall_tau,
+        stats_spearman_rank_corr,
+    )
+
+    def mk(revs, sub):
+        rows = []
+        d0 = datetime.date(2024, 1, 1)
+        for day, (cnt, rev_per_order) in enumerate(revs):
+            for _ in range(cnt):
+                rows.append(
+                    (d0 + datetime.timedelta(days=day), rev_per_order)
+                )
+        p = tmp_path / sub
+        spark.createDataFrame(
+            rows, "o_orderdate DATE, o_totalprice DOUBLE"
+        ).write.mode("overwrite").parquet(str(p / "orders.parquet"))
+        return str(p)
+
+    # counts 1..8 rising, per-order price constant -> daily revenue
+    # rises with count: perfect agreement.
+    up = mk([(c, 10.0) for c in range(1, 9)], "up")
+    assert stats_spearman_rank_corr(spark, up).collect()[0][
+        "spearman_rho"
+    ] == 1.0
+    t = stats_kendall_tau(spark, up).collect()[0]
+    assert t["kendall_tau_b"] == 1.0 and t["n_discordant"] == 0
+
+    # counts rising while per-order price falls fast enough that daily
+    # revenue falls: perfect disagreement.
+    down = mk(
+        [(c, round(100.0 / (c * c), 2)) for c in range(1, 9)], "down"
+    )
+    assert stats_spearman_rank_corr(spark, down).collect()[0][
+        "spearman_rho"
+    ] == -1.0
+    assert stats_kendall_tau(spark, down).collect()[0][
+        "kendall_tau_b"
+    ] == -1.0
+
+    # one tied count pair (days 1 and 2 both count 5, revenue still
+    # distinct): closed-form Spearman with one average-rank tie.
+    tied = mk([(5, 10.0), (5, 11.0), (6, 10.0), (7, 10.0)], "tied")
+    rho = stats_spearman_rank_corr(spark, tied).collect()[0][
+        "spearman_rho"
+    ]
+    # doubled ranks x: (3, 3, 6, 8), y: (2, 4, 6, 8) -> rho by hand
+    import math
+
+    rx, ry = [3, 3, 6, 8], [2, 4, 6, 8]
+    n = 4
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    want = round(
+        (n * sxy - sx * sy)
+        / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        6,
+    )
+    assert rho == want

@@ -305,3 +305,56 @@ def test_distributed_cumsum_multicolumn_matches_singles(spark):
     ks = sorted(multi)
     assert [multi[k][1] for k in ks] == list(range(1, len(ks) + 1))
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (round 9): fingerprint set vs a straight-line reference
+# ---------------------------------------------------------------------------
+def _ref_winnow(text: str) -> set[int]:
+    """Straight-line winnowing (Schleimer et al. 2003) — token char
+    fold, k-gram fold, min of every w-window (single all-gram window
+    when fewer than w grams exist)."""
+    from data_warehouse_opensky_spark.operators.winnow import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+    from data_warehouse_opensky_spark.operators.text import ROLLING_MOD
+
+    toks = [t for t in text.split(" ") if t]
+    th = []
+    for t in toks:
+        acc = 0
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % ROLLING_MOD
+        th.append(acc)
+    grams = []
+    for i in range(len(th) - WINNOW_K + 1):
+        acc = 0
+        for h in th[i : i + WINNOW_K]:
+            acc = (acc * 37 + h) % ROLLING_MOD
+        grams.append(acc)
+    if not grams:
+        return set()
+    w = min(WINNOW_W, len(grams))
+    return {
+        min(grams[j : j + WINNOW_W])
+        for j in range(0, len(grams) - w + 1)
+    }
+
+
+@given(st.lists(texts, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_winnowing_matches_reference(spark, docs):
+    """The relational winnowing pipeline (explode + lead-polynomial +
+    frame min + boundary rule) must produce EXACTLY the reference
+    fingerprint set per document — including empty docs, docs shorter
+    than one gram, and docs with fewer grams than one window (the
+    boundary cases the rn >= least(W, n_grams) rule encodes)."""
+    from data_warehouse_opensky_spark.operators import winnow as W
+
+    stream = W.fingerprint_stream(_docs_df(spark, docs))
+    got: dict[int, set[int]] = {}
+    for r in stream.select("doc_id", "fp").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(docs):
+        assert got.get(i, set()) == _ref_winnow(t), (i, t)
