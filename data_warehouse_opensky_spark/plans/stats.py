@@ -2482,17 +2482,21 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     ),
     agg AS (
-      SELECT CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-             CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
-             CAST(sum(brk) AS BIGINT) AS n_runs
+      SELECT CAST(coalesce(sum(CASE WHEN above THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n1,
+             CAST(coalesce(sum(CASE WHEN above THEN 0 ELSE 1 END), 0)
+                  AS BIGINT) AS n2,
+             CAST(coalesce(sum(brk), 0) AS BIGINT) AS n_runs
       FROM r
     )
     SELECT n1 AS n_above, n2 AS n_below, n1 + n2 AS n_used, n_runs,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
            round((CAST(n_runs AS DOUBLE)
                   - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
                         / (CAST(n1 + n2 AS DOUBLE)
-                           * (n1 + n2) * (n1 + n2 - 1))), 6) AS z_score
+                           * (n1 + n2) * (n1 + n2 - 1))), 6)
+           END AS z_score
     FROM agg
     """,
 )
@@ -2525,20 +2529,28 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("brk"),
     )
     agg = r.agg(
-        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("above"), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n1"),
-        F.sum(F.when(F.col("above"), 0).otherwise(1))
+        F.coalesce(
+            F.sum(F.when(F.col("above"), 0).otherwise(1)), F.lit(0)
+        )
         .cast("long")
         .alias("n2"),
-        F.sum("brk").cast("long").alias("n_runs"),
+        F.coalesce(F.sum("brk"), F.lit(0)).cast("long").alias("n_runs"),
     )
+    # z is undefined when either sign class is empty (a constant or
+    # one-sided series) — emit NULL explicitly rather than relying on
+    # engine-specific 0/0 behavior.
+    z_defined = (F.col("n1") > 0) & (F.col("n2") > 0)
     return agg.select(
         F.col("n1").alias("n_above"),
         F.col("n2").alias("n_below"),
         (F.col("n1") + F.col("n2")).cast("long").alias("n_used"),
         "n_runs",
-        F.round(
+        F.when(~z_defined, F.lit(None).cast("double")).otherwise(F.round(
             (
                 F.col("n_runs").cast("double")
                 - (
@@ -2564,7 +2576,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
             6,
-        ).alias("z_score"),
+        )).alias("z_score"),
     )
 
 

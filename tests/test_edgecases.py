@@ -391,3 +391,86 @@ def test_distributed_running_max_exclusive_equals_serial(spark):
         mx = v if mx is None else max(mx, v)
     assert out == expect
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: degenerate-input behavior the fixtures never produce
+# ---------------------------------------------------------------------------
+def test_winnowing_sub_gram_and_sub_window_docs(spark):
+    """Docs shorter than one gram emit NOTHING (no null fps); docs with
+    1..W-1 grams emit exactly ONE window whose fp is the min of all
+    grams (the boundary rule)."""
+    from data_warehouse_opensky_spark.operators import winnow as W
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                     # no tokens
+            (2, "a b c"),                # 3 tokens < K=4 -> 0 grams
+            (3, "a b c d"),              # exactly 1 gram < W -> 1 window
+            (4, "a b c d e f"),          # 3 grams < W=5 -> 1 window
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = W.fingerprint_stream(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc and 2 not in by_doc
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_grams"] == 1
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["n_grams"] == 3
+
+
+def test_kmv_exact_below_k(spark, tmp_path):
+    """With fewer distinct keys than k the sketch must report the EXACT
+    count (n_sketch < k path), for the groups and the merged row."""
+    rows = [(i, f"{1 + i % 2}-P", float(i)) for i in range(40)]  # 20 custkeys/grp
+    df = spark.createDataFrame(
+        [(r[0] % 20, r[1]) for r in rows],
+        "o_custkey BIGINT, o_orderpriority STRING",
+    )
+    _write(df, tmp_path, "orders")
+    out = {r["grp"]: r for r in QUERIES["sketch_kmv_distinct"].fn(
+        spark, str(tmp_path)).collect()}
+    for g in ("1-P", "2-P"):
+        assert out[g]["n_exact"] == 10 and out[g]["kmv_est"] == 10
+    assert out["_ALL_"]["n_exact"] == 20 and out["_ALL_"]["kmv_est"] == 20
+
+
+def test_theil_sen_two_days_single_pair(spark, tmp_path):
+    """Two days in a year -> exactly one pairwise slope, which IS the
+    median; truncating integer division toward zero on a negative
+    slope must match both engines' semantics (here: -250 cents over
+    2 days -> -125e6 exactly)."""
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 3, 1), 10.00),
+        (dt.date(2024, 3, 3), 7.50),
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate DATE, o_totalprice DOUBLE")
+    _write(df, tmp_path, "orders")
+    out = QUERIES["stats_theil_sen_trend"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 2 and r["n_pairs"] == 1
+    assert r["theilsen_slope_e6"] == -125_000_000
+
+
+def test_runs_test_all_equal_days_degenerates_cleanly(spark, tmp_path):
+    """A constant series: every day ties the median and drops -> zero
+    usable observations; the query must return its single row with
+    n_used = 0 and a NULL z (0/0), not crash."""
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=d), 5.0)
+        for d in range(10)
+        for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate DATE, o_totalprice DOUBLE")
+    _write(df, tmp_path, "orders")
+    out = QUERIES["stats_runs_test"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_used"] == 0 and r["n_runs"] == 0
+    assert r["z_score"] is None
