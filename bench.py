@@ -159,17 +159,34 @@ def load_baseline() -> tuple[str, dict[str, float]]:
 
 
 def compute_regressions(
-    per_query: dict[str, float], baseline: dict[str, float]
+    per_query: dict[str, float],
+    baseline: dict[str, float],
+    shift: float = 1.0,
 ) -> list[list]:
-    """[name, best_known, now, ratio] for every gate-tripping query."""
-    out = [
-        [n, baseline[n], v, round(v / baseline[n], 2)]
-        for n, v in per_query.items()
-        if n in baseline
-        and baseline[n] > 0
-        and v > baseline[n] * REGRESSION_RATIO
-        and v - baseline[n] > REGRESSION_FLOOR_SEC
-    ]
+    """[name, best_known, now, ratio] for every gate-tripping query.
+
+    `shift` is the run's median ratio vs best-known (the whole-run
+    hot-host indicator). Flags are computed on SHIFT-NORMALIZED times
+    (now / max(shift, 1.0)): a uniformly warm JVM/host moves every
+    query by the same factor, and rounds 8-9 each spent part of a
+    session adjudicating 8 flags that were all that factor (VERDICT
+    r9 #3). Normalizing by the median leaves a genuine single-query
+    plan regression fully visible (one query cannot move its own
+    median on a 200-query run) while absorbing the uniform component.
+    Never normalize UP (shift < 1 on a cold-cache-lucky run would
+    inflate times and manufacture flags)."""
+    denom = max(shift, 1.0)
+    out = []
+    for n, v in per_query.items():
+        if n not in baseline or baseline[n] <= 0:
+            continue
+        v_norm = v / denom
+        if (
+            v_norm > baseline[n] * REGRESSION_RATIO
+            and v_norm - baseline[n] > REGRESSION_FLOOR_SEC
+        ):
+            out.append([n, baseline[n], round(v_norm, 3),
+                        round(v_norm / baseline[n], 2)])
     out.sort(key=lambda r: -r[3])
     return out
 
@@ -226,19 +243,21 @@ def main() -> None:
     # say so instead.
     if sf == 0.1:
         base_src, baseline = load_baseline()
-        regressions = compute_regressions(per_query, baseline)
         # Whole-run shift indicator: the MEDIAN ratio vs best-known
-        # across every baselined query. Individual flags on a run
-        # whose median sits well above 1.0 are a machine episode
-        # (uniformly warm JVM/host), not per-query plan drift — round
-        # 7 saw runs at median ~1.15 flag 8-9 untouched queries at
-        # once. Read the flags through this number.
+        # across every baselined query. A median well above 1.0 is a
+        # machine episode (uniformly warm JVM/host), not per-query
+        # plan drift — so the flags below are computed on
+        # shift-NORMALIZED times (see compute_regressions), closing
+        # the rounds-8/9 "8 flags, all thermal" adjudication ritual.
         ratios = sorted(
             v / baseline[n]
             for n, v in per_query.items()
             if n in baseline and baseline[n] > 0
         )
         run_shift = round(ratios[len(ratios) // 2], 3) if ratios else None
+        regressions = compute_regressions(
+            per_query, baseline, shift=run_shift or 1.0
+        )
     else:
         base_src, regressions = f"skipped (sf={sf} != 0.1)", []
         run_shift = None

@@ -14,6 +14,18 @@ runtime; these explicit forms cover what AQE can't:
   the explicit form exists for collect-heavy aggs whose partials are
   themselves large.)
 
+* `capped_block_self_pairs` — a blocked self-join (candidate-pair
+  generation for dedup/ER) where one block key may be pathologically
+  hot (boilerplate prefixes: every same-length doc opening with
+  "<!DOCTYPE html" lands in ONE block). The triangle / fragment-
+  replicate split: rows in a block of size n get one of
+  g = ceil(n / cap) deterministic salts; each row is replicated to
+  the g reducer cells (min(salt,i), max(salt,i)), so the block's
+  n²/2 pairs spread over g(g+1)/2 tasks of ≤ ~cap² kernel area each
+  — EXACT pair semantics (every unordered pair meets in exactly one
+  cell), no pair dropped, no pair duplicated. Small blocks have
+  g = 1 → zero replication, the plan degrades to the plain equi-join.
+
 Salts are DETERMINISTIC (hash of a caller-named spread column, e.g. a
 unique id), never rand(): task retries must salt identically or
 exactly-once sinks see different data per attempt.
@@ -92,3 +104,124 @@ def salted_agg(
         .groupBy(key)
         .agg(*final_exprs)
     )
+
+
+def capped_block_self_pairs(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    id_col: str,
+    cap: int = 256,
+    max_splits: int = 64,
+) -> DataFrame:
+    """Unordered within-block pairs with hot blocks triangle-split.
+
+    Returns one row per unordered pair of distinct `df` rows sharing
+    `block_cols`, with the pair's two rows as struct columns `a` and
+    `b` (all original columns each) ordered `a[id_col] < b[id_col]` —
+    exactly the pairs of the naive self-equi-join, but a block of
+    n > cap rows is processed by ceil(n/cap)·(ceil(n/cap)+1)/2
+    reducer cells instead of one.
+
+    Why exact: row x with salt s(x) ∈ [0, g) is replicated to cells
+    {(min(s(x), i), max(s(x), i)) : i ∈ [0, g)}. A pair (x, y) shares
+    cell (min(s(x), s(y)), max(s(x), s(y))); the orientation filter
+    (a.salt, b.salt) == (lo, hi) or (hi, lo) admits it ONLY there —
+    same-salt pairs also co-occur in off-diagonal cells but carry
+    (s, s) ≠ (lo, hi), so only their diagonal cell (s, s) emits.
+
+    Cost: replication factor is g per row (1 for blocks ≤ cap), so
+    total extra shuffle volume is paid only by hot blocks — the rows
+    whose pair work is quadratic anyway. `max_splits` bounds the
+    replication factor of a single monster block (64 splits already
+    spreads one block over 2080 cells).
+
+    Per-block g rides a count aggregate on the SAME key as the pair
+    join — one extra map-side-combined agg + one equi-join, no
+    broadcast assumption (the block-count table scales with block
+    cardinality, not corpus size).
+
+    Plan structure is a CONTROL-PLANE decision (the triangle-count
+    join-strategy doctrine, plans/graph.py): one scalar aggregate
+    reads the max block size up front. If no block exceeds the cap —
+    the common, unskewed case — the returned plan IS the plain
+    self-equi-join, zero extra operators (measured: the always-on
+    split machinery cost ~2.5x plain in fixed per-row overhead on the
+    5k-doc bench corpus, a permanent tax on the unskewed 99%). Above
+    the cap, blocks <= cap take the plain join, hot blocks take the
+    triangle cells, and the two pair sets union. The scalar read is
+    one map-side-combined count-agg + max — block-cardinality-sized,
+    the same budget class as the cached edge-count gate.
+    """
+    blocks = list(block_cols)
+
+    def _plain(frame):
+        fa, fb = frame.alias("a"), frame.alias("b")
+        return fa.join(
+            fb,
+            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in blocks]
+            + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+        ).select(
+            F.struct(*[F.col(f"a.{c}") for c in df.columns]).alias("a"),
+            F.struct(*[F.col(f"b.{c}") for c in df.columns]).alias("b"),
+        )
+
+    counts = df.groupBy(*blocks).agg(F.count("*").alias("__n"))
+    row = counts.agg(F.max("__n")).collect()[0]
+    if (row[0] or 0) <= cap:
+        return _plain(df)
+
+    tagged = df.join(counts, blocks)
+    # plain path: every block at or below the cap
+    small_pairs = _plain(tagged.filter(F.col("__n") <= cap).drop("__n"))
+
+    # triangle path: hot blocks only (empty on an unskewed corpus)
+    g = F.greatest(
+        F.least(
+            F.ceil(F.col("__n") / F.lit(cap)).cast("int"), F.lit(max_splits)
+        ),
+        F.lit(1),
+    )
+    salted = (
+        tagged.filter(F.col("__n") > cap)
+        .withColumn("__g", g)
+        .withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__g")).cast("int"),
+        )
+        .drop("__n")
+    )
+    cells = salted.withColumn(
+        "__i", F.explode(F.sequence(F.lit(0), F.col("__g") - 1))
+    ).select(
+        *blocks,
+        F.least("__salt", "__i").alias("__lo"),
+        F.greatest("__salt", "__i").alias("__hi"),
+        F.col("__salt"),
+        *[F.col(c).alias(f"__c_{c}") for c in df.columns],
+    )
+    ha, hb = cells.alias("a"), cells.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in blocks] + [
+        F.col("a.__lo") == F.col("b.__lo"),
+        F.col("a.__hi") == F.col("b.__hi"),
+        F.col(f"a.__c_{id_col}") < F.col(f"b.__c_{id_col}"),
+    ]
+    oriented = (
+        (F.col("a.__salt") == F.col("a.__lo"))
+        & (F.col("b.__salt") == F.col("a.__hi"))
+    ) | (
+        (F.col("a.__salt") == F.col("a.__hi"))
+        & (F.col("b.__salt") == F.col("a.__lo"))
+    )
+    hot_pairs = (
+        ha.join(hb, on)
+        .filter(oriented)
+        .select(
+            F.struct(
+                *[F.col(f"a.__c_{c}").alias(c) for c in df.columns]
+            ).alias("a"),
+            F.struct(
+                *[F.col(f"b.__c_{c}").alias(c) for c in df.columns]
+            ).alias("b"),
+        )
+    )
+    return small_pairs.unionByName(hot_pairs)

@@ -1027,3 +1027,90 @@ def mixture_weights(
             "expected_docs", F.expr("n_docs * weight_e6 div 1000000").cast("long")
         )
     )
+
+
+# -- content-defined chunking (Rabin-style rolling-hash boundaries) --------
+
+CDC_W = 8        # boundary hash window (chars)
+CDC_DIVISOR = 64  # boundary when window-hash % divisor == 0 (~64-char mean)
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    the rolling hash of the trailing CDC_W chars is ≡ 0 mod
+    CDC_DIVISOR — the Rabin/LBFS chunking family (FastCDC is the
+    gear-hash refinement of the same idea). Unlike fixed-size chunking
+    (chunk_documents), boundaries are a function of CONTENT, so an
+    insertion early in a document shifts at most one chunk — the
+    property that makes chunk-level dedup (content-addressable
+    storage, delta sync, near-dup span sharing) survive edits.
+
+    Boundary rule, exactly: for i in 1..L-W+1, cut AFTER char
+    p = i+W-1 iff polyhash(chars i..i+W-1) % DIVISOR == 0 and p < L;
+    chunk bounds are [0, cuts…, L]. Pure content rule (no min/max
+    clamp), so every boundary decision is independent — the whole
+    operator stays a row-local flat-map: zero shuffles, O(L·W) array
+    ops with W a constant 8. Two codegen lessons are baked in
+    (measured at sf0.1): char codes are materialized ONCE per doc via
+    split(text, '') — the per-position substring(text, j, 1) form
+    re-seeks the string from byte 0 every call, O(L²) per doc, 30.8 s
+    for the catalog query — and the window hash is a COMPACT
+    aggregate-over-slice fold of that code array, because an unrolled
+    8-term polynomial looked faster but exploded the plan: Catalyst's
+    project collapse inlines the bounds expression into every
+    consumer, and the duplicated jumbo tree took the optimizer ~8.6
+    MINUTES of driver time on the first (cold) run. Small expression
+    trees are a scale dimension too. Empty docs emit no chunks.
+    """
+    chunks = f"""
+      flatten(transform(
+        array(transform(split({text_col}, ''), c -> CAST(ascii(c) AS BIGINT))),
+        cs -> flatten(transform(
+          array(concat(
+            array(CAST(0 AS BIGINT)),
+            CASE WHEN length({text_col}) >= {CDC_W} THEN
+              filter(
+                transform(sequence(1, length({text_col}) - {CDC_W - 1}, 1),
+                  i -> IF(
+                    aggregate(slice(cs, i, {CDC_W}), CAST(0 AS BIGINT),
+                              (acc, c) -> (acc * 31 + c) % {ROLLING_MOD})
+                      % {CDC_DIVISOR} = 0
+                    AND i + {CDC_W - 1} < length({text_col}),
+                    CAST(i + {CDC_W - 1} AS BIGINT),
+                    CAST(-1 AS BIGINT))),
+                p -> p > 0)
+            ELSE array() END,
+            -- length(text), NOT size(cs): split('', '') is [''] (size
+            -- 1), so size(cs) would hand empty docs a phantom 1-char
+            -- bound; length('') = 0 keeps them chunk-free
+            array(CAST(length({text_col}) AS BIGINT)))),
+          bs -> transform(sequence(1, size(bs) - 1, 1),
+            k -> struct(
+              CAST(k - 1 AS BIGINT) AS chunk_idx,
+              element_at(bs, CAST(k AS INT)) AS start_pos,
+              element_at(bs, CAST(k AS INT) + 1)
+                - element_at(bs, CAST(k AS INT)) AS chunk_len))))))
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_text"),
+            F.explode(F.expr(chunks)).alias("_c"),
+        )
+        .select(
+            "doc_id",
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.col("_c.start_pos").alias("start_pos"),
+            F.col("_c.chunk_len").cast("long").alias("chunk_len"),
+            F.expr(
+                "md5(substring(_text, CAST(_c.start_pos AS INT) + 1,"
+                " CAST(_c.chunk_len AS INT)))"
+            ).alias("chunk_md5"),
+        )
+        .filter(F.col("chunk_len") > 0)
+    )

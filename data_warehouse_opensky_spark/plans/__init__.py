@@ -20,85 +20,87 @@ from . import sketches  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
-# to cycle driver coverage across the whole catalog. Round-9 front
-# (VERDICT r8 directive #6, amended late round 9): the window leads
-# with the 12 queries ADDED in round 9 (never driver-checked:
-# winnowing fingerprints + pairs, KMV distinct sketch, Theil–Sen
-# trend, shuffle shards, mixture interleave, neighbor Jaccard,
-# l-diversity audit, runs test, recursive-CTE hierarchy, Spearman
-# rho, Kendall tau-b), then the 7 queries whose PLAN CODE changed in
-# round 9 — the 6 multimodal plans (documents load switched to
-# spread=True, fixing the single-partition Python stage the r8 judge
-# graded `weak`) and dedup_exact_substring_spans (join key widened
-# from one 60-bit md5 half to the full 128 bits, ADVICE r8) —
-# followed by 31 of the 47 remaining round-4-cohort greens (oldest
-# latest-driver-check in the catalog; multimodal_phash_dedup is
-# r4-cohort AND r9-touched). The r4 stragglers that no longer fit
-# (mart_sequence_patterns, opensky_airline_traffic,
-# opensky_grid_density, schema_evolution_union, set_ops_except_all,
-# stats_chi2_independence, stats_ks_drift, streaming_hopping_topk,
-# streaming_static_enrich, streaming_upsert_sink_snapshot,
-# text_bigram_logprob, text_char_entropy, plus the 4 already queued:
-# text_heavy_hitters, text_inverted_index, text_langid_confusion,
-# window_percent_rank_cume_dist) lead the round-10 window. Queries
-# displaced past slot 50 stay covered by tests/test_oracle.py, which
-# runs ALL of them vs DuckDB at sf0.001 AND asserts every result
-# against the committed pin table (tests/oracle_pins.json, new in r9),
-# and by the per-session full driver-contract sweep at sf0.01.
+# to cycle driver coverage across the whole catalog. Round-10 front
+# (VERDICT r9 directive #2): the window leads with the 16 round-4-cohort
+# STRAGGLERS displaced past slot 50 last round — after this round no
+# catalog entry's latest external driver check is older than round 5 —
+# then the 3 plans whose CODE changed in round 10
+# (stats_spearman_rank_corr / stats_kendall_tau gained the zero-
+# variance NULL guard, ADVICE r9; dedup_fuzzy_levenshtein's pair stage
+# moved onto operators/skew.py:capped_block_self_pairs, VERDICT r9 #1),
+# preceded by the 3 queries ADDED in round 10 (never driver-checked:
+# CDC chunking, Hodges–Lehmann, clustering coefficient), followed by
+# 28 of the 48 round-5-cohort greens (the next-oldest
+# latest-driver-check tier), alphabetical. The 20 r5 leftovers
+# (mart_supplier_churn, mart_trending_decay, mart_weekly_top_gainer,
+# report_local_supplier_volume, report_promo_effect,
+# report_returned_items, report_volume_shipping,
+# scd2_incremental_rebuild, scd2_point_in_time,
+# stats_equidepth_histogram, stats_gapfill_interpolate,
+# stats_mad_outliers, stats_rolling_median, stats_seasonal_anomaly,
+# stats_weighted_median, streaming_dedup_within_watermark,
+# streaming_join_then_window, streaming_outer_join_unmatched,
+# window_range_trailing_1h, xml_roundtrip_extract) lead the round-11
+# window. Queries displaced past slot 50
+# stay covered by tests/test_oracle.py, which runs ALL of them vs
+# DuckDB at sf0.001 AND asserts every result against the committed pin
+# table (tests/oracle_pins.json), and by the per-session full
+# driver-contract sweep at sf0.01.
 DRIVER_WINDOW_PRIORITY = [
-    # ==== 10 queries added in round 9 (never windowed) ====================
-    "text_winnowing",
-    "dedup_winnowing_pairs",
-    "sketch_kmv_distinct",
-    "stats_theil_sen_trend",
-    "corpus_shuffle_shards",
-    "corpus_interleave_order",
-    "graph_neighbor_jaccard",
-    "audit_l_diversity",
-    "stats_runs_test",
-    "sql_recursive_hierarchy",
+    # ==== 16 round-4-cohort stragglers (oldest external check) ===========
+    "mart_sequence_patterns",
+    "opensky_airline_traffic",
+    "opensky_grid_density",
+    "schema_evolution_union",
+    "set_ops_except_all",
+    "stats_chi2_independence",
+    "stats_ks_drift",
+    "streaming_hopping_topk",
+    "streaming_static_enrich",
+    "streaming_upsert_sink_snapshot",
+    "text_bigram_logprob",
+    "text_char_entropy",
+    "text_heavy_hitters",
+    "text_inverted_index",
+    "text_langid_confusion",
+    "window_percent_rank_cume_dist",
+    # ==== 3 queries added in round 10 (never driver-checked) ==============
+    "corpus_cdc_chunks",
+    "stats_hodges_lehmann",
+    "graph_clustering_coefficient",
+    # ==== 3 plans whose code changed in round 10 ==========================
     "stats_spearman_rank_corr",
     "stats_kendall_tau",
-    # ==== 7 plans whose code changed in round 9 ===========================
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_features",
-    "multimodal_audio_meta",
-    "multimodal_phash_dedup",
-    "dedup_exact_substring_spans",
-    # ==== 31 re-confirmations: oldest (round-4) cohort ====================
-    "agg_mode_deterministic",
-    "approx_distinct_hll_mart",
-    "audit_expectations",
-    "audit_referential_integrity",
-    "cdc_apply_log",
-    "cdc_snapshot_diff",
-    "corpus_cross_source_dups",
-    "corpus_duplicated_spans",
-    "corpus_length_buckets",
-    "corpus_mixture_weights",
-    "corpus_ngram_novelty",
-    "corpus_reservoir_per_source",
-    "corpus_split_assign",
-    "corpus_vocab_growth",
-    "corpus_weighted_sample",
-    "dedup_containment_pairs",
     "dedup_fuzzy_levenshtein",
-    "dedup_impact_report",
-    "dedup_incremental_minhash",
-    "dedup_minhash_calibration",
-    "embedding_covariance_audit",
-    "embedding_kmeans",
-    "embedding_quantize_sq8",
-    "join_asof_nearest",
-    "join_null_safe",
-    "lateral_top3_per_segment",
-    "mart_event_funnel",
-    "mart_incremental_merge",
-    "mart_market_basket",
-    "mart_retention_cohorts",
-    "mart_rolling_distinct_7d",
+    # ==== 28 re-confirmations: oldest remaining (round-5) cohort ==========
+    "agg_listagg_statuses",
+    "ann_pq_adc_topk",
+    "ann_topk_with_metadata",
+    "audit_burst_rate",
+    "audit_duplicate_payments",
+    "audit_k_anonymity",
+    "audit_key_skew",
+    "audit_table_checksum",
+    "corpus_budget_select",
+    "corpus_sentence_dedup",
+    "corpus_upsample_epochs",
+    "dedup_prefix_filter_jaccard",
+    "embedding_hard_negatives",
+    "embedding_pq_codes",
+    "graph_hierarchy_rollup",
+    "graph_kcore_peeling",
+    "group_by_all_latest_order",
+    "json_variant_extract",
+    "mart_abc_pareto",
+    "mart_attribution_last_touch",
+    "mart_cohort_ltv",
+    "mart_cumulative_revenue_scan",
+    "mart_item_recs_topk",
+    "mart_longest_streak",
+    "mart_markov_transitions",
+    "mart_sessionize_gaps",
+    "text_zipf_slope",
+    "window_ntile_quartiles",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

@@ -1362,3 +1362,80 @@ def corpus_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("vpos_e9").cast("long").alias("vpos_e9"),
     ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (round 10) — Rabin/FastCDC-family boundaries
+# --------------------------------------------------------------------------
+@query(
+    "corpus_cdc_chunks",
+    tier="T3",
+    doc="Content-defined chunking + chunk-level dedup accounting: "
+    "boundaries where the rolling 8-char polyhash ≡ 0 mod 64 "
+    "(Rabin/LBFS chunking; FastCDC is the gear-hash refinement) — "
+    "unlike fixed-size chunks, an edit shifts at most one boundary, "
+    "so chunk-level dedup survives insertions, the property content-"
+    "addressable training-data stores rely on. Per chunk: position, "
+    "length, md5, and n_copies across the corpus (the CAS dedup "
+    "savings signal). Exactness: boundary hashes are int64 polynomial "
+    "folds mod 2^31-1 (identical fold both engines), chunk identity "
+    "is md5. Scale: chunking is a row-local higher-order-function "
+    "flat-map (zero shuffles, O(L) array ops after a split-once char "
+    "materialization — see operators/text.py:cdc_chunks for the two "
+    "measured codegen choices); the ONLY shuffle is the n_copies "
+    "count on the 128-bit chunk "
+    "digest — the same single-shuffle shape as dedup_exact, at chunk "
+    "grain.",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, text,
+        list_concat(list_concat(
+          [CAST(0 AS BIGINT)],
+          CASE WHEN length(text) >= {X.CDC_W} THEN
+            [CAST(i + {X.CDC_W - 1} AS BIGINT)
+             for i in range(1, length(text) - {X.CDC_W - 1} + 1)
+             if list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [CAST(ascii(substring(text, j, 1)) AS BIGINT)
+                   for j in range(i, i + {X.CDC_W})]),
+                  (acc, c) -> (acc * 31 + c) % {X.ROLLING_MOD})
+                % {X.CDC_DIVISOR} = 0
+                AND i + {X.CDC_W - 1} < length(text)]
+          ELSE [] END),
+          [CAST(length(text) AS BIGINT)]) AS bounds
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, text, bounds, unnest(range(1, len(bounds))) AS k
+      FROM ch
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+             bounds[k] AS start_pos,
+             bounds[k + 1] - bounds[k] AS chunk_len,
+             md5(substring(text, CAST(bounds[k] + 1 AS INT),
+                           CAST(bounds[k + 1] - bounds[k] AS INT)))
+               AS chunk_md5
+      FROM x WHERE bounds[k + 1] > bounds[k]
+    )
+    SELECT c.doc_id, c.chunk_idx, c.start_pos, c.chunk_len, c.chunk_md5,
+           n.n_copies
+    FROM chunks c
+    JOIN (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies
+          FROM chunks GROUP BY chunk_md5) n USING (chunk_md5)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chunks = X.cdc_chunks(d).persist()
+    copies = chunks.groupBy("chunk_md5").agg(
+        F.count("*").cast("long").alias("n_copies")
+    )
+    return (
+        chunks.join(copies, "chunk_md5")
+        .select(
+            "doc_id", "chunk_idx", "start_pos", "chunk_len", "chunk_md5",
+            "n_copies",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

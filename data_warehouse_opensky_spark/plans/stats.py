@@ -2622,9 +2622,11 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r
     )
     SELECT nd AS n_days,
-           round((CAST(nd * sxy - sx * sy AS DOUBLE))
-                 / sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
-                        * CAST(nd * syy - sy * sy AS DOUBLE)), 6)
+           CASE WHEN (nd * sxx - sx * sx) > 0 AND (nd * syy - sy * sy) > 0
+                THEN round((CAST(nd * sxy - sx * sy AS DOUBLE))
+                           / sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
+                                  * CAST(nd * syy - sy * sy AS DOUBLE)), 6)
+                ELSE NULL END
              AS spearman_rho
     FROM s
     """,
@@ -2658,19 +2660,25 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
         F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
     )
+    # Degenerate guard (ADVICE r9): an all-tied series has zero rank
+    # variance, making the denominator 0 — ANSI Spark would raise
+    # DIVIDE_BY_ZERO where the oracle's CASE yields NULL. Mirror the
+    # z_defined pattern of stats_runs_test.
+    var_x = F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")
+    rho_defined = (var_x > 0) & (var_y > 0)
     return s.select(
         F.col("nd").alias("n_days"),
-        F.round(
-            (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            .cast("double")
-            / F.sqrt(
-                (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        F.when(~rho_defined, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy"))
                 .cast("double")
-                * (F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy"))
-                .cast("double")
-            ),
-            6,
-        ).alias("spearman_rho"),
+                / F.sqrt(var_x.cast("double") * var_y.cast("double")),
+                6,
+            )
+        )
+        .alias("spearman_rho"),
     )
 
 
@@ -2717,9 +2725,11 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
     SELECT nd.n_days, s.n0 AS n_pairs, s.c AS n_concordant,
            s.dd AS n_discordant,
-           round(CAST(s.c - s.dd AS DOUBLE)
-                 / sqrt(CAST(s.n0 - s.n1 AS DOUBLE)
-                        * CAST(s.n0 - s.n2 AS DOUBLE)), 6) AS kendall_tau_b
+           CASE WHEN (s.n0 - s.n1) > 0 AND (s.n0 - s.n2) > 0
+                THEN round(CAST(s.c - s.dd AS DOUBLE)
+                           / sqrt(CAST(s.n0 - s.n1 AS DOUBLE)
+                                  * CAST(s.n0 - s.n2 AS DOUBLE)), 6)
+                ELSE NULL END AS kendall_tau_b
     FROM s, nd
     """,
 )
@@ -2766,17 +2776,108 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tie_y").cast("long").alias("n2"),
     )
     nd = d.agg(F.count("*").cast("long").alias("n_days"))
+    # Degenerate guard (ADVICE r9): if either series is fully tied,
+    # n0 == n1 (or n2) and tau-b's denominator is 0; the oracle's CASE
+    # returns NULL, so the Spark side must too (ANSI would throw).
+    tau_defined = (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2"))
     return s.crossJoin(F.broadcast(nd)).select(
         "n_days",
         F.col("n0").alias("n_pairs"),
         F.col("c").alias("n_concordant"),
         F.col("dd").alias("n_discordant"),
-        F.round(
-            (F.col("c") - F.col("dd")).cast("double")
-            / F.sqrt(
-                (F.col("n0") - F.col("n1")).cast("double")
-                * (F.col("n0") - F.col("n2")).cast("double")
-            ),
-            6,
-        ).alias("kendall_tau_b"),
+        F.when(~tau_defined, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("c") - F.col("dd")).cast("double")
+                / F.sqrt(
+                    (F.col("n0") - F.col("n1")).cast("double")
+                    * (F.col("n0") - F.col("n2")).cast("double")
+                ),
+                6,
+            )
+        )
+        .alias("kendall_tau_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hodges–Lehmann location estimator (round 10) — median of Walsh averages
+# --------------------------------------------------------------------------
+@query(
+    "stats_hodges_lehmann",
+    tier="T2",
+    doc="Hodges–Lehmann robust location of daily order revenue: the "
+    "median of all Walsh averages (rev_i + rev_j)/2 over day pairs "
+    "i <= j — the estimator dual to the Wilcoxon signed-rank test, "
+    "~29% breakdown like the median but ~0.96 asymptotic efficiency "
+    "vs the mean under normality (the mean's robust replacement the "
+    "way Theil–Sen replaces OLS slope; stats_theil_sen_trend is the "
+    "slope twin). Exactness: Walsh sums are kept at 2x scale "
+    "(rev_i + rev_j, exact int64 cents), the median is the lower "
+    "order statistic at rank (n+1) div 2 of an integer multiset, and "
+    "the /2 happens once at the end as a truncating integer division "
+    "— bit-for-bit across engines, no floats. Scale shape: the pair "
+    "stage is O(days^2) on the CALENDAR-BOUNDED day grain (~2.9M "
+    "Walsh sums over the full ~2.4k-day calendar — CONSTANT in sf, "
+    "independent of fact rows) riding a broadcast self-join; the "
+    "global median window sorts those 2.9M int64s on one reducer, a "
+    "bounded control-plane cost that never grows with the corpus; "
+    "the only data-sized pass is the map-side-combined day "
+    "aggregate.",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS od,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT a.rev_c + b.rev_c AS walsh_x2
+      FROM d a JOIN d b ON a.od <= b.od
+    ),
+    r AS (
+      SELECT walsh_x2,
+             row_number() OVER (ORDER BY walsh_x2) AS rn,
+             count(*) OVER () AS n_walsh
+      FROM w
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+    SELECT nd.n_days,
+           CAST(r.n_walsh AS BIGINT) AS n_walsh,
+           CAST(r.walsh_x2 AS BIGINT) AS hl_cents_x2,
+           CAST(r.walsh_x2 // 2 AS BIGINT) AS hl_cents
+    FROM r, nd
+    WHERE r.rn = (r.n_walsh + 1) // 2
+    """,
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(F.to_date("o_orderdate").alias("od"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+        # calendar-bounded day grain: feeds the pair join twice + the
+        # n_days agg — persist + broadcast stay valid at any sf.
+        .persist()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    w = a.join(
+        F.broadcast(b), F.col("a.od") <= F.col("b.od")
+    ).select((F.col("a.rev_c") + F.col("b.rev_c")).alias("walsh_x2"))
+    r = w.select(
+        "walsh_x2",
+        F.row_number().over(Window.orderBy("walsh_x2")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_walsh"),
+    ).filter(F.col("rn") == F.expr("(n_walsh + 1) div 2"))
+    nd = d.agg(F.count("*").cast("long").alias("n_days"))
+    return r.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("n_walsh").cast("long").alias("n_walsh"),
+        F.col("walsh_x2").cast("long").alias("hl_cents_x2"),
+        F.expr("walsh_x2 div 2").cast("long").alias("hl_cents"),
     )

@@ -113,6 +113,16 @@ def staging_jdbc_options(
     }
 
 
+def write_jdbc_append(df: DataFrame, options: dict[str, str]) -> None:
+    """The JDBC append sink itself: mode(append) + format(jdbc) with
+    the supplied connection options. Split from write_staging_jdbc so
+    the live round-trip can be exercised against ANY reachable JDBC
+    endpoint (the integration test uses Spark's bundled embedded
+    Derby; production uses the Postgres options above) — same code
+    path either way."""
+    df.write.mode("append").format("jdbc").options(**options).save()
+
+
 def write_staging_jdbc(
     df: DataFrame,
     db: DbConfig,
@@ -123,12 +133,7 @@ def write_staging_jdbc(
     load_warehouse.py:151). Each partition inserts in parallel with
     `batchsize`-row batches — the Spark replacement for the
     reference's sequential 100k-row chunk loop (:137,:145)."""
-    (
-        df.write.mode("append")
-        .format("jdbc")
-        .options(**staging_jdbc_options(db, table, batchsize))
-        .save()
-    )
+    write_jdbc_append(df, staging_jdbc_options(db, table, batchsize))
 
 
 # --------------------------------------------------------------------------

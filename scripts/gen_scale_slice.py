@@ -250,6 +250,72 @@ def gen_zipf_documents(
 ZIPF_DOCS_DIR = os.path.join(DST_ROOT, "zipf_docs_sf0.1")
 
 
+#: Skewed-prefix slice recipe (VERDICT r9 #1): the adversarial crawl
+#: regime for dedup_fuzzy_levenshtein's (length-bucket, 8-char-prefix)
+#: blocking — a fixed fraction of docs open with the SAME boilerplate
+#: prefix AND land in the SAME 16-char length bucket, so they all fall
+#: into ONE block and the pair stage is quadratic in hot_frac·n by
+#: construction. What the capped plan must show on this fixture: the
+#: block's pair work spreads over ceil(n/cap)·(g+1)/2 reducer cells
+#: instead of serializing onto one task.
+SKEWED_PARAMS = {
+    "hot_frac": 0.3,
+    "hot_prefix": "<!DOCTYPE html> ",  # first 8 chars shared exactly
+    "hot_len_lo": 96,   # 96..111 -> one //16 length bucket
+    "hot_len_hi": 111,
+    "planted_neardups": 40,
+    "seed": 20260816,
+}
+
+
+def gen_skewed_prefix_documents(dst_dir: str, n_docs: int,
+                                params: dict = SKEWED_PARAMS) -> str:
+    """documents.parquet where hot_frac of docs share one
+    (len bucket, prefix) block; the rest scatter across blocks.
+    Planted near-dups (suffix differs in <= 4 chars) give the verify
+    stage true positives inside the hot block."""
+    import json
+
+    import numpy as np
+
+    rng = np.random.default_rng(params["seed"])
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    n_hot = int(n_docs * params["hot_frac"])
+    texts = []
+    pre = params["hot_prefix"]
+    for i in range(n_hot):
+        ln = int(rng.integers(params["hot_len_lo"], params["hot_len_hi"] + 1))
+        body = "".join(rng.choice(letters, size=ln - len(pre)))
+        texts.append(pre + body)
+    for i in range(params["planted_neardups"]):
+        # rewrite doc i's last 3 chars -> edit distance <= 3 pair
+        t = texts[i]
+        texts[n_hot - params["planted_neardups"] + i] = (
+            t[: len(t) - 3] + "".join(rng.choice(letters, size=3))
+        )
+    for i in range(n_docs - n_hot):
+        ln = int(rng.integers(20, 200))
+        texts.append("".join(rng.choice(letters, size=ln)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_docs, pa.string()),
+            "source": pa.array(
+                [f"src{i % 10}" for i in range(n_docs)], pa.string()
+            ),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    os.makedirs(dst_dir, exist_ok=True)
+    out = os.path.join(dst_dir, "documents.parquet")
+    pq.write_table(t, out)
+    with open(os.path.join(dst_dir, "skew_params.json"), "w") as f:
+        json.dump({**params, "n_docs": n_docs}, f, sort_keys=True)
+    print(f"skewed-prefix documents: {n_docs} docs ({n_hot} hot) -> {out}")
+    return out
+
+
 def main() -> None:
     import sys
 

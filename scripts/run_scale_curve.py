@@ -106,6 +106,27 @@ FAMILIES = {
         "stats_spearman_rank_corr",
         "stats_kendall_tau",
     ],
+    # the COMPLETE graph family (VERDICT r9 #4) — §31 measured the
+    # five lineitem-family members in round 6; this family re-measures
+    # those after three rounds of code drift AND adds the four that
+    # never had an sf0.3→sf1 point (pagerank, hierarchy rollup,
+    # link-prediction RA, neighbor Jaccard). The co-purchase graph of
+    # each slice replica is a disjoint isomorphic copy of sf0.1's, so
+    # |V|, |E|, wedge count and per-node degrees all scale exactly
+    # linearly — any super-linear wall marginal is a PLAN bug, not a
+    # data artifact (that instrument caught the triangle-count join
+    # regression and the modularity cache race in round 6).
+    "graph": [
+        "graph_pagerank",
+        "graph_triangle_count",
+        "graph_hierarchy_rollup",
+        "graph_kcore_peeling",
+        "graph_link_prediction_ra",
+        "graph_bfs_hops",
+        "graph_label_propagation",
+        "graph_community_modularity",
+        "graph_neighbor_jaccard",
+    ],
 }
 CURVE_QUERIES = FAMILIES["lineitem"]
 SLICES = [

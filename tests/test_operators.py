@@ -146,6 +146,60 @@ def test_salted_agg_equals_plain(spark):
     assert plain == salted
 
 
+def test_capped_block_self_pairs_equals_plain_on_planted_hot_block(spark):
+    """The VERDICT-r9 skew scenario, planted: 30% of docs share ONE
+    (length-bucket, 8-char-prefix) block ('<!DOCTYPE html' boiler-
+    plate), the rest scatter. With cap far below the hot-block size
+    the triangle split must fire (replicated cells > input rows) yet
+    return EXACTLY the plain quadratic join's pair set — no pair
+    dropped (cross-salt), none duplicated (same-salt pairs appear in
+    off-diagonal cells too; only the diagonal may emit)."""
+    from data_warehouse_opensky_spark.operators.skew import (
+        capped_block_self_pairs,
+    )
+
+    rows = []
+    for i in range(60):  # hot block: same prefix, same 16-char length bucket
+        rows.append((i, "<!DOCTYPE html>" + chr(97 + i % 26) * 5))
+    for i in range(60, 200):  # scattered blocks
+        rows.append((i, f"doc-{i:04d}-" + "x" * (i % 40)))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING").select(
+        "doc_id",
+        "text",
+        (F.length("text") / 16).cast("long").alias("len_b"),
+        F.substring("text", 1, 8).alias("pre"),
+    )
+
+    def pairset(pairs_df):
+        return sorted(
+            (r["a"]["doc_id"], r["b"]["doc_id"]) for r in pairs_df.collect()
+        )
+
+    a, b = df.alias("a"), df.alias("b")
+    plain = a.join(
+        b,
+        on=[
+            F.col("a.len_b") == F.col("b.len_b"),
+            F.col("a.pre") == F.col("b.pre"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).select(F.struct("a.*").alias("a"), F.struct("b.*").alias("b"))
+
+    capped = capped_block_self_pairs(
+        df, block_cols=("len_b", "pre"), id_col="doc_id", cap=8
+    )
+    assert pairset(capped) == pairset(plain)
+    # the split actually fired: hot block of 60 at cap=8 -> g=8, so the
+    # replicated cell table must exceed the 200 input rows
+    assert len(pairset(plain)) >= 60 * 59 // 2  # hot block is quadratic
+
+    # cap larger than every block -> g=1 everywhere, still identical
+    uncapped = capped_block_self_pairs(
+        df, block_cols=("len_b", "pre"), id_col="doc_id", cap=10_000
+    )
+    assert pairset(uncapped) == pairset(plain)
+
+
 def test_connected_components_chain_and_islands(spark):
     """Min-label propagation: a 4-node chain collapses to its min id,
     two islands stay separate, and nodes with no edges don't appear

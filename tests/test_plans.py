@@ -1645,3 +1645,70 @@ def test_irls_iterations_broadcast_the_beta_row(spark):
     assert "BroadcastNestedLoopJoin" in body, plan
     assert "SortMergeJoin" not in body, plan
     assert "BatchEvalPython" not in body and "ArrowEvalPython" not in body
+
+
+# ---------------------------------------------------------------------------
+# Round-10 pins (VERDICT r9 #7): the load-bearing plan features of the
+# round-9 additions, so a regression shows up as a plan diff, not just
+# a scale-curve surprise.
+# ---------------------------------------------------------------------------
+
+def test_winnowing_pairs_is_bucket_equi_join(spark):
+    """The fingerprint pair stage must be a hash-disjoint EQUI-join on
+    fp (the LSH band-join shape) with a map-side-combinable pair
+    count — never a nested-loop/cartesian all-pairs, which is the
+    failure mode when a join condition stops being an equi-key."""
+    plan = plan_of(spark, "dedup_winnowing_pairs")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, plan
+    assert "BroadcastNestedLoopJoin" not in body, plan
+    # the fp bucket join survives as a HASH equi-join physical op (at
+    # sf0.001 the build side broadcasts; at scale AQE picks SMJ/SHJ —
+    # all three are the equi-key shape, unlike a nested loop)
+    assert (
+        "SortMergeJoin" in body
+        or "ShuffledHashJoin" in body
+        or "BroadcastHashJoin" in body
+    ), plan
+    # pair-count agg partials (per-partition combine before exchange)
+    assert body.count("HashAggregate") >= 2, plan
+
+
+def test_neighbor_jaccard_broadcasts_degree_table(spark):
+    """Both degree attach joins (dx, dz) must broadcast — the wedge
+    table (data-sized) is never exchanged for a node-sized dim — and
+    the final top-20 must TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "graph_neighbor_jaccard")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in body, plan
+    assert "CartesianProduct" not in body, plan
+
+
+def test_recursive_hierarchy_compiles_to_union_loop(spark):
+    """The recursive CTE must execute as Spark 4's UnionLoop (iterative
+    frontier expansion), not be silently rewritten into something
+    non-recursive."""
+    plan = plan_of(spark, "sql_recursive_hierarchy")
+    assert "UnionLoop" in plan, plan
+
+
+def test_fuzzy_levenshtein_pair_stage_is_equi_join(spark):
+    """The capped_block_self_pairs rewrite (VERDICT r9 #1) must keep
+    the pair stage an equi-join — a regression to a non-equi condition
+    would resurface as a nested-loop join over the corpus. At sf0.001
+    no block exceeds the cap, so the control-plane gate must have
+    returned the PLAIN plan: exactly one join, no explode cells."""
+    plan = plan_of(spark, "dedup_fuzzy_levenshtein")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, plan
+    assert "BroadcastNestedLoopJoin" not in body, plan
+    assert (
+        "SortMergeJoin" in body
+        or "ShuffledHashJoin" in body
+        or "BroadcastHashJoin" in body
+    ), plan
+    # unskewed regime: the gate chose the plain single-join plan (the
+    # triangle machinery would show as Generate + a Union)
+    assert "Generate" not in body, plan
+    assert "Union" not in body, plan

@@ -358,3 +358,259 @@ def test_winnowing_matches_reference(spark, docs):
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     for i, t in enumerate(docs):
         assert got.get(i, set()) == _ref_winnow(t), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# Round 10 (VERDICT r9 #6): property coverage for the hand-rolled
+# exact-arithmetic plan queries most exposed to degenerate inputs.
+# These drive the FULL plan function (parquet in a temp dir, same path
+# the driver takes) against a straight-line Python reference.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import math as _math
+import shutil as _shutil
+import tempfile as _tempfile
+
+from data_warehouse_opensky_spark.plans import QUERIES as _Q
+
+
+def _run_on(spark, name, tables):
+    """Write `tables` (name -> DataFrame) as parquet into a fresh temp
+    dir and run catalog query `name` against it."""
+    d = _tempfile.mkdtemp(prefix="prop_")
+    try:
+        for t, df in tables.items():
+            df.write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+        return _Q[name].fn(spark, d).collect()
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark div / DuckDB //),
+    NOT Python's flooring //."""
+    q, r = divmod(a, b)
+    if q < 0 and r != 0:
+        q += 1
+    return q
+
+
+# Orders series: a handful of days (ties likely), integer cents so
+# round(price*100) is exact in both engines and the reference.
+_order_days = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),      # day offset
+        st.integers(min_value=-5_000, max_value=5_000),  # cents
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _orders_df(spark, rows):
+    data = [
+        (_dt.date(2024, 3, 1) + _dt.timedelta(days=d), c / 100.0)
+        for d, c in rows
+    ]
+    return spark.createDataFrame(
+        data, "o_orderdate DATE, o_totalprice DOUBLE"
+    )
+
+
+@given(_order_days)
+@settings(**SETTINGS)
+def test_theil_sen_matches_python_reference(spark, rows):
+    """Median-of-pairwise-slopes on arbitrary tied/negative daily
+    series: day aggregate, truncating slope division, and the lower-
+    median order statistic must all match a serial reference."""
+    got = {
+        r["yr"]: r
+        for r in _run_on(
+            spark, "stats_theil_sen_trend", {"orders": _orders_df(spark, rows)}
+        )
+    }
+    by_day: dict[int, int] = {}
+    for d, c in rows:
+        by_day[d] = by_day.get(d, 0) + c
+    days = sorted(by_day)  # all in one year; x = dayofyear ordering
+    slopes = [
+        _trunc_div((by_day[b] - by_day[a]) * 1_000_000, b - a)
+        for i, a in enumerate(days)
+        for b in days[i + 1 :]
+    ]
+    if not slopes:
+        assert got == {}
+        return
+    slopes.sort()
+    want = slopes[(len(slopes) + 1) // 2 - 1]
+    assert got[2024]["n_days"] == len(days)
+    assert got[2024]["n_pairs"] == len(slopes)
+    assert got[2024]["theilsen_slope_e6"] == want
+
+
+@given(_order_days)
+@settings(**SETTINGS)
+def test_kendall_tau_matches_python_reference(spark, rows):
+    """Tau-b on arbitrary daily series: concordant/discordant/tie
+    counts are exact integers; the all-tied degenerate case must give
+    NULL, matching the guarded denominator."""
+    out = _run_on(
+        spark, "stats_kendall_tau", {"orders": _orders_df(spark, rows)}
+    )
+    assert len(out) == 1
+    got = out[0]
+    agg: dict[int, list[int]] = {}
+    for d, c in rows:
+        a = agg.setdefault(d, [0, 0])
+        a[0] += 1
+        a[1] += c
+    pts = [tuple(v) for _, v in sorted(agg.items())]
+    c = dd = n1 = n2 = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (xa, ya), (xb, yb) = pts[i], pts[j]
+            if (xa < xb and ya < yb) or (xa > xb and ya > yb):
+                c += 1
+            elif (xa < xb and ya > yb) or (xa > xb and ya < yb):
+                dd += 1
+            if xa == xb:
+                n1 += 1
+            if ya == yb:
+                n2 += 1
+    n0 = len(pts) * (len(pts) - 1) // 2
+    if n0 == 0:
+        # zero pairs: count(*) = 0 but sum() over an empty set is NULL
+        # in BOTH engines — the reference must expect NULL, not 0
+        assert (got["n_pairs"], got["n_concordant"], got["n_discordant"]) == (
+            0, None, None,
+        )
+        assert got["kendall_tau_b"] is None
+        return
+    assert (got["n_pairs"], got["n_concordant"], got["n_discordant"]) == (
+        n0, c, dd,
+    )
+    if n0 == n1 or n0 == n2:
+        assert got["kendall_tau_b"] is None
+    else:
+        ref = (c - dd) / _math.sqrt((n0 - n1) * (n0 - n2))
+        assert abs(got["kendall_tau_b"] - ref) < 6e-7
+
+
+_KMV_A, _KMV_B, _KMV_P = 2_654_435_761, 1_779_033_703, 4_294_967_311
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # custkey
+            st.sampled_from(["1-P", "2-P", "3-P"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_kmv_below_k_is_exact_per_group_and_merged(spark, rows):
+    """With fewer distinct keys than k = 128 everywhere, the bottom-k
+    sketch degenerates to the exact distinct set: kmv_est == n_exact
+    == the true count and err_ppm == 0, for every group AND the
+    merged _ALL_ row (the union-of-bottom-ks containment). The KMV
+    hash is injective below the prime, so no collision caveats."""
+    df = spark.createDataFrame(rows, "o_custkey BIGINT, o_orderpriority STRING")
+    out = {
+        r["grp"]: r
+        for r in _run_on(spark, "sketch_kmv_distinct", {"orders": df})
+    }
+    per_grp: dict[str, set[int]] = {}
+    for k_, g in rows:
+        per_grp.setdefault(g, set()).add(k_)
+    want_all = set().union(*per_grp.values())
+    for g, keys in per_grp.items():
+        assert out[g]["n_exact"] == len(keys)
+        assert out[g]["kmv_est"] == len(keys)
+        assert out[g]["err_ppm"] == 0
+        assert out[g]["kth_hash"] == max(
+            (_KMV_A * k_ + _KMV_B) % _KMV_P for k_ in keys
+        )
+    assert out["_ALL_"]["n_exact"] == len(want_all)
+    assert out["_ALL_"]["kmv_est"] == len(want_all)
+
+
+def _grams5(t: str) -> set[str]:
+    return {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_prefix_filter_jaccard_equals_brute_force(spark, texts):
+    """AllPairs prefix filtering must return EXACTLY the brute-force
+    J >= 0.8 pair set — including all-identical corpora (every prefix
+    collides, candidates == all pairs, every pair jaccard_e6 ==
+    1_000_000) and sub-5-char degenerate shingles."""
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"], r["jaccard_e6"])
+        for r in _run_on(
+            spark, "dedup_prefix_filter_jaccard", {"documents": docs}
+        )
+    }
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            gi, gj = _grams5(texts[i]), _grams5(texts[j])
+            inter, union = len(gi & gj), len(gi | gj)
+            if 10 * inter >= 8 * union:
+                want[(i, j)] = (inter, union, 1_000_000 * inter // union)
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # block key
+            st.integers(min_value=0, max_value=10**6),  # id source
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=8),  # cap
+)
+@settings(**SETTINGS)
+def test_capped_block_self_pairs_matches_quadratic_reference(spark, rows, cap):
+    """Triangle-split pair generation over random block shapes and
+    caps (including cap=1, the max-splits regime) equals the naive
+    within-block all-pairs set — no pair lost, none duplicated."""
+    from data_warehouse_opensky_spark.operators.skew import (
+        capped_block_self_pairs,
+    )
+
+    data = [(blk, 1000 * i + (idv % 997)) for i, (blk, idv) in enumerate(rows)]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "blk INT, rid LONG")
+    got = sorted(
+        (r["a"]["rid"], r["b"]["rid"])
+        for r in capped_block_self_pairs(
+            df, block_cols=("blk",), id_col="rid", cap=cap, max_splits=5
+        ).collect()
+    )
+    ids: dict[int, list[int]] = {}
+    for blk, rid in data:
+        ids.setdefault(blk, []).append(rid)
+    want = sorted(
+        (a, b)
+        for grp in ids.values()
+        for x, a in enumerate(sorted(grp))
+        for b in sorted(grp)[x + 1 :]
+    )
+    assert got == want
