@@ -38,6 +38,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # Spark 4 refuses by default; read as long ns and convert explicitly
     # (floor to µs — matches DuckDB's read behavior, verified).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Recursive-CTE traffic backstop. The default 1e6 tripped on the
+    # sf1 slice (SCALE.md §41): graph_hierarchy_rollup's aggregate-
+    # before-recurse bounds loop rows by |distinct parts|·depth, and
+    # 10x parts × depth 6 ≈ 1.2M crosses the default even though the
+    # plan is the right shape. The limit is a runaway-recursion fuse,
+    # not a capacity plan — size it ~100x above the expected
+    # node-grain recursion mass (at 100 TB, scale with the aggregated
+    # key cardinality, never raw facts; recursing over facts should
+    # still trip it).
+    "spark.sql.cteRecursionRowLimit": str(100_000_000),
 }
 
 #: Builder-only confs (need JVM restart to change).
