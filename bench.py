@@ -105,6 +105,16 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 REGRESSION_RATIO = 1.3
 REGRESSION_FLOOR_SEC = 0.5
 
+#: Whole-run alarm (ADVICE r10): per-query flags are shift-normalized,
+#: which means a GENUINE suite-wide slowdown (a session-conf change
+#: that taxes every query) moves the median itself and escapes the
+#: per-query gate. This separate gate trips on the median directly:
+#: run_shift above this on a round whose code changed needs human
+#: adjudication (hot host? or a conf/plan change that slowed the
+#: whole catalog?). 1.15 sits above observed idle-host jitter
+#: (≤ ~1.05) and below the r9/r10 hot-host episodes (1.21, 1.35).
+RUN_SHIFT_ALARM = 1.15
+
 
 def load_baseline() -> tuple[str, dict[str, float]]:
     """Best-known per-query times for the regression gate.
@@ -163,7 +173,8 @@ def compute_regressions(
     baseline: dict[str, float],
     shift: float = 1.0,
 ) -> list[list]:
-    """[name, best_known, now, ratio] for every gate-tripping query.
+    """[name, best_known, now_raw, now_norm, ratio_norm] per tripping
+    query.
 
     `shift` is the run's median ratio vs best-known (the whole-run
     hot-host indicator). Flags are computed on SHIFT-NORMALIZED times
@@ -174,7 +185,14 @@ def compute_regressions(
     plan regression fully visible (one query cannot move its own
     median on a 200-query run) while absorbing the uniform component.
     Never normalize UP (shift < 1 on a cold-cache-lucky run would
-    inflate times and manufacture flags)."""
+    inflate times and manufacture flags). Flag rows carry BOTH the
+    raw observed time and the normalized one (ADVICE r10: history must
+    keep the raw observation; normalization is a lens, not the data).
+
+    Normalization's blind spot — a genuine change that uniformly slows
+    the whole suite (e.g. a session-conf change) moves the median
+    itself and is invisible here — is covered by the separate
+    RUN_SHIFT_ALARM whole-run gate in main()."""
     denom = max(shift, 1.0)
     out = []
     for n, v in per_query.items():
@@ -185,9 +203,9 @@ def compute_regressions(
             v_norm > baseline[n] * REGRESSION_RATIO
             and v_norm - baseline[n] > REGRESSION_FLOOR_SEC
         ):
-            out.append([n, baseline[n], round(v_norm, 3),
+            out.append([n, baseline[n], round(v, 3), round(v_norm, 3),
                         round(v_norm / baseline[n], 2)])
-    out.sort(key=lambda r: -r[3])
+    out.sort(key=lambda r: -r[-1])
     return out
 
 
@@ -262,6 +280,19 @@ def main() -> None:
         base_src, regressions = f"skipped (sf={sf} != 0.1)", []
         run_shift = None
 
+    # Shift-normalized headline: the raw total divided by the run's
+    # median ratio vs best-known (never below 1.0) — what the total
+    # WOULD read on a clean host. Recorded alongside raw, never
+    # instead of it (VERDICT r10 #1/#8).
+    value_norm = round(total / max(run_shift or 1.0, 1.0), 3)
+    # Adjudication state for history consumers (VERDICT r10 #8):
+    # trivially true when nothing flagged; a recording run that has
+    # had its flags adjudicated (isolated min-of-3 re-times written
+    # to SCALE.md) sets SPARK_GRAFT_FLAGS_ADJUDICATED=1.
+    flags_adjudicated = (
+        len(regressions) == 0
+        or os.environ.get("SPARK_GRAFT_FLAGS_ADJUDICATED") == "1"
+    )
     record = {
         # Huge fields FIRST, headline fields LAST: the driver records
         # only the LAST 2000 stdout chars (BENCH_r03's tail cut off
@@ -272,11 +303,16 @@ def main() -> None:
         "baseline_src": base_src,
         "regressions": regressions,
         "n_regressions": len(regressions),
-        "run_shift_median_ratio": run_shift,
+        "run_shift": run_shift,
+        "run_shift_alarm": bool(
+            run_shift is not None and run_shift > RUN_SHIFT_ALARM
+        ),
+        "flags_adjudicated": flags_adjudicated,
         "excluded": sorted(EXCLUDED),
         "special_slice": sorted(SPECIAL_SF_DIR),
         "metric": "headline_queries_total_time",
         "value": round(total, 3),
+        "value_norm": value_norm,
         "unit": "sec",
         "n_queries": len(per_query),
         "sf": sf,
@@ -306,6 +342,8 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_time",
                 "value": round(total, 3),
+                "value_norm": value_norm,
+                "run_shift": run_shift,
                 "unit": "sec",
                 "n_queries": len(per_query),
                 "n_regressions": len(regressions),

@@ -165,12 +165,21 @@ def capped_block_self_pairs(
             F.struct(*[F.col(f"b.{c}") for c in df.columns]).alias("b"),
         )
 
-    counts = df.groupBy(*blocks).agg(F.count("*").alias("__n"))
-    row = counts.agg(F.max("__n")).collect()[0]
-    if (row[0] or 0) <= cap:
+    # One pass over the corpus computes the block-count table; persist
+    # it (block-cardinality-sized, NOT corpus-sized) so the gate scalar
+    # below and the tagging join share the same computation instead of
+    # re-scanning df.
+    counts = df.groupBy(*blocks).agg(F.count("*").alias("__n")).persist()
+    max_n = counts.agg(F.max("__n")).collect()[0][0] or 0
+    if max_n <= cap:
+        counts.unpersist()
         return _plain(df)
 
-    tagged = df.join(counts, blocks)
+    # Both the small-block and hot-block branches filter this join;
+    # persisting it avoids scanning df twice more. It is corpus-sized,
+    # but only materialized when skew was actually detected (the rare
+    # path), and only the join output — no pair expansion yet.
+    tagged = df.join(counts, blocks).persist()
     # plain path: every block at or below the cap
     small_pairs = _plain(tagged.filter(F.col("__n") <= cap).drop("__n"))
 

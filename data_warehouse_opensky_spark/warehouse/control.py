@@ -16,6 +16,7 @@ NEW → PROCESSING → CLEAN_EXPORTED | FAILED.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 from datetime import datetime, timezone
@@ -101,6 +102,34 @@ class FileLog:
             self.path
         )
 
+    def compact(self) -> int:
+        """Rewrite the event log to its current-state snapshot
+        (VERDICT r10 #3 — the latest-wins event log grows without
+        bound; a real deployment compacts on a cadence).
+
+        Atomic w.r.t. concurrent readers WITHOUT a rename window: the
+        snapshot (one row per file, exactly `current()`) is first
+        staged to a tmp dir (export.py idiom), its part files are then
+        MOVED INTO the live dir (snapshot rows duplicate events already
+        present, so `latest_per_key` — which picks one winner per key —
+        reads identically before, during, and after the move), and
+        only then are the pre-existing event files deleted. A crash at
+        any point leaves a log whose `current()` is unchanged; leftover
+        un-deleted event files or tmp dirs are absorbed by the next
+        compact. Idempotent: compact(compact(log)) == compact(log).
+
+        Returns the number of superseded event rows removed. On
+        Delta/Iceberg the same API would be MERGE + VACUUM; this is
+        the honest pure-parquet equivalent.
+        """
+        if not os.path.isdir(self.path) or not os.listdir(self.path):
+            return 0
+        return _compact_dir(
+            self.spark,
+            self.path,
+            self.current().select([f.name for f in FILE_LOG_SCHEMA.fields]),
+        )
+
     def register_new(self, file_names: DataFrame) -> int:
         """Idempotent keyed insert (T1.6 — INSERT … ON CONFLICT DO
         NOTHING): left-anti against everything already registered, then
@@ -113,6 +142,31 @@ class FileLog:
         for name in rows:
             self.record(name, "NEW")
         return len(rows)
+
+
+def _compact_dir(spark: SparkSession, path: str, snapshot: DataFrame) -> int:
+    """Shared compaction kernel: stage `snapshot` to a tmp dir, move
+    its part files into `path`, delete the files that predate the
+    move. See FileLog.compact for why this ordering is reader-atomic
+    and crash-safe. Control-plane sized: the snapshot is one row per
+    key (file cardinality / job-run cardinality), never fact-scale."""
+    pre_existing = {
+        f for f in os.listdir(path) if not f.startswith("_")
+    }
+    n_before = spark.read.parquet(path).count()
+    tmp = path.rstrip("/") + ".compact_tmp"
+    # control tables are key-cardinality sized; one output file keeps
+    # the post-compact listing O(1)
+    snapshot.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet") or f.startswith("part-"):
+            shutil.move(os.path.join(tmp, f), os.path.join(path, f))
+    shutil.rmtree(tmp, ignore_errors=True)
+    for f in pre_existing:
+        target = os.path.join(path, f)
+        if os.path.isfile(target):
+            os.remove(target)
+    return n_before - spark.read.parquet(path).count()
 
 
 class JobLog:
@@ -150,3 +204,18 @@ class JobLog:
             F.max("message").alias("message"),
         )
         return agg
+
+    def compact(self) -> int:
+        """Collapse each run's start/end event pair to one snapshot
+        row. Same reader-atomic kernel as FileLog.compact; the one
+        wrinkle is that JobLog.current() is a groupBy-merge rather
+        than latest-wins, and the merge is IDEMPOTENT over the
+        snapshot (min/max/max_by of an already-merged single row is
+        that row), so reads during and after the move are unchanged."""
+        if not os.path.isdir(self.path) or not os.listdir(self.path):
+            return 0
+        return _compact_dir(
+            self.spark,
+            self.path,
+            self.current().select([f.name for f in JOB_LOG_SCHEMA.fields]),
+        )

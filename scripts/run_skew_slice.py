@@ -26,7 +26,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SCRIPTS_DIR = os.path.dirname(os.path.abspath(__file__))
+# repo root for the package import, scripts/ for the sibling-module
+# import below (needed when invoked via -m or from another cwd)
+sys.path.insert(0, os.path.dirname(_SCRIPTS_DIR))
+sys.path.insert(0, _SCRIPTS_DIR)
 
 from pyspark.sql import functions as F
 
