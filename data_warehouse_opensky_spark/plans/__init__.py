@@ -20,87 +20,81 @@ from . import sketches  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
-# to cycle driver coverage across the whole catalog. Round-10 front
-# (VERDICT r9 directive #2): the window leads with the 16 round-4-cohort
-# STRAGGLERS displaced past slot 50 last round — after this round no
-# catalog entry's latest external driver check is older than round 5 —
-# then the 3 plans whose CODE changed in round 10
-# (stats_spearman_rank_corr / stats_kendall_tau gained the zero-
-# variance NULL guard, ADVICE r9; dedup_fuzzy_levenshtein's pair stage
-# moved onto operators/skew.py:capped_block_self_pairs, VERDICT r9 #1),
-# preceded by the 3 queries ADDED in round 10 (never driver-checked:
-# CDC chunking, Hodges–Lehmann, clustering coefficient), followed by
-# 28 of the 48 round-5-cohort greens (the next-oldest
-# latest-driver-check tier), alphabetical. The 20 r5 leftovers
-# (mart_supplier_churn, mart_trending_decay, mart_weekly_top_gainer,
-# report_local_supplier_volume, report_promo_effect,
-# report_returned_items, report_volume_shipping,
-# scd2_incremental_rebuild, scd2_point_in_time,
-# stats_equidepth_histogram, stats_gapfill_interpolate,
-# stats_mad_outliers, stats_rolling_median, stats_seasonal_anomaly,
-# stats_weighted_median, streaming_dedup_within_watermark,
-# streaming_join_then_window, streaming_outer_join_unmatched,
-# window_range_trailing_1h, xml_roundtrip_extract) lead the round-11
-# window. Queries displaced past slot 50
+# to cycle driver coverage across the whole catalog. Round-11 front
+# (VERDICT r10 directive #2, as queued in the r10 rotation note): the
+# window leads with the 20 round-5-cohort LEFTOVERS — the oldest
+# latest-driver-check tier remaining; after this round no catalog
+# entry's latest external check is older than round 6 — then the one
+# plan whose CODE changed in round 11 (dedup_fuzzy_levenshtein: its
+# capped_block_self_pairs pair stage now persists the block-count
+# table so the skew-gate scalar and tagging join share one pass,
+# VERDICT r10 #5), then 29 of the 45 round-6-cohort greens
+# (alphabetical). The 16 r6 leftovers (stats_poisson_bootstrap,
+# stats_profile_orders, stats_welch_ttest, streaming_session_windows,
+# streaming_stateful_running_agg, streaming_stream_stream_join,
+# text_bm25_topk, text_bpe_merges, udf_grouped_agg_spend,
+# udf_grouped_map_share, udtf_token_positions, sql_pipe_syntax_summary,
+# sql_session_variables, stats_histogram_price, stats_linear_regression,
+# stats_pmi_cells) lead the round-12 window, followed by any round-11
+# additions and the round-7 cohort. Queries displaced past slot 50
 # stay covered by tests/test_oracle.py, which runs ALL of them vs
 # DuckDB at sf0.001 AND asserts every result against the committed pin
 # table (tests/oracle_pins.json), and by the per-session full
 # driver-contract sweep at sf0.01.
 DRIVER_WINDOW_PRIORITY = [
-    # ==== 16 round-4-cohort stragglers (oldest external check) ===========
-    "mart_sequence_patterns",
-    "opensky_airline_traffic",
-    "opensky_grid_density",
-    "schema_evolution_union",
-    "set_ops_except_all",
-    "stats_chi2_independence",
-    "stats_ks_drift",
-    "streaming_hopping_topk",
-    "streaming_static_enrich",
-    "streaming_upsert_sink_snapshot",
-    "text_bigram_logprob",
-    "text_char_entropy",
-    "text_heavy_hitters",
-    "text_inverted_index",
-    "text_langid_confusion",
-    "window_percent_rank_cume_dist",
-    # ==== 3 queries added in round 10 (never driver-checked) ==============
-    "corpus_cdc_chunks",
-    "stats_hodges_lehmann",
-    "graph_clustering_coefficient",
-    # ==== 3 plans whose code changed in round 10 ==========================
-    "stats_spearman_rank_corr",
-    "stats_kendall_tau",
+    # ==== 20 round-5-cohort leftovers (oldest external check) =============
+    "mart_supplier_churn",
+    "mart_trending_decay",
+    "mart_weekly_top_gainer",
+    "report_local_supplier_volume",
+    "report_promo_effect",
+    "report_returned_items",
+    "report_volume_shipping",
+    "scd2_incremental_rebuild",
+    "scd2_point_in_time",
+    "stats_equidepth_histogram",
+    "stats_gapfill_interpolate",
+    "stats_mad_outliers",
+    "stats_rolling_median",
+    "stats_seasonal_anomaly",
+    "stats_weighted_median",
+    "streaming_dedup_within_watermark",
+    "streaming_join_then_window",
+    "streaming_outer_join_unmatched",
+    "window_range_trailing_1h",
+    "xml_roundtrip_extract",
+    # ==== 1 plan whose code changed in round 11 ===========================
     "dedup_fuzzy_levenshtein",
-    # ==== 28 re-confirmations: oldest remaining (round-5) cohort ==========
-    "agg_listagg_statuses",
-    "ann_pq_adc_topk",
-    "ann_topk_with_metadata",
-    "audit_burst_rate",
-    "audit_duplicate_payments",
-    "audit_k_anonymity",
-    "audit_key_skew",
-    "audit_table_checksum",
-    "corpus_budget_select",
-    "corpus_sentence_dedup",
-    "corpus_upsample_epochs",
-    "dedup_prefix_filter_jaccard",
-    "embedding_hard_negatives",
-    "embedding_pq_codes",
-    "graph_hierarchy_rollup",
-    "graph_kcore_peeling",
-    "group_by_all_latest_order",
-    "json_variant_extract",
-    "mart_abc_pareto",
-    "mart_attribution_last_touch",
-    "mart_cohort_ltv",
-    "mart_cumulative_revenue_scan",
-    "mart_item_recs_topk",
-    "mart_longest_streak",
-    "mart_markov_transitions",
-    "mart_sessionize_gaps",
-    "text_zipf_slope",
-    "window_ntile_quartiles",
+    # ==== 29 re-confirmations: oldest remaining (round-6) cohort ==========
+    "ann_shortlist_rerank",
+    "approx_count_distinct_users",
+    "approx_percentile_gate",
+    "audit_freshness_lag",
+    "corpus_bpe_encode",
+    "corpus_dsir_weights",
+    "dedup_sorted_neighborhood",
+    "embedding_mmr_topk",
+    "embedding_power_iteration",
+    "embedding_truncation_recall",
+    "graph_bfs_hops",
+    "graph_community_modularity",
+    "graph_label_propagation",
+    "graph_link_prediction_ra",
+    "join_interval_overlap",
+    "mart_attribution_linear",
+    "mart_cumulative_users",
+    "mart_gini_concentration",
+    "mart_new_vs_returning",
+    "mart_repeat_interval_median",
+    "mart_rfm_segments",
+    "null_handling",
+    "opensky_trajectory_km",
+    "opensky_zorder_key",
+    "stats_anomaly_zscore",
+    "stats_autocorr_lag1",
+    "stats_benford_firstdigit",
+    "stats_corr_qty_price",
+    "stats_cusum_changepoint",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

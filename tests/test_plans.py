@@ -1712,3 +1712,23 @@ def test_fuzzy_levenshtein_pair_stage_is_equi_join(spark):
     # triangle machinery would show as Generate + a Union)
     assert "Generate" not in body, plan
     assert "Union" not in body, plan
+
+
+def test_cdc_chunks_expression_tree_stays_compact(spark):
+    """Pin for the round-10 codegen lesson (SCALE.md §41, VERDICT r10
+    #7): corpus_cdc_chunks' first implementation inlined the chunk-
+    bounds array into every consumer (Catalyst project-collapse
+    duplicates, not shares, subtrees), and the duplicated jumbo
+    expression cost ~8.6 MINUTES of OPTIMIZER time on first run. The
+    shipped plan folds the window hash inside one let-bound lambda and
+    its optimized plan string measures ~4.6k chars; a refactor that
+    reintroduces duplicated jumbo subtrees blows past any generous
+    ceiling (the broken version measured orders of magnitude larger
+    and, more to the point, took minutes to even reach toString)."""
+    from data_warehouse_opensky_spark.plans import QUERIES
+
+    df = QUERIES["corpus_cdc_chunks"].fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(opt) < 25_000, f"optimized plan ballooned: {len(opt)} chars"
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert len(phys) < 30_000, f"physical plan ballooned: {len(phys)} chars"

@@ -614,3 +614,126 @@ def test_capped_block_self_pairs_matches_quadratic_reference(spark, rows, cap):
         for b in sorted(grp)[x + 1 :]
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC chunking (round 11, VERDICT r10 #4): the operator's selling point
+# — content-defined boundaries make an edit shift at most the chunks
+# overlapping its W-char neighborhood — proved as a property, not prose.
+# Pattern mirrors winnowing: (1) the Spark plan must match a straight-
+# line Python reference exactly (few examples, one Spark job each);
+# (2) the edit-stability property is then checked on the reference
+# alone (hundreds of pure-Python examples, no Spark in the loop).
+# ---------------------------------------------------------------------------
+def _ref_cdc_bounds(text: str) -> list[int]:
+    """Straight-line transcription of operators/text.py cdc_chunks'
+    boundary rule: cut after 1-indexed char p = i+W-1 iff
+    polyhash(chars i..i+W-1) % DIVISOR == 0 and p < L."""
+    from data_warehouse_opensky_spark.operators.text import (
+        CDC_DIVISOR,
+        CDC_W,
+        ROLLING_MOD,
+    )
+
+    L = len(text)
+    cuts = []
+    for i in range(1, L - CDC_W + 2):  # 1-indexed window starts
+        acc = 0
+        for ch in text[i - 1 : i - 1 + CDC_W]:
+            acc = (acc * 31 + ord(ch)) % ROLLING_MOD
+        p = i + CDC_W - 1
+        if acc % CDC_DIVISOR == 0 and p < L:
+            cuts.append(p)
+    return [0] + cuts + [L]
+
+
+def _ref_cdc_chunks(text: str) -> list[tuple[int, int, int, str]]:
+    b = _ref_cdc_bounds(text)
+    return [
+        (k, b[k], b[k + 1] - b[k],
+         hashlib.md5(text[b[k]: b[k + 1]].encode()).hexdigest())
+        for k in range(len(b) - 1)
+        if b[k + 1] - b[k] > 0
+    ]
+
+
+# longer texts than the shared `texts` strategy so ~L/DIVISOR cuts
+# actually fire; '\x00' exercises ascii(0) == the fold's empty-slot value
+cdc_text = st.text(alphabet="ab \x00", min_size=0, max_size=200)
+
+
+@given(st.lists(cdc_text, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_cdc_chunks_match_reference(spark, docs):
+    """The SQL-expression plan (split→ascii fold over slices) must
+    reproduce the reference chunking EXACTLY — indices, offsets,
+    lengths, md5s — including docs shorter than one window, empty
+    docs, and texts ending exactly on a boundary (the p < L guard)."""
+    from data_warehouse_opensky_spark.operators.text import cdc_chunks
+
+    got: dict[int, list] = {}
+    for r in (
+        cdc_chunks(_docs_df(spark, docs))
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ):
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_pos"], r["chunk_len"], r["chunk_md5"])
+        )
+    for i, t in enumerate(docs):
+        assert got.get(i, []) == _ref_cdc_chunks(t), (i, t)
+
+
+@given(
+    st.text(alphabet="ab \x00", min_size=0, max_size=400),
+    st.integers(min_value=0, max_value=10**9),
+    st.sampled_from("ab \x00"),
+)
+@settings(max_examples=300, deadline=None)
+def test_cdc_edit_stability_reference(text, pos_seed, ins):
+    """Single-point insertion at offset p ⇒ boundary decisions are
+    LOCAL: cuts at q ≤ min(p, L-1) are bit-identical, cuts at
+    q ≥ p+W survive shifted by exactly 1, and therefore the chunk md5
+    sequences outside the last/first common boundary around the edit
+    window are identical — the multiset of changed chunks is confined
+    to the chunks overlapping [p-W, p+W]. (The Spark plan equals this
+    reference by test_cdc_chunks_match_reference, so the property
+    transfers.) min(p, L-1) rather than p handles append-at-end: the
+    p < L end guard suppressed a cut at L in the original that the
+    longer edited text may legally re-admit."""
+    from data_warehouse_opensky_spark.operators.text import CDC_W
+
+    L = len(text)
+    p = pos_seed % (L + 1)  # insertion offset, 0..L inclusive
+    edited = text[:p] + ins + text[p:]
+
+    A = set(_ref_cdc_bounds(text)[1:-1])  # interior cuts only
+    B = set(_ref_cdc_bounds(edited)[1:-1])
+
+    lo = min(p, L - 1)
+    assert {q for q in A if q <= lo} == {q for q in B if q <= lo}
+    assert {q for q in A if q >= p + CDC_W} == {
+        q - 1 for q in B if q >= p + CDC_W + 1
+    }
+
+    # chunk-level consequence: identical md5 runs outside the window.
+    # The suffix comparison needs a real common cut ≥ p+W (shifted +1
+    # in the edited text); if none exists the edit region runs to the
+    # end of the document and there is no suffix to compare.
+    c_lo = max([q for q in A if q <= lo], default=0)
+    orig = _ref_cdc_chunks(text)
+    new = _ref_cdc_chunks(edited)
+    pre_o = [c[3] for c in orig if c[1] + c[2] <= c_lo]
+    pre_n = [c[3] for c in new if c[1] + c[2] <= c_lo]
+    assert pre_o == pre_n
+    suf_cuts = [q for q in A if q >= p + CDC_W]
+    if suf_cuts:
+        c_hi = min(suf_cuts)
+        suf_o = [c[3] for c in orig if c[1] >= c_hi]
+        suf_n = [c[3] for c in new if c[1] >= c_hi + 1]
+        assert suf_o == suf_n
+    else:
+        suf_o = []
+    # and the changed region is the edit window's chunks only
+    changed = len(orig) - len(pre_o) - len(suf_o)
+    assert changed <= len([q for q in A if lo < q < p + CDC_W]) + 1
