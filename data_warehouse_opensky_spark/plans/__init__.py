@@ -24,19 +24,22 @@ from . import sketches  # noqa: E402,F401
 # (VERDICT r10 directive #2, as queued in the r10 rotation note): the
 # window leads with the 20 round-5-cohort LEFTOVERS — the oldest
 # latest-driver-check tier remaining; after this round no catalog
-# entry's latest external check is older than round 6 — then the one
+# entry's latest external check is older than round 6 — then the 2
+# queries ADDED in round 11 (never driver-checked: the Gopher-rule
+# quality gates and the n-gram repetition-ratio filter), then the one
 # plan whose CODE changed in round 11 (dedup_fuzzy_levenshtein: its
 # capped_block_self_pairs pair stage now persists the block-count
 # table so the skew-gate scalar and tagging join share one pass,
-# VERDICT r10 #5), then 29 of the 45 round-6-cohort greens
-# (alphabetical). The 16 r6 leftovers (stats_poisson_bootstrap,
+# VERDICT r10 #5), then 27 of the 45 round-6-cohort greens
+# (alphabetical). The 18 r6 leftovers (stats_corr_qty_price,
+# stats_cusum_changepoint, stats_histogram_price,
+# stats_linear_regression, stats_pmi_cells, stats_poisson_bootstrap,
 # stats_profile_orders, stats_welch_ttest, streaming_session_windows,
 # streaming_stateful_running_agg, streaming_stream_stream_join,
 # text_bm25_topk, text_bpe_merges, udf_grouped_agg_spend,
 # udf_grouped_map_share, udtf_token_positions, sql_pipe_syntax_summary,
-# sql_session_variables, stats_histogram_price, stats_linear_regression,
-# stats_pmi_cells) lead the round-12 window, followed by any round-11
-# additions and the round-7 cohort. Queries displaced past slot 50
+# sql_session_variables) lead the round-12 window, followed by any
+# round-12 additions and the round-7 cohort. Queries displaced past slot 50
 # stay covered by tests/test_oracle.py, which runs ALL of them vs
 # DuckDB at sf0.001 AND asserts every result against the committed pin
 # table (tests/oracle_pins.json), and by the per-session full
@@ -63,6 +66,9 @@ DRIVER_WINDOW_PRIORITY = [
     "streaming_outer_join_unmatched",
     "window_range_trailing_1h",
     "xml_roundtrip_extract",
+    # ==== 2 queries added in round 11 (never driver-checked) ==============
+    "text_gopher_quality",
+    "text_repetition_ratio",
     # ==== 1 plan whose code changed in round 11 ===========================
     "dedup_fuzzy_levenshtein",
     # ==== 29 re-confirmations: oldest remaining (round-6) cohort ==========
@@ -93,8 +99,6 @@ DRIVER_WINDOW_PRIORITY = [
     "stats_anomaly_zscore",
     "stats_autocorr_lag1",
     "stats_benford_firstdigit",
-    "stats_corr_qty_price",
-    "stats_cusum_changepoint",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

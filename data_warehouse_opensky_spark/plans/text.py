@@ -908,3 +908,198 @@ from ..operators import winnow as WN  # noqa: E402
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return WN.doc_profile(WN.fingerprint_stream(d)).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_ratio",
+    tier="T3",
+    doc="N-gram repetition quality filter (T3.4; the duplicate-n-gram "
+    "fraction family of Gopher/RefinedWeb-style corpus filters, Rae "
+    "et al. 2021 §A1.1): per doc, the fraction of word 2-grams and "
+    "3-grams that are repeats of an earlier occurrence, plus the "
+    "most-frequent-word share — high values mark boilerplate/spam. "
+    "All ratios exact integer ppm. Scale shape: every measure is "
+    "row-local array algebra (grams via sequence+transform over one "
+    "split; the top-word count is a run-length fold over array_sort, "
+    "O(n log n) per doc, NOT an explode+groupBy shuffle) — zero "
+    "exchanges except the final presentation sort.",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, t,
+        CASE WHEN len(t) >= 2 THEN
+          list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        ELSE [] END AS g2,
+        CASE WHEN len(t) >= 3 THEN
+          list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [] END AS g3
+      FROM x
+    ), top AS (
+      SELECT doc_id, max(c) AS top_word_n FROM (
+        SELECT doc_id, count(*) AS c FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ) GROUP BY doc_id, w
+      ) GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+      CAST(len(t) AS BIGINT) AS n_words,
+      CAST(len(g2) AS BIGINT) AS n_2grams,
+      CAST((len(g2) - len(list_distinct(g2))) * 1000000
+           // greatest(len(g2), 1) AS BIGINT) AS dup2_ppm,
+      CAST((len(g3) - len(list_distinct(g3))) * 1000000
+           // greatest(len(g3), 1) AS BIGINT) AS dup3_ppm,
+      CAST(top.top_word_n * 1000000 // greatest(len(t), 1) AS BIGINT)
+        AS top_word_ppm
+    FROM g JOIN top ON g.doc_id = top.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn(
+            "g2",
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                " ELSE array() END"
+            ),
+        )
+        .withColumn(
+            "g3",
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1),"
+                " ' ', element_at(t, i + 2))) ELSE array() END"
+            ),
+        )
+        .withColumn(
+            # run-length fold over the sorted array: the per-doc mode
+            # count without an explode+groupBy shuffle
+            "top_word_n",
+            F.expr(
+                "aggregate(array_sort(t),"
+                " named_struct('prev', CAST(NULL AS STRING),"
+                "              'run', 0L, 'best', 0L),"
+                " (s, w) -> named_struct("
+                "   'prev', w,"
+                "   'run', IF(s.prev <=> w, s.run + 1L, 1L),"
+                "   'best', greatest(s.best, IF(s.prev <=> w, s.run + 1L, 1L))),"
+                " s -> s.best)"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(size(t) AS BIGINT)").alias("n_words"),
+            F.expr("CAST(size(g2) AS BIGINT)").alias("n_2grams"),
+            F.expr(
+                "CAST((size(g2) - size(array_distinct(g2))) * 1000000"
+                " div greatest(size(g2), 1) AS BIGINT)"
+            ).alias("dup2_ppm"),
+            F.expr(
+                "CAST((size(g3) - size(array_distinct(g3))) * 1000000"
+                " div greatest(size(g3), 1) AS BIGINT)"
+            ).alias("dup3_ppm"),
+            F.expr(
+                "CAST(top_word_n * 1000000 div greatest(size(t), 1) AS BIGINT)"
+            ).alias("top_word_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_gopher_quality",
+    tier="T3",
+    doc="Gopher-rule document quality gates (T3.4; Rae et al. 2021 "
+    "§A1.1, the public rule set behind MassiveText filtering): word "
+    "count in [50, 100000], mean word length in [3, 10], >= 2 "
+    "stopword hits, >= 80% of words containing a letter — per-gate "
+    "booleans plus the conjunction, all thresholds applied to exact "
+    "integer ppm so both engines agree bit-for-bit. Row-local: one "
+    "split, four array folds, no exchange before the final sort.",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS sum_len,
+        CAST(len(list_filter(t, w -> list_contains([{_STOP_SQL}], w)))
+             AS BIGINT) AS stop_hits,
+        CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+             AS BIGINT) AS alpha_words
+      FROM x
+    )
+    SELECT doc_id, n_words,
+      sum_len * 1000000 // greatest(n_words, 1) AS mean_word_len_e6,
+      stop_hits,
+      alpha_words * 1000000 // greatest(n_words, 1) AS alpha_word_ppm,
+      CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+        AS gate_word_count,
+      CASE WHEN sum_len * 1000000 // greatest(n_words, 1)
+                BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END
+        AS gate_mean_len,
+      CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS gate_stopwords,
+      CASE WHEN alpha_words * 1000000 // greatest(n_words, 1) >= 800000
+           THEN 1 ELSE 0 END AS gate_alpha,
+      CASE WHEN n_words BETWEEN 50 AND 100000
+            AND sum_len * 1000000 // greatest(n_words, 1)
+                BETWEEN 3000000 AND 10000000
+            AND stop_hits >= 2
+            AND alpha_words * 1000000 // greatest(n_words, 1) >= 800000
+           THEN 1 ELSE 0 END AS passes_gopher
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+    m = d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(t) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "aggregate(t, 0L, (acc, w) -> acc + length(w))"
+        ).alias("sum_len"),
+        F.expr(
+            f"CAST(size(filter(t, w -> array_contains(array({stop_arr}), w)))"
+            " AS BIGINT)"
+        ).alias("stop_hits"),
+        F.expr(
+            "CAST(size(filter(t, w -> w rlike '[a-z]')) AS BIGINT)"
+        ).alias("alpha_words"),
+    )
+    mean_len = "sum_len * 1000000 div greatest(n_words, 1)"
+    alpha_ppm = "alpha_words * 1000000 div greatest(n_words, 1)"
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.expr(mean_len).alias("mean_word_len_e6"),
+        "stop_hits",
+        F.expr(alpha_ppm).alias("alpha_word_ppm"),
+        F.expr(
+            "CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END"
+        ).alias("gate_word_count"),
+        F.expr(
+            f"CASE WHEN {mean_len} BETWEEN 3000000 AND 10000000"
+            " THEN 1 ELSE 0 END"
+        ).alias("gate_mean_len"),
+        F.expr("CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END").alias(
+            "gate_stopwords"
+        ),
+        F.expr(
+            f"CASE WHEN {alpha_ppm} >= 800000 THEN 1 ELSE 0 END"
+        ).alias("gate_alpha"),
+        F.expr(
+            f"CASE WHEN n_words BETWEEN 50 AND 100000"
+            f" AND {mean_len} BETWEEN 3000000 AND 10000000"
+            f" AND stop_hits >= 2 AND {alpha_ppm} >= 800000"
+            " THEN 1 ELSE 0 END"
+        ).alias("passes_gopher"),
+    ).orderBy("doc_id")

@@ -316,11 +316,44 @@ def gen_skewed_prefix_documents(dst_dir: str, n_docs: int,
     return out
 
 
+#: sf3 decade (VERDICT r10 #6): one more measured decade for the two
+#: fact-scale champions. Targeted — only the tables those two queries
+#: read are generated (events for streaming_timeout_sessions; a 30x
+#: Zipf documents slice for dedup_prefix_filter_jaccard), so the slice
+#: costs ~100 MB, not a full 30x warehouse.
+SF3_DIR = os.path.join(DST_ROOT, "sf3")
+ZIPF_SF3_DIR = os.path.join(DST_ROOT, "zipf_docs_sf3")
+#: Zipf sf3 recipe: 30x docs; vocabulary grows by Heaps' law
+#: (V ~ N^0.7 — real crawls add vocabulary sublinearly), so per-token
+#: document frequency grows ~2.8x, not 30x, keeping the slice in the
+#: query's intended vocabulary>>corpus regime rather than manufacturing
+#: a degenerate all-pairs blowup the fixture is specifically NOT about.
+ZIPF_SF3_PARAMS = {
+    "n_docs": 150_000,          # 30 x 5k
+    "words_per_doc": 50,
+    "vocab": 500_000,           # 50k x 30^0.7 ~ 540k, rounded
+    "neardup_pairs": 3_000,     # 30 x 100
+    "seed": 20260816,
+}
+
+
+def gen_sf3() -> None:
+    os.makedirs(SF3_DIR, exist_ok=True)
+    n = _replicate("events", REPLICATED["events"], 30, SF3_DIR)
+    print(f"sf3: events x30 = {n} rows -> {SF3_DIR}")
+    gen_zipf_documents(ZIPF_SF3_DIR, **{
+        k: v for k, v in ZIPF_SF3_PARAMS.items()
+    })
+
+
 def main() -> None:
     import sys
 
     if "--zipf-only" in sys.argv:
         gen_zipf_documents(ZIPF_DOCS_DIR)
+        return
+    if "--sf3-only" in sys.argv:
+        gen_sf3()
         return
     for name, k in SLICES.items():
         dst = os.path.join(DST_ROOT, name)
