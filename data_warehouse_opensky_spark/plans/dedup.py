@@ -669,6 +669,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Exact set-similarity join via prefix filtering (AllPairs / PPJoin-lite)
 # --------------------------------------------------------------------------
+#: Shingle-row ceiling for the all-broadcast plan (see the gate comment
+#: in dedup_prefix_filter_jaccard). 16M rows ≈ ~250 MB in-heap for the
+#: worst payload relation — comfortable on a 16g driver; the 30x slice
+#: that OOM'd carries 37.5M.
+PREFIX_BROADCAST_TOKEN_CEIL = 16_000_000
+
+
 @query(
     "dedup_prefix_filter_jaccard",
     tier="T3",
@@ -731,13 +738,29 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode("toks").alias("tok")
     ).persist()
+    # Control-plane join-strategy gate (the skew/triangle doctrine;
+    # found by the r11 sf3 decade probe): above ~16M shingle rows the
+    # array-payload relations (toks_sorted per doc) inflate in-heap
+    # 20-50x past their compressed size estimate, so size-based
+    # broadcast selection OOMs the driver building the hash relation
+    # (measured: 37.5M tokens at the 30x Zipf slice died with
+    # notEnoughMemoryToBuildAndBroadcastTable under a 64MB threshold
+    # and 16g driver). Below the ceiling the plan keeps its measured
+    # all-broadcast shape verbatim; above it every join is pinned
+    # SHUFFLE_HASH — the shape a 1000-executor run wants anyway. The
+    # scalar rides the persisted toks (one count on materialized
+    # cache, the capped_block_self_pairs budget class).
+    shuffle_pin = toks.count() > PREFIX_BROADCAST_TOKEN_CEIL
+
+    def _h(frame: DataFrame) -> DataFrame:
+        return frame.hint("shuffle_hash") if shuffle_pin else frame
     # Global rarity order — the dictionary build. No rank column is
     # needed: (f, tok) is already a unique total order (tok is unique
     # after the groupBy), so the per-doc sort below orders by the
     # struct directly. The df attach is an ordinary distributed
     # equi-join; the whole vocabulary never meets a single task.
     freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
-    ranked = toks.join(freq, "tok").select("doc_id", "tok", "f")
+    ranked = toks.join(_h(freq), "tok").select("doc_id", "tok", "f")
     per_doc = ranked.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("f", "tok"))).alias("ordered"),
         F.count("*").alias("n"),
@@ -754,7 +777,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prefix"),
     ).persist()
     pf = pre.select("doc_id", "n", F.explode("prefix").alias("tok"))
-    a, b = pf.alias("a"), pf.alias("b")
+    a, b = pf.alias("a"), _h(pf.alias("b"))
     # Length filter rides the candidate join: J ≥ 0.8 requires
     # 8·max(na,nb) ≤ 10·min(na,nb) — prunes cross-size pairs before
     # the distinct.
@@ -780,8 +803,8 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nb"),
     )
     scored = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        cand.join(_h(ta), "doc_a")
+        .join(_h(tb), "doc_b")
         .select(
             "doc_a",
             "doc_b",

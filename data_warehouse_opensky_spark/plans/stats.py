@@ -2823,7 +2823,12 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global median window sorts those 2.9M int64s on one reducer, a "
     "bounded control-plane cost that never grows with the corpus; "
     "the only data-sized pass is the map-side-combined day "
-    "aggregate.",
+    "aggregate. Doctrine note (ADVICE r10): if the grain ever widens "
+    "past the calendar bound (hourly/minute grain => pair count no "
+    "longer control-plane sized), switch the median selection to the "
+    "two-phase distributed rank in operators/prefix.py, the "
+    "stats_equidepth_histogram pattern — the one-reducer sort is "
+    "acceptable ONLY because the Walsh multiset is calendar-bounded.",
     oracle="""
     WITH d AS (
       SELECT CAST(o_orderdate AS DATE) AS od,

@@ -1732,3 +1732,36 @@ def test_cdc_chunks_expression_tree_stays_compact(spark):
     assert len(opt) < 25_000, f"optimized plan ballooned: {len(opt)} chars"
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert len(phys) < 30_000, f"physical plan ballooned: {len(phys)} chars"
+
+
+def test_prefix_filter_broadcast_gate_both_branches(spark):
+    """The r11 sf3 probe found dedup_prefix_filter_jaccard OOM'ing the
+    driver at 30x: compressed-size broadcast selection under-estimates
+    array<string>-payload relations by 20-50x in-heap. The fix is a
+    control-plane token-count gate. Pin BOTH branches: at test scale
+    the plan keeps its all-broadcast shape (no regression from the
+    gate itself); with the ceiling forced to 0 every join must be
+    shuffle-hash — the driver never builds a broadcast relation."""
+    from data_warehouse_opensky_spark.plans import dedup as DD
+    from data_warehouse_opensky_spark.plans import QUERIES
+
+    def body(df):
+        return explain_str(df).split("== Physical Plan ==")[-1]
+
+    small = body(QUERIES["dedup_prefix_filter_jaccard"].fn(spark, SF))
+    assert "BroadcastHashJoin" in small, small
+
+    # drop the first call's persisted subtrees: CacheManager otherwise
+    # substitutes them by plan-equality into the second call, and the
+    # explain would show the cached (broadcast-era) child plan
+    spark.catalog.clearCache()
+    orig = DD.PREFIX_BROADCAST_TOKEN_CEIL
+    DD.PREFIX_BROADCAST_TOKEN_CEIL = 0
+    try:
+        big = body(QUERIES["dedup_prefix_filter_jaccard"].fn(spark, SF))
+    finally:
+        DD.PREFIX_BROADCAST_TOKEN_CEIL = orig
+        spark.catalog.clearCache()
+    assert "BroadcastHashJoin" not in big, big
+    assert "ShuffledHashJoin" in big, big
+    assert "CartesianProduct" not in big, big
