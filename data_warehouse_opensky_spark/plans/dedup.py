@@ -748,9 +748,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and 16g driver). Below the ceiling the plan keeps its measured
     # all-broadcast shape verbatim; above it every join is pinned
     # SHUFFLE_HASH — the shape a 1000-executor run wants anyway. The
-    # scalar rides the persisted toks (one count on materialized
-    # cache, the capped_block_self_pairs budget class).
-    shuffle_pin = toks.count() > PREFIX_BROADCAST_TOKEN_CEIL
+    # scalar is an UPPER BOUND on shingle rows from one single-column
+    # aggregate (shingles per doc = n_chars - 4), NOT a count over the
+    # exploded shingles: the explode-count variant measured ~+2 s of
+    # fixed gate tax at sf0.1; summing one int column costs
+    # milliseconds and a too-big bound can only push a borderline
+    # corpus onto the shuffle plan, never OOM it.
+    approx_tokens = d.agg(
+        F.sum(F.greatest(F.col("n_chars") - 4, F.lit(0)))
+    ).collect()[0][0] or 0
+    shuffle_pin = approx_tokens > PREFIX_BROADCAST_TOKEN_CEIL
 
     def _h(frame: DataFrame) -> DataFrame:
         return frame.hint("shuffle_hash") if shuffle_pin else frame
