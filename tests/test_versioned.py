@@ -1,0 +1,146 @@
+"""VersionedParquetTable (warehouse/versioned.py) — MERGE INTO on pure
+parquet: copy-on-write versions, atomic pointer flip, partition-grain
+rewrite with hard-linked reuse.
+
+Reference parity: T1.7's keyed UPDATE (load_warehouse.py:117-129 runs
+it in Postgres); SURVEY §2 maps it to Delta MERGE. These tests gate
+the semantics (upsert, delete, row moves between partitions), the
+atomicity story (old version readable until flip; crash orphans
+harmless), and the 100 TB property (untouched partitions hard-linked,
+asserted by inode)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_warehouse_opensky_spark.warehouse.versioned import (
+    VersionedParquetTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id BIGINT, day STRING, val STRING")
+
+
+def _rows(t, version=None):
+    return {
+        tuple(r) for r in t.read(version).select("id", "day", "val").collect()
+    }
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "tbl"), partition_col="day")
+    t.init(_df(spark, [
+        (1, "2024-01-01", "a"),
+        (2, "2024-01-01", "b"),
+        (3, "2024-01-02", "c"),
+        (4, "2024-01-03", "d"),
+    ]))
+    return t
+
+
+def test_merge_upserts_and_inserts(spark, table):
+    stats = table.merge_into(
+        _df(spark, [
+            (2, "2024-01-01", "B2"),   # update in place
+            (5, "2024-01-04", "e"),    # insert, new partition
+        ]),
+        ["id"],
+    )
+    assert stats["version"] == 2
+    assert stats["updated"] == 1 and stats["inserted"] == 1
+    assert _rows(table) == {
+        (1, "2024-01-01", "a"), (2, "2024-01-01", "B2"),
+        (3, "2024-01-02", "c"), (4, "2024-01-03", "d"),
+        (5, "2024-01-04", "e"),
+    }
+    # time travel: v1 unchanged
+    assert (2, "2024-01-01", "b") in _rows(table, version=1)
+
+
+def test_untouched_partitions_are_hard_linked(spark, table):
+    table.merge_into(_df(spark, [(2, "2024-01-01", "B2")]), ["id"])
+    v1 = os.path.join(table.path, "v=1", "day=2024-01-02")
+    v2 = os.path.join(table.path, "v=2", "day=2024-01-02")
+    inodes1 = {f: os.stat(os.path.join(v1, f)).st_ino
+               for f in os.listdir(v1) if f.endswith(".parquet")}
+    inodes2 = {f: os.stat(os.path.join(v2, f)).st_ino
+               for f in os.listdir(v2) if f.endswith(".parquet")}
+    assert inodes1 == inodes2 and inodes1  # same files, zero bytes copied
+    # the touched partition was REWRITTEN (different files)
+    t1 = os.path.join(table.path, "v=1", "day=2024-01-01")
+    t2 = os.path.join(table.path, "v=2", "day=2024-01-01")
+    assert {os.stat(os.path.join(t1, f)).st_ino for f in os.listdir(t1)
+            if f.endswith(".parquet")}.isdisjoint(
+        {os.stat(os.path.join(t2, f)).st_ino for f in os.listdir(t2)
+         if f.endswith(".parquet")})
+
+
+def test_merge_moves_row_across_partitions(spark, table):
+    table.merge_into(_df(spark, [(3, "2024-01-05", "c-moved")]), ["id"])
+    got = _rows(table)
+    assert (3, "2024-01-05", "c-moved") in got
+    assert not any(r[0] == 3 and r[1] == "2024-01-02" for r in got)
+    assert len(got) == 4
+
+
+def test_merge_delete_mode(spark, table):
+    stats = table.merge_into(
+        spark.createDataFrame([(1,), (4,)], "id BIGINT"),
+        ["id"],
+        when_matched="delete",
+    )
+    assert stats["deleted"] == 2
+    assert {r[0] for r in _rows(table)} == {2, 3}
+
+
+def test_crash_orphan_is_invisible_and_vacuumable(spark, table):
+    # simulate a crashed merge: a fully-written version dir with no flip
+    os.makedirs(os.path.join(table.path, "v=2"), exist_ok=True)
+    assert table.latest_version() == 1
+    assert len(_rows(table)) == 4  # reader unaffected
+    # next merge supersedes the orphan number
+    table.merge_into(_df(spark, [(1, "2024-01-01", "A")]), ["id"])
+    assert table.latest_version() == 3
+    removed = table.vacuum(keep_last=1)
+    assert 2 in removed and 3 not in removed
+    assert len(_rows(table)) == 4
+
+
+def test_duplicate_source_keys_rejected(spark, table):
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        table.merge_into(
+            _df(spark, [(9, "2024-01-01", "x"), (9, "2024-01-01", "y")]),
+            ["id"],
+        )
+
+
+def test_null_source_keys_rejected(spark, table):
+    with pytest.raises(ValueError, match="non-null"):
+        table.merge_into(
+            _df(spark, [(None, "2024-01-01", "x")]), ["id"]
+        )
+
+
+def test_merge_is_replayable(spark, table):
+    src = _df(spark, [(2, "2024-01-01", "B2"), (6, "2024-01-01", "f")])
+    table.merge_into(src, ["id"])
+    before = _rows(table)
+    table.merge_into(src, ["id"])  # replay: same source again
+    assert _rows(table) == before  # idempotent outcome, new version
+    assert table.latest_version() == 3
+
+
+def test_unpartitioned_table_roundtrip(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "flat"))
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, v STRING"))
+    t.merge_into(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id BIGINT, v STRING"),
+        ["id"],
+    )
+    assert {tuple(r) for r in t.read().collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
