@@ -339,8 +339,9 @@ ZIPF_SF3_PARAMS = {
 
 def gen_sf3() -> None:
     os.makedirs(SF3_DIR, exist_ok=True)
-    n = _replicate("events", REPLICATED["events"], 30, SF3_DIR)
-    print(f"sf3: events x30 = {n} rows -> {SF3_DIR}")
+    for tbl in ("events", "lineitem"):
+        n = _replicate(tbl, REPLICATED[tbl], 30, SF3_DIR)
+        print(f"sf3: {tbl} x30 = {n} rows -> {SF3_DIR}")
     gen_zipf_documents(ZIPF_SF3_DIR, **{
         k: v for k, v in ZIPF_SF3_PARAMS.items()
     })
