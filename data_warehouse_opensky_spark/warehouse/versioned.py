@@ -270,6 +270,47 @@ class VersionedParquetTable:
             "rows_before": n_target,
         }
 
+    def overwrite_partitions(self, source: DataFrame) -> dict:
+        """INSERT OVERWRITE ... PARTITION: replace exactly the
+        partitions present in `source` with source's rows (the
+        reference's truncate+reload pattern at partition grain —
+        load_warehouse.py reloads whole tables; a 100 TB table
+        reloads only the partitions a batch touches). Untouched
+        partitions hard-link from the previous version; same atomic
+        pointer flip as merge_into. Requires `partition_col`."""
+        if not self.partition_col:
+            raise ValueError("overwrite_partitions needs a partition_col")
+        pcol = self.partition_col
+        if pcol not in source.columns:
+            raise ValueError(f"source must carry partition column {pcol!r}")
+        prev = self.latest_version()
+        if prev is None:
+            self.init(source)
+            return {"version": 1, "rewritten_partitions": None,
+                    "linked_partitions": 0}
+        target = self.read(prev)
+        if sorted(target.columns) != sorted(source.columns):
+            raise ValueError(
+                f"schema mismatch: target {sorted(target.columns)} vs "
+                f"source {sorted(source.columns)}"
+            )
+        new_v = max(self.history() or [prev]) + 1
+        vdir = self._version_dir(new_v)
+        touched_vals = [r[0] for r in source.select(pcol).distinct().collect()]
+        os.makedirs(vdir, exist_ok=True)
+        if touched_vals:
+            self._write_version(source.select(*target.columns), vdir)
+        linked = 0
+        prev_dir = self._version_dir(prev)
+        touched_dirnames = {f"{pcol}={v}" for v in touched_vals}
+        for d in os.listdir(prev_dir):
+            if d.startswith(f"{pcol}=") and d not in touched_dirnames:
+                self._link_tree(os.path.join(prev_dir, d), os.path.join(vdir, d))
+                linked += 1
+        self._flip(new_v)
+        return {"version": new_v, "rewritten_partitions": len(touched_vals),
+                "linked_partitions": linked}
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Delete version dirs outside the newest `keep_last`, never
         the committed one. Orphans from crashed merges carry numbers

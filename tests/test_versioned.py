@@ -144,3 +144,34 @@ def test_unpartitioned_table_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in t.read().collect()} == {
         (1, "a"), (2, "B"), (3, "c")
     }
+
+
+def test_overwrite_partitions_replaces_only_named_days(spark, table):
+    stats = table.overwrite_partitions(_df(spark, [
+        (10, "2024-01-01", "new1"),   # replaces BOTH rows of day 01
+        (11, "2024-01-05", "new2"),   # creates day 05
+    ]))
+    assert stats["rewritten_partitions"] == 2
+    assert stats["linked_partitions"] == 2  # day 02 and 03 reused
+    assert _rows(table) == {
+        (10, "2024-01-01", "new1"),
+        (3, "2024-01-02", "c"),
+        (4, "2024-01-03", "d"),
+        (11, "2024-01-05", "new2"),
+    }
+    # untouched partitions hard-linked (zero copy)
+    v1 = os.path.join(table.path, "v=1", "day=2024-01-02")
+    v2 = os.path.join(table.path, "v=2", "day=2024-01-02")
+    assert {os.stat(os.path.join(v1, f)).st_ino for f in os.listdir(v1)
+            if f.endswith(".parquet")} == \
+           {os.stat(os.path.join(v2, f)).st_ino for f in os.listdir(v2)
+            if f.endswith(".parquet")}
+
+
+def test_overwrite_partitions_requires_partition_col(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "flat"))
+    t.init(spark.createDataFrame([(1, "a")], "id BIGINT, v STRING"))
+    with pytest.raises(ValueError, match="partition_col"):
+        t.overwrite_partitions(
+            spark.createDataFrame([(1, "b")], "id BIGINT, v STRING")
+        )
