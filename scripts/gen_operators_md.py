@@ -34,7 +34,7 @@ SURVEY_MATRIX: list[tuple[str, str, str]] = [
      "`warehouse/control.py::FileLog.register_new` (dropDuplicates + left-anti); test_ingest idempotency"),
     ("T1.7", "Keyed UPDATE",
      "`warehouse/control.py::FileLog.record` / `JobLog.end` (event-log + latest-wins + `compact()`); data-plane MERGE INTO: "
-     "`warehouse/versioned.py::VersionedParquetTable.merge_into` (copy-on-write versions, atomic pointer flip, "
+     "`warehouse/versioned.py::VersionedParquetTable.merge_into` / `overwrite_partitions` (copy-on-write versions, atomic pointer flip, "
      "hard-linked untouched partitions) — tests/test_versioned.py"),
     ("T1.8", "Point-lookup scan", "query `point_lookup`"),
     ("T1.9", "Predicate scan", "queries `filter_predicates`, `case_when_buckets`"),
