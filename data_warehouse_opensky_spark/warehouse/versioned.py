@@ -136,6 +136,21 @@ class VersionedParquetTable:
         self._flip(1)
         return 1
 
+    def _escaped_dirname(self, pcol: str, value) -> str:
+        """The partition directory name Spark's writer produces for
+        `value` — including its path escaping (spaces, colons, '%', …
+        become %XX). Matching on the UNescaped f-string would classify
+        an escaped touched partition as untouched and hard-link it
+        alongside its rewrite: duplicate rows."""
+        try:
+            esc = (
+                self.spark._jvm.org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName(str(value))
+            )
+        except Exception:
+            esc = str(value)
+        return f"{pcol}={esc}"
+
     @staticmethod
     def _link_tree(src: str, dst: str) -> None:
         """Hard-link every file of src into dst (copy-on-write reuse;
@@ -239,7 +254,9 @@ class VersionedParquetTable:
                 self._write_version(new_rows, vdir)
             linked = 0
             prev_dir = self._version_dir(prev)
-            touched_dirnames = {f"{pcol}={v}" for v in touched_vals}
+            touched_dirnames = {
+                self._escaped_dirname(pcol, v) for v in touched_vals
+            }
             for d in os.listdir(prev_dir):
                 if d.startswith(f"{pcol}=") and d not in touched_dirnames:
                     self._link_tree(
@@ -302,7 +319,9 @@ class VersionedParquetTable:
             self._write_version(source.select(*target.columns), vdir)
         linked = 0
         prev_dir = self._version_dir(prev)
-        touched_dirnames = {f"{pcol}={v}" for v in touched_vals}
+        touched_dirnames = {
+            self._escaped_dirname(pcol, v) for v in touched_vals
+        }
         for d in os.listdir(prev_dir):
             if d.startswith(f"{pcol}=") and d not in touched_dirnames:
                 self._link_tree(os.path.join(prev_dir, d), os.path.join(vdir, d))

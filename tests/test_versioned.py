@@ -175,3 +175,25 @@ def test_overwrite_partitions_requires_partition_col(spark, tmp_path):
         t.overwrite_partitions(
             spark.createDataFrame([(1, "b")], "id BIGINT, v STRING")
         )
+
+
+def test_merge_with_escaped_partition_values(spark, tmp_path):
+    """Partition values containing path-escaped characters (spaces,
+    colons) must not be double-counted: Spark writes 'day=a%20b', and
+    a naive unescaped dirname match would hard-link the old partition
+    NEXT TO its rewrite — duplicate rows."""
+    t = VersionedParquetTable(spark, str(tmp_path / "esc"), partition_col="day")
+    t.init(_df(spark, [
+        (1, "a b", "x"),        # space → %20 in the dirname
+        (2, "c:d", "y"),        # colon → %3A
+        (3, "plain", "z"),
+    ]))
+    t.merge_into(_df(spark, [(1, "a b", "X2")]), ["id"])
+    assert _rows(t) == {
+        (1, "a b", "X2"), (2, "c:d", "y"), (3, "plain", "z")
+    }
+    # and the untouched escaped partition was linked, not copied
+    import os as _os
+    v1 = [d for d in _os.listdir(t._version_dir(1)) if d.startswith("day=")]
+    v2 = [d for d in _os.listdir(t._version_dir(2)) if d.startswith("day=")]
+    assert sorted(v1) == sorted(v2)
