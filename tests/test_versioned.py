@@ -177,6 +177,105 @@ def test_overwrite_partitions_requires_partition_col(spark, tmp_path):
         )
 
 
+def test_escape_path_name_matches_jvm(spark):
+    """The pure-Python escapePathName (ADVICE r11: the private-JVM-API
+    call could silently fall back to the UNescaped name) must match
+    Spark's writer byte-for-byte on every character class it escapes."""
+    from data_warehouse_opensky_spark.warehouse.versioned import (
+        escape_path_name,
+    )
+
+    jvm = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    cases = [
+        "a b", "c:d", "a%b", "a#b", "a/b", "a=b", "a*b", "a'b", 'a"b',
+        "a\\b", "a{b", "a[b]", "a^b", "a?b", "café", "2024-01-01 00:00:00",
+        "\x01x", "\x1fx", "\x7fx", "plain", "a\tb", "a\nb", "<>|", "a.b_c-d",
+    ]
+    for c in cases:
+        assert escape_path_name(c) == jvm.escapePathName(c), c
+
+
+def test_merge_with_null_partition_values(spark, tmp_path):
+    """ADVICE r11 (medium): NULL partition values. Spark writes NULL
+    pcol rows to day=__HIVE_DEFAULT_PARTITION__; the old classification
+    (isin([None,...]) + f"day=None") both missed them — the stale null
+    partition was hard-linked NEXT TO its rewrite: duplicate rows."""
+    t = VersionedParquetTable(spark, str(tmp_path / "nulls"), partition_col="day")
+    t.init(_df(spark, [
+        (1, None, "n1"),
+        (2, None, "n2"),
+        (3, "2024-01-02", "c"),
+    ]))
+    # update a row INSIDE the null partition + insert another into it
+    t.merge_into(_df(spark, [(1, None, "N1v2"), (4, None, "n4")]), ["id"])
+    assert _rows(t) == {
+        (1, None, "N1v2"), (2, None, "n2"),
+        (3, "2024-01-02", "c"), (4, None, "n4"),
+    }
+    # exactly ONE default-partition dir in v=2, and it was rewritten
+    v2_parts = [d for d in os.listdir(t._version_dir(2)) if d.startswith("day=")]
+    assert sorted(v2_parts) == ["day=2024-01-02", "day=__HIVE_DEFAULT_PARTITION__"]
+
+
+def test_merge_preserves_untouched_null_partition(spark, tmp_path):
+    """The inverse case: a merge NOT touching the null partition must
+    hard-link it once (it is untouched), never drop or duplicate it."""
+    t = VersionedParquetTable(spark, str(tmp_path / "nulls2"), partition_col="day")
+    t.init(_df(spark, [(1, None, "n1"), (3, "2024-01-02", "c")]))
+    t.merge_into(_df(spark, [(3, "2024-01-02", "C2")]), ["id"])
+    assert _rows(t) == {(1, None, "n1"), (3, "2024-01-02", "C2")}
+    d1 = os.path.join(t._version_dir(1), "day=__HIVE_DEFAULT_PARTITION__")
+    d2 = os.path.join(t._version_dir(2), "day=__HIVE_DEFAULT_PARTITION__")
+    inodes = lambda d: {os.stat(os.path.join(d, f)).st_ino  # noqa: E731
+                        for f in os.listdir(d) if f.endswith(".parquet")}
+    assert inodes(d1) == inodes(d2) and inodes(d1)
+
+
+def test_merge_empty_string_partition_collapses_to_null(spark, tmp_path):
+    """Spark's writer sends empty-string partition values to the SAME
+    __HIVE_DEFAULT_PARTITION__ dir as NULL (and the reader returns
+    NULL for both) — the classification must treat '' and NULL as one
+    partition or the dirname set double-counts it."""
+    t = VersionedParquetTable(spark, str(tmp_path / "empty"), partition_col="day")
+    t.init(_df(spark, [(1, "", "e1"), (3, "2024-01-02", "c")]))
+    # round-trip: '' reads back as NULL (Spark semantics, documented)
+    assert _rows(t) == {(1, None, "e1"), (3, "2024-01-02", "c")}
+    t.merge_into(_df(spark, [(2, "", "e2")]), ["id"])
+    assert _rows(t) == {
+        (1, None, "e1"), (2, None, "e2"), (3, "2024-01-02", "c")
+    }
+    v2_parts = [d for d in os.listdir(t._version_dir(2)) if d.startswith("day=")]
+    assert sorted(v2_parts) == ["day=2024-01-02", "day=__HIVE_DEFAULT_PARTITION__"]
+
+
+def test_overwrite_partitions_with_null_partition(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "ow"), partition_col="day")
+    t.init(_df(spark, [(1, None, "n1"), (2, None, "n2"), (3, "2024-01-02", "c")]))
+    stats = t.overwrite_partitions(_df(spark, [(9, None, "fresh")]))
+    assert stats["rewritten_partitions"] == 1
+    assert stats["linked_partitions"] == 1
+    assert _rows(t) == {(9, None, "fresh"), (3, "2024-01-02", "c")}
+
+
+def test_vacuum_grace_period_protects_recent_versions(spark, table):
+    """VERDICT r11 #7: the Delta-VACUUM hazard. A version younger than
+    grace_seconds is never removed, so a reader that resolved the
+    pointer within the grace window keeps its files; with grace 0 an
+    in-flight reader of a vacuumed version fails CLEANLY (file-missing
+    error), never silently reading partial data."""
+    table.merge_into(_df(spark, [(1, "2024-01-01", "A2")]), ["id"])
+    table.merge_into(_df(spark, [(1, "2024-01-01", "A3")]), ["id"])
+    # all versions were just written → grace covers them, nothing removed
+    assert table.vacuum(keep_last=1, grace_seconds=3600) == []
+    # a reader holding v=1 planned BEFORE an aggressive vacuum...
+    stale = table.read(1)
+    removed = table.vacuum(keep_last=1, grace_seconds=0)
+    assert removed == [1, 2]
+    # ...fails loudly (path/file gone) — never returns partial rows
+    with pytest.raises(Exception, match="(?i)path|file|exist"):
+        stale.count()
+
+
 def test_merge_with_escaped_partition_values(spark, tmp_path):
     """Partition values containing path-escaped characters (spaces,
     colons) must not be double-counted: Spark writes 'day=a%20b', and
