@@ -1049,3 +1049,83 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_over_views(
         spark, sf_dir, _RECURSIVE_HIERARCHY, ["region", "nation", "customer"]
     )
+
+
+# --------------------------------------------------------------------------
+# T1.7 end-to-end — MERGE INTO under the oracle harness
+# --------------------------------------------------------------------------
+@query(
+    "merge_upsert_replay",
+    tier="T1",
+    doc="VersionedParquetTable MERGE INTO, driver-checked end-to-end "
+    "(VERDICT r11 #2; T1.7 — the reference's keyed UPDATE runs in "
+    "Postgres, load_warehouse.py:117-129): init a versioned table "
+    "from the orders snapshot slice (keys not divisible by 3), MERGE "
+    "a deterministic CDC batch (keys divisible by 7: status 'M', "
+    "price +10.00 — some match existing rows, the %21==0 overlap "
+    "inserts new keys into existing partitions, %3==0&&%7==0 keys "
+    "are pure inserts), read the committed version back. The oracle "
+    "replays the same upsert in SQL: source UNION ALL (target "
+    "ANTI-JOIN source). Exercises the whole table format: atomic "
+    "pointer flip, partition-grain copy-on-write on o_year, "
+    "hard-linked untouched partitions, schema re-application on "
+    "read. Money in exact integer cents; the date as a string. At "
+    "100 TB the merge cost is the touched partitions only — the "
+    "untouched years are hard-links (inode-asserted in "
+    "tests/test_versioned.py).",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             strftime(o_orderdate, '%Y') AS o_year
+      FROM orders
+    ), target AS (
+      SELECT * FROM base WHERE o_orderkey % 3 <> 0
+    ), src AS (
+      SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+             price_cents + 1000 AS price_cents, o_date, o_year
+      FROM base WHERE o_orderkey % 7 = 0
+    )
+    SELECT * FROM src
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..warehouse.versioned import VersionedParquetTable
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+    )
+    # The table dir must OUTLIVE this fn (the returned frame reads it
+    # lazily; the driver collects later) — same contract as the
+    # streaming upsert-sink snapshot. Each invocation recycles the
+    # previous one's dir so repeated bench samples stay bounded.
+    global _MERGE_REPLAY_DIR
+    root = tempfile.mkdtemp(prefix="merge_replay_")
+    t = VersionedParquetTable(spark, root + "/orders", partition_col="o_year")
+    t.init(base.filter(F.col("o_orderkey") % 3 != 0))
+    t.merge_into(
+        base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_orderstatus", F.lit("M")
+        ).withColumn("price_cents", F.col("price_cents") + 1000),
+        key_cols=["o_orderkey"],
+    )
+    prev, _MERGE_REPLAY_DIR = _MERGE_REPLAY_DIR, root
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    return t.read().select(*base.columns).orderBy("o_orderkey")
+
+
+_MERGE_REPLAY_DIR: str | None = None

@@ -1103,3 +1103,225 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END"
         ).alias("passes_gopher"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_gopher_symbol_lines",
+    tier="T3",
+    doc="Gopher symbol/line-shape gates (T3.4; Rae et al. 2021 §A1.1, "
+    "completing the rule set the r11 word-grain gates started): "
+    "symbol-to-word ratio for '#' and ellipsis (each must be <= 0.1), "
+    "fraction of lines starting with a bullet (<= 90%) and ending "
+    "with an ellipsis (<= 30%). All ratios exact integer ppm so both "
+    "engines agree bit-for-bit; symbol occurrence counts use "
+    "length-delta over replace() (identical non-overlapping greedy "
+    "semantics in Spark and DuckDB — no regex engine drift). The "
+    "driver's synthetic documents are single-line and symbol-free, so "
+    "values are degenerate-but-exact there; non-degenerate behavior "
+    "is gated by the multi-line fixture test in tests/test_plans.py. "
+    "Row-local: one split + array folds, zero exchanges before the "
+    "presentation sort.",
+    oracle=r"""
+    WITH x AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+          AS n_hash,
+        CAST((length(text) - length(replace(text, '...', ''))) // 3
+             + length(text) - length(replace(text, '…', '')) AS BIGINT)
+          AS n_ellipsis,
+        string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_words, n_hash, n_ellipsis,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines,
+               l -> regexp_matches(l, '^\s*[•*-]'))) AS BIGINT)
+          AS bullet_lines,
+        CAST(len(list_filter(lines,
+               l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT)
+          AS ellipsis_lines
+      FROM x
+    )
+    SELECT doc_id, n_words,
+      n_hash * 1000000 // greatest(n_words, 1) AS hash_word_ppm,
+      n_ellipsis * 1000000 // greatest(n_words, 1) AS ellipsis_word_ppm,
+      n_lines,
+      bullet_lines * 1000000 // greatest(n_lines, 1) AS bullet_line_ppm,
+      ellipsis_lines * 1000000 // greatest(n_lines, 1) AS ellipsis_line_ppm,
+      CASE WHEN n_hash * 1000000 // greatest(n_words, 1) <= 100000
+            AND n_ellipsis * 1000000 // greatest(n_words, 1) <= 100000
+           THEN 1 ELSE 0 END AS gate_symbol,
+      CASE WHEN bullet_lines * 1000000 // greatest(n_lines, 1) <= 900000
+           THEN 1 ELSE 0 END AS gate_bullet,
+      CASE WHEN ellipsis_lines * 1000000 // greatest(n_lines, 1) <= 300000
+           THEN 1 ELSE 0 END AS gate_ellipsis_lines,
+      CASE WHEN n_hash * 1000000 // greatest(n_words, 1) <= 100000
+            AND n_ellipsis * 1000000 // greatest(n_words, 1) <= 100000
+            AND bullet_lines * 1000000 // greatest(n_lines, 1) <= 900000
+            AND ellipsis_lines * 1000000 // greatest(n_lines, 1) <= 300000
+           THEN 1 ELSE 0 END AS passes_symbol_gates
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_symbol_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)"
+        ).alias("n_hash"),
+        F.expr(
+            "CAST((length(text) - length(replace(text, '...', ''))) div 3"
+            " + length(text) - length(replace(text, '…', '')) AS BIGINT)"
+        ).alias("n_ellipsis"),
+        F.split("text", "\n").alias("lines"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_hash",
+        "n_ellipsis",
+        F.expr("CAST(size(lines) AS BIGINT)").alias("n_lines"),
+        F.expr(
+            r"CAST(size(filter(lines, l -> l rlike '^\\s*[•*-]')) AS BIGINT)"
+        ).alias("bullet_lines"),
+        F.expr(
+            r"CAST(size(filter(lines, l -> l rlike '(\\.\\.\\.|…)\\s*$'))"
+            " AS BIGINT)"
+        ).alias("ellipsis_lines"),
+    )
+    hash_ppm = "n_hash * 1000000 div greatest(n_words, 1)"
+    ell_ppm = "n_ellipsis * 1000000 div greatest(n_words, 1)"
+    bullet_ppm = "bullet_lines * 1000000 div greatest(n_lines, 1)"
+    ell_line_ppm = "ellipsis_lines * 1000000 div greatest(n_lines, 1)"
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.expr(hash_ppm).alias("hash_word_ppm"),
+        F.expr(ell_ppm).alias("ellipsis_word_ppm"),
+        "n_lines",
+        F.expr(bullet_ppm).alias("bullet_line_ppm"),
+        F.expr(ell_line_ppm).alias("ellipsis_line_ppm"),
+        F.expr(
+            f"CASE WHEN {hash_ppm} <= 100000 AND {ell_ppm} <= 100000"
+            " THEN 1 ELSE 0 END"
+        ).alias("gate_symbol"),
+        F.expr(
+            f"CASE WHEN {bullet_ppm} <= 900000 THEN 1 ELSE 0 END"
+        ).alias("gate_bullet"),
+        F.expr(
+            f"CASE WHEN {ell_line_ppm} <= 300000 THEN 1 ELSE 0 END"
+        ).alias("gate_ellipsis_lines"),
+        F.expr(
+            f"CASE WHEN {hash_ppm} <= 100000 AND {ell_ppm} <= 100000"
+            f" AND {bullet_ppm} <= 900000 AND {ell_line_ppm} <= 300000"
+            " THEN 1 ELSE 0 END"
+        ).alias("passes_symbol_gates"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_gopher_dup_lines",
+    tier="T3",
+    doc="Gopher duplicate line/paragraph gates (T3.4; Rae et al. 2021 "
+    "§A1.1 — the LINE-grain duplication family, complementing the "
+    "n-gram grain of text_repetition_ratio): fraction of duplicate "
+    "lines (<= 30%) and paragraphs (<= 30%) by count, and by "
+    "CHARACTER mass (<= 20% each) — dup chars = total member chars "
+    "minus first-occurrence chars, a pure array-algebra identity "
+    "(sum(len) - sum(len over array_distinct)). Exact integer ppm. "
+    "Driver documents are single-line (degenerate-but-exact); the "
+    "multi-line fixture test in tests/test_plans.py gates real "
+    "behavior. Row-local: two splits + folds, zero exchanges before "
+    "the presentation sort.",
+    oracle=r"""
+    WITH x AS (
+      SELECT doc_id,
+        string_split(text, chr(10)) AS lines,
+        string_split(text, chr(10) || chr(10)) AS paras
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(paras) AS BIGINT) AS n_paras,
+        CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+        CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS dup_paras,
+        CAST(list_sum(list_transform(lines, l -> length(l))) AS BIGINT)
+          AS line_chars,
+        CAST(list_sum(list_transform(paras, p -> length(p))) AS BIGINT)
+          AS para_chars,
+        CAST(list_sum(list_transform(lines, l -> length(l)))
+             - list_sum(list_transform(list_distinct(lines),
+                                       l -> length(l))) AS BIGINT)
+          AS dup_line_chars,
+        CAST(list_sum(list_transform(paras, p -> length(p)))
+             - list_sum(list_transform(list_distinct(paras),
+                                       p -> length(p))) AS BIGINT)
+          AS dup_para_chars
+      FROM x
+    )
+    SELECT doc_id, n_lines, n_paras,
+      dup_lines * 1000000 // greatest(n_lines, 1) AS dup_line_ppm,
+      dup_paras * 1000000 // greatest(n_paras, 1) AS dup_para_ppm,
+      dup_line_chars * 1000000 // greatest(line_chars, 1)
+        AS dup_line_char_ppm,
+      dup_para_chars * 1000000 // greatest(para_chars, 1)
+        AS dup_para_char_ppm,
+      CASE WHEN dup_lines * 1000000 // greatest(n_lines, 1) <= 300000
+            AND dup_paras * 1000000 // greatest(n_paras, 1) <= 300000
+            AND dup_line_chars * 1000000 // greatest(line_chars, 1) <= 200000
+            AND dup_para_chars * 1000000 // greatest(para_chars, 1) <= 200000
+           THEN 1 ELSE 0 END AS passes_dup_gates
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.split("text", "\n").alias("lines"),
+        F.split("text", "\n\n").alias("paras"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(lines) AS BIGINT)").alias("n_lines"),
+        F.expr("CAST(size(paras) AS BIGINT)").alias("n_paras"),
+        F.expr(
+            "CAST(size(lines) - size(array_distinct(lines)) AS BIGINT)"
+        ).alias("dup_lines"),
+        F.expr(
+            "CAST(size(paras) - size(array_distinct(paras)) AS BIGINT)"
+        ).alias("dup_paras"),
+        F.expr(
+            "aggregate(lines, 0L, (a, l) -> a + length(l))"
+        ).alias("line_chars"),
+        F.expr(
+            "aggregate(paras, 0L, (a, p) -> a + length(p))"
+        ).alias("para_chars"),
+        F.expr(
+            "aggregate(lines, 0L, (a, l) -> a + length(l))"
+            " - aggregate(array_distinct(lines), 0L, (a, l) -> a + length(l))"
+        ).alias("dup_line_chars"),
+        F.expr(
+            "aggregate(paras, 0L, (a, p) -> a + length(p))"
+            " - aggregate(array_distinct(paras), 0L, (a, p) -> a + length(p))"
+        ).alias("dup_para_chars"),
+    )
+    dl = "dup_lines * 1000000 div greatest(n_lines, 1)"
+    dp = "dup_paras * 1000000 div greatest(n_paras, 1)"
+    dlc = "dup_line_chars * 1000000 div greatest(line_chars, 1)"
+    dpc = "dup_para_chars * 1000000 div greatest(para_chars, 1)"
+    return m.select(
+        "doc_id",
+        "n_lines",
+        "n_paras",
+        F.expr(dl).alias("dup_line_ppm"),
+        F.expr(dp).alias("dup_para_ppm"),
+        F.expr(dlc).alias("dup_line_char_ppm"),
+        F.expr(dpc).alias("dup_para_char_ppm"),
+        F.expr(
+            f"CASE WHEN {dl} <= 300000 AND {dp} <= 300000"
+            f" AND {dlc} <= 200000 AND {dpc} <= 200000"
+            " THEN 1 ELSE 0 END"
+        ).alias("passes_dup_gates"),
+    ).orderBy("doc_id")

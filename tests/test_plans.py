@@ -1765,3 +1765,95 @@ def test_prefix_filter_broadcast_gate_both_branches(spark):
     assert "BroadcastHashJoin" not in big, big
     assert "ShuffledHashJoin" in big, big
     assert "CartesianProduct" not in big, big
+
+
+def test_gopher_line_grain_fixture(spark, tmp_path):
+    """The driver's synthetic documents are single-line and
+    symbol-free, so the line-grain Gopher gates (r12: symbol ratios,
+    bullet/ellipsis line fractions, duplicate line/paragraph
+    fractions) are degenerate there. This fixture is the
+    non-degenerate gate: multi-line docs with bullets, ellipses,
+    hashes, and duplicated lines/paragraphs, checked BOTH against the
+    DuckDB oracle (engine parity on real newlines) and against
+    hand-computed expectations (so a shared bug in both programs
+    can't self-confirm)."""
+    import duckdb
+    import pandas as pd
+
+    from data_warehouse_opensky_spark.plans import QUERIES
+    from .oracle_harness import compare
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # 4 lines: 2 bullets, 1 ellipsis-ending; words with # and ...
+                "• alpha beta\n- gamma delta #tag\nplain words here...\nend line",
+                # dup lines: 'same line' x3 of 4 lines; dup paragraph: 'para one' x2 of 3
+                "same line\nsame line\nsame line\nunique",
+                "para one\n\npara one\n\npara two",
+            ],
+            "lang": ["en", "en", "en"],
+            "source": ["t", "t", "t"],
+            "n_chars": [0, 0, 0],
+        }
+    )
+    fixture = tmp_path / "gopher_fixture"
+    fixture.mkdir()
+    docs.to_parquet(fixture / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{fixture / 'documents.parquet'}'"
+    )
+
+    for name in ("text_gopher_symbol_lines", "text_gopher_dup_lines"):
+        q = QUERIES[name]
+        r = compare(name, q.fn(spark, str(fixture)), q.oracle, con)
+        assert r.ok, (name, r.errors)
+
+    sym = {
+        row["doc_id"]: row
+        for row in QUERIES["text_gopher_symbol_lines"]
+        .fn(spark, str(fixture))
+        .collect()
+    }
+    # doc 1: 9 ws-words (split on ' ' only — newlines don't separate),
+    # 1 '#', 1 '...'; 4 lines, 2 bullet, 1 ellipsis-ending
+    assert sym[1]["n_words"] == 9
+    assert sym[1]["n_lines"] == 4
+    assert sym[1]["hash_word_ppm"] == 1_000_000 // 9
+    assert sym[1]["ellipsis_word_ppm"] == 1_000_000 // 9
+    assert sym[1]["bullet_line_ppm"] == 500_000
+    assert sym[1]["ellipsis_line_ppm"] == 250_000
+    # 1 hash / 9 words = 111111 ppm > the 0.1 Gopher bound — the
+    # symbol gate FIRES; line-shape gates hold (50% bullets <= 90%)
+    assert sym[1]["gate_symbol"] == 0 and sym[1]["gate_bullet"] == 1
+    assert sym[1]["passes_symbol_gates"] == 0
+    # docs 2/3 are symbol- and bullet-free — all gates pass
+    assert sym[2]["passes_symbol_gates"] == 1
+    assert sym[3]["passes_symbol_gates"] == 1
+    assert sym[3]["n_lines"] == 5  # '\n\n' splits into an empty middle line
+
+    dup = {
+        row["doc_id"]: row
+        for row in QUERIES["text_gopher_dup_lines"]
+        .fn(spark, str(fixture))
+        .collect()
+    }
+    # doc 2: 4 lines, 'same line' x3 -> 2 duplicates; chars 9*3+6=33,
+    # dup chars 18 -> 545454 ppm; fails both line gates
+    assert dup[2]["n_lines"] == 4
+    assert dup[2]["dup_line_ppm"] == 2 * 1_000_000 // 4
+    assert dup[2]["dup_line_char_ppm"] == 18 * 1_000_000 // 33
+    assert dup[2]["passes_dup_gates"] == 0
+    # doc 3: 3 paragraphs, 'para one' x2 -> 1 dup para (33%), chars
+    # 8*2+8=24, dup 8 -> 333333 ppm; at LINE grain the 5 lines hold 2
+    # duplicates ('para one' repeat + the '' between-paragraph repeat)
+    assert dup[3]["n_paras"] == 3
+    assert dup[3]["dup_para_ppm"] == 1_000_000 // 3
+    assert dup[3]["dup_para_char_ppm"] == 8 * 1_000_000 // 24
+    assert dup[3]["dup_line_ppm"] == 2 * 1_000_000 // 5
+    assert dup[3]["passes_dup_gates"] == 0
+    # doc 1: everything clean -> passes
+    assert dup[1]["passes_dup_gates"] == 1
