@@ -105,6 +105,19 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 REGRESSION_RATIO = 1.3
 REGRESSION_FLOOR_SEC = 0.5
 
+#: Robust-floor parameters (VERDICT r11 #4: the all-time-min baseline
+#: has minimum-statistic bias — one fluke-fast sample latches the
+#: floor and the gate re-flags the same healthy query every round
+#: until history drowns it; two documented cases in SCALE.md §43/§44).
+#: The floor is computed over the last BASELINE_WINDOW history records
+#: per query (flukes AGE OUT as rounds accumulate), and with at least
+#: BASELINE_DROP_MIN samples in the window the single fastest one is
+#: dropped (second-best-of-window — a one-off fluke INSIDE the window
+#: cannot set the floor either; a genuine improvement sets it as soon
+#: as it reproduces once, i.e. with one-round lag).
+BASELINE_WINDOW = 10
+BASELINE_DROP_MIN = 4
+
 #: Whole-run alarm (ADVICE r10): per-query flags are shift-normalized,
 #: which means a GENUINE suite-wide slowdown (a session-conf change
 #: that taxes every query) moves the median itself and escapes the
@@ -116,34 +129,54 @@ REGRESSION_FLOOR_SEC = 0.5
 RUN_SHIFT_ALARM = 1.15
 
 
+def robust_floor(samples: list[float]) -> float:
+    """The gate's per-query floor over the (chronological) samples of
+    the last BASELINE_WINDOW runs: second-best once there are at least
+    BASELINE_DROP_MIN samples, plain min below that (see the
+    BASELINE_WINDOW comment for why)."""
+    window = [v for v in samples[-BASELINE_WINDOW:] if v > 0]
+    if not window:
+        return 0.0
+    if len(window) >= BASELINE_DROP_MIN:
+        return sorted(window)[1]
+    return min(window)
+
+
+def compute_floors(records: list[dict]) -> dict[str, float]:
+    """Per-query robust floors from chronological history records."""
+    samples: dict[str, list[float]] = {}
+    for rec in records:
+        for k, v in rec.get("queries", {}).items():
+            samples.setdefault(k, []).append(float(v))
+    return {k: f for k, vs in samples.items() if (f := robust_floor(vs)) > 0}
+
+
 def load_baseline() -> tuple[str, dict[str, float]]:
     """Best-known per-query times for the regression gate.
 
-    Sources, merged by per-query MIN: every line of
-    BENCH_HISTORY.jsonl — the FULL record this script appends each
-    run (the driver's BENCH_r{N}.json keeps only the last 2000 stdout
-    chars, which truncates a 200+-query dict) — plus a regex-scrape
-    of the newest BENCH_r*.json tail for queries predating the
-    history file.
+    Per-query ROBUST floor (robust_floor) over the chronological
+    records of BENCH_HISTORY.jsonl — the FULL record this script
+    appends each run (the driver's BENCH_r{N}.json keeps only the
+    last 2000 stdout chars, which truncates a 200+-query dict) — plus
+    a regex-scrape of the newest BENCH_r*.json tail for queries
+    predating the history file (min-merged; such queries have too few
+    observations for the robust statistic anyway).
     """
-    best: dict[str, float] = {}
     srcs = []
+    records: list[dict] = []
     hist = os.path.join(_REPO, "BENCH_HISTORY.jsonl")
     try:
         lines = [ln for ln in open(hist).read().splitlines() if ln.strip()]
         for ln in lines:
             try:
-                rec = json.loads(ln)
+                records.append(json.loads(ln))
             except ValueError:
                 continue
-            for k, v in rec.get("queries", {}).items():
-                v = float(v)
-                if v > 0 and (k not in best or v < best[k]):
-                    best[k] = v
         if lines:
             srcs.append(f"BENCH_HISTORY.jsonl[{len(lines)}]")
     except OSError:
         pass
+    best = compute_floors(records)
     import glob
 
     for f in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")),
@@ -161,7 +194,9 @@ def load_baseline() -> tuple[str, dict[str, float]]:
         }
         if found:
             for k, v in found.items():
-                if v > 0 and (k not in best or v < best[k]):
+                # pre-history queries only: a scraped single sample
+                # must not undercut the robust floor computed above
+                if v > 0 and k not in best:
                     best[k] = v
             srcs.append(os.path.basename(f))
             break  # newest driver file suffices for pre-history queries
@@ -207,6 +242,19 @@ def compute_regressions(
                         round(v_norm / baseline[n], 2)])
     out.sort(key=lambda r: -r[-1])
     return out
+
+
+def covered_by_ledger(ledger: dict, name: str, norm_sec: float) -> bool:
+    """True iff `name`'s flag is covered by an adjudication ledger
+    entry AND its normalized time is at or under the entry's
+    `max_norm_sec` ceiling (entries without a ceiling cover any
+    level — discouraged; see bench_adjudications.json)."""
+    e = ledger.get(name)
+    if e is None:
+        return False
+    if isinstance(e, dict) and "max_norm_sec" in e:
+        return norm_sec <= float(e["max_norm_sec"])
+    return True
 
 
 def main() -> None:
@@ -280,6 +328,23 @@ def main() -> None:
         base_src, regressions = f"skipped (sf={sf} != 0.1)", []
         run_shift = None
 
+    # Committed adjudication ledger: a flagged query whose flag has
+    # been adjudicated (idle-host min-of-3 re-time written to
+    # SCALE.md) is recorded in bench_adjudications.json; a recorded
+    # artifact whose every flag is covered by the ledger counts as
+    # adjudicated even when the driver's recording run can't carry the
+    # env pin (VERDICT r11 #1: the r11 artifact shipped
+    # flags_adjudicated: false because the env var only existed for
+    # in-session runs). Each entry carries `max_norm_sec` — the
+    # ceiling the adjudication actually measured — so a FURTHER
+    # regression past the adjudicated level re-trips the bit instead
+    # of hiding behind the old writeup.
+    try:
+        with open(os.path.join(_REPO, "bench_adjudications.json")) as f:
+            _adj = json.load(f)
+    except (OSError, ValueError):
+        _adj = {}
+
     # Shift-normalized headline: the raw total divided by the run's
     # median ratio vs best-known (never below 1.0) — what the total
     # WOULD read on a clean host. Recorded alongside raw, never
@@ -292,6 +357,7 @@ def main() -> None:
     flags_adjudicated = (
         len(regressions) == 0
         or os.environ.get("SPARK_GRAFT_FLAGS_ADJUDICATED") == "1"
+        or all(covered_by_ledger(_adj, r[0], r[3]) for r in regressions)
     )
     record = {
         # Huge fields FIRST, headline fields LAST: the driver records
