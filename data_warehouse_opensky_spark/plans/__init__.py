@@ -20,85 +20,83 @@ from . import sketches  # noqa: E402,F401
 
 # The external correctness driver checks only the FIRST 50 queries in
 # registration order, so the front of the registry is rotated each round
-# to cycle driver coverage across the whole catalog. Round-11 front
-# (VERDICT r10 directive #2, as queued in the r10 rotation note): the
-# window leads with the 20 round-5-cohort LEFTOVERS — the oldest
+# to cycle driver coverage across the whole catalog. Round-12 front
+# (VERDICT r11 directive #3, as queued in the r11 rotation note): the
+# window leads with the 18 round-6-cohort LEFTOVERS — the oldest
 # latest-driver-check tier remaining; after this round no catalog
-# entry's latest external check is older than round 6 — then the 2
-# queries ADDED in round 11 (never driver-checked: the Gopher-rule
-# quality gates and the n-gram repetition-ratio filter), then the one
-# plan whose CODE changed in round 11 (dedup_fuzzy_levenshtein: its
-# capped_block_self_pairs pair stage now persists the block-count
-# table so the skew-gate scalar and tagging join share one pass,
-# VERDICT r10 #5), then 27 of the 45 round-6-cohort greens
-# (alphabetical). The 18 r6 leftovers (stats_corr_qty_price,
-# stats_cusum_changepoint, stats_histogram_price,
-# stats_linear_regression, stats_pmi_cells, stats_poisson_bootstrap,
-# stats_profile_orders, stats_welch_ttest, streaming_session_windows,
-# streaming_stateful_running_agg, streaming_stream_stream_join,
-# text_bm25_topk, text_bpe_merges, udf_grouped_agg_spend,
-# udf_grouped_map_share, udtf_token_positions, sql_pipe_syntax_summary,
-# sql_session_variables) lead the round-12 window, followed by any
-# round-12 additions and the round-7 cohort. Queries displaced past slot 50
-# stay covered by tests/test_oracle.py, which runs ALL of them vs
-# DuckDB at sf0.001 AND asserts every result against the committed pin
-# table (tests/oracle_pins.json), and by the per-session full
+# entry's latest external check is older than round 7 — then the 3
+# queries ADDED in round 12 (never driver-checked: the MERGE INTO
+# replay that puts VersionedParquetTable under the oracle harness,
+# VERDICT r11 #2, and the two line-grain Gopher gate families,
+# VERDICT r11 #5), then the one plan whose operator CODE changed in
+# round 12 (dedup_fuzzy_levenshtein: capped_block_self_pairs now
+# releases the previous invocation's persisted relations, ADVICE r11),
+# then streaming_dedup_latest (the r11 recorded bench flag, adjudicated
+# in SCALE.md §46 — a fresh driver green rides along), then 27 of the
+# 50 round-7-cohort greens (alphabetical). The 23 r7 leftovers
+# (the round-7 cohort minus the 28 named below, mart_skyline_revenue_qty
+# through window_sliding_2h) lead the round-13 window, followed by any
+# round-13 additions and the round-8 cohort. Queries displaced past
+# slot 50 stay covered by tests/test_oracle.py, which runs ALL of them
+# vs DuckDB at sf0.001 AND asserts every result against the committed
+# pin table (tests/oracle_pins.json), and by the per-session full
 # driver-contract sweep at sf0.01.
 DRIVER_WINDOW_PRIORITY = [
-    # ==== 20 round-5-cohort leftovers (oldest external check) =============
-    "mart_supplier_churn",
-    "mart_trending_decay",
-    "mart_weekly_top_gainer",
-    "report_local_supplier_volume",
-    "report_promo_effect",
-    "report_returned_items",
-    "report_volume_shipping",
-    "scd2_incremental_rebuild",
-    "scd2_point_in_time",
-    "stats_equidepth_histogram",
-    "stats_gapfill_interpolate",
-    "stats_mad_outliers",
-    "stats_rolling_median",
-    "stats_seasonal_anomaly",
-    "stats_weighted_median",
-    "streaming_dedup_within_watermark",
-    "streaming_join_then_window",
-    "streaming_outer_join_unmatched",
-    "window_range_trailing_1h",
-    "xml_roundtrip_extract",
-    # ==== 2 queries added in round 11 (never driver-checked) ==============
-    "text_gopher_quality",
-    "text_repetition_ratio",
-    # ==== 1 plan whose code changed in round 11 ===========================
+    # ==== 18 round-6-cohort leftovers (oldest external check) =============
+    "stats_corr_qty_price",
+    "stats_cusum_changepoint",
+    "stats_histogram_price",
+    "stats_linear_regression",
+    "stats_pmi_cells",
+    "stats_poisson_bootstrap",
+    "stats_profile_orders",
+    "stats_welch_ttest",
+    "streaming_session_windows",
+    "streaming_stateful_running_agg",
+    "streaming_stream_stream_join",
+    "text_bm25_topk",
+    "text_bpe_merges",
+    "udf_grouped_agg_spend",
+    "udf_grouped_map_share",
+    "udtf_token_positions",
+    "sql_pipe_syntax_summary",
+    "sql_session_variables",
+    # ==== 3 queries added in round 12 (never driver-checked) ==============
+    "merge_upsert_replay",
+    "text_gopher_symbol_lines",
+    "text_gopher_dup_lines",
+    # ==== 1 plan whose operator code changed in round 12 ==================
     "dedup_fuzzy_levenshtein",
-    # ==== 29 re-confirmations: oldest remaining (round-6) cohort ==========
-    "ann_shortlist_rerank",
-    "approx_count_distinct_users",
-    "approx_percentile_gate",
-    "audit_freshness_lag",
-    "corpus_bpe_encode",
-    "corpus_dsir_weights",
-    "dedup_sorted_neighborhood",
-    "embedding_mmr_topk",
-    "embedding_power_iteration",
-    "embedding_truncation_recall",
-    "graph_bfs_hops",
-    "graph_community_modularity",
-    "graph_label_propagation",
-    "graph_link_prediction_ra",
-    "join_interval_overlap",
-    "mart_attribution_linear",
-    "mart_cumulative_users",
-    "mart_gini_concentration",
-    "mart_new_vs_returning",
-    "mart_repeat_interval_median",
-    "mart_rfm_segments",
-    "null_handling",
-    "opensky_trajectory_km",
-    "opensky_zorder_key",
-    "stats_anomaly_zscore",
-    "stats_autocorr_lag1",
-    "stats_benford_firstdigit",
+    # ==== 1 adjudicated r11 bench flag — driver re-confirmation ===========
+    "streaming_dedup_latest",
+    # ==== 27 re-confirmations: oldest remaining (round-7) cohort ==========
+    "agg_minmax_by",
+    "agg_salted_hot_keys",
+    "ann_binary_hamming_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_recall",
+    "ann_rrf_fusion",
+    "asof_click_before_purchase",
+    "corpus_chunking",
+    "corpus_decontaminate",
+    "corpus_pack_sequences",
+    "corpus_pii_redact",
+    "corpus_repetition_signals",
+    "corpus_stratified_sample",
+    "dedup_components_canonical",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "embedding_neardup_pairs",
+    "filter_predicates",
+    "hof_array_funcs",
+    "join_anti",
+    "join_left_outer",
+    "join_semi",
+    "join_skew_salted_hot_users",
+    "join_star_revenue",
+    "latest_event_per_user",
+    "pricing_summary",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)
