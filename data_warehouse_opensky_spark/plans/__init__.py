@@ -24,17 +24,18 @@ from . import sketches  # noqa: E402,F401
 # (VERDICT r11 directive #3, as queued in the r11 rotation note): the
 # window leads with the 18 round-6-cohort LEFTOVERS — the oldest
 # latest-driver-check tier remaining; after this round no catalog
-# entry's latest external check is older than round 7 — then the 3
+# entry's latest external check is older than round 7 — then the 4
 # queries ADDED in round 12 (never driver-checked: the MERGE INTO
 # replay that puts VersionedParquetTable under the oracle harness,
-# VERDICT r11 #2, and the two line-grain Gopher gate families,
-# VERDICT r11 #5), then the one plan whose operator CODE changed in
-# round 12 (dedup_fuzzy_levenshtein: capped_block_self_pairs now
+# VERDICT r11 #2, the two line-grain Gopher gate families, VERDICT
+# r11 #5, and the cross-document boilerplate-line profile), then the
+# one plan whose operator CODE changed in round 12
+# (dedup_fuzzy_levenshtein: capped_block_self_pairs now
 # releases the previous invocation's persisted relations, ADVICE r11),
 # then streaming_dedup_latest (the r11 recorded bench flag, adjudicated
-# in SCALE.md §46 — a fresh driver green rides along), then 27 of the
-# 50 round-7-cohort greens (alphabetical). The 23 r7 leftovers
-# (the round-7 cohort minus the 28 named below, mart_skyline_revenue_qty
+# in SCALE.md §48 — a fresh driver green rides along), then 26 of the
+# 50 round-7-cohort greens (alphabetical). The 24 r7 leftovers
+# (the round-7 cohort minus the 27 named below, mart_skyline_revenue_qty
 # through window_sliding_2h) lead the round-13 window, followed by any
 # round-13 additions and the round-8 cohort. Queries displaced past
 # slot 50 stay covered by tests/test_oracle.py, which runs ALL of them
@@ -61,15 +62,16 @@ DRIVER_WINDOW_PRIORITY = [
     "udtf_token_positions",
     "sql_pipe_syntax_summary",
     "sql_session_variables",
-    # ==== 3 queries added in round 12 (never driver-checked) ==============
+    # ==== 4 queries added in round 12 (never driver-checked) ==============
     "merge_upsert_replay",
     "text_gopher_symbol_lines",
     "text_gopher_dup_lines",
+    "corpus_boilerplate_lines",
     # ==== 1 plan whose operator code changed in round 12 ==================
     "dedup_fuzzy_levenshtein",
     # ==== 1 adjudicated r11 bench flag — driver re-confirmation ===========
     "streaming_dedup_latest",
-    # ==== 27 re-confirmations: oldest remaining (round-7) cohort ==========
+    # ==== 26 re-confirmations: oldest remaining (round-7) cohort ==========
     "agg_minmax_by",
     "agg_salted_hot_keys",
     "ann_binary_hamming_topk",
@@ -96,7 +98,6 @@ DRIVER_WINDOW_PRIORITY = [
     "join_skew_salted_hot_users",
     "join_star_revenue",
     "latest_event_per_user",
-    "pricing_summary",
 ]
 
 reorder(DRIVER_WINDOW_PRIORITY)

@@ -1439,3 +1439,101 @@ def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "corpus_boilerplate_lines",
+    tier="T3",
+    doc="Corpus-level boilerplate-line profile (T3.4; the CCNet-style "
+    "cross-document duplicate-line removal that complements the "
+    "DOC-local Gopher duplication gates, text_gopher_dup_lines): a "
+    "line occurring in >= 2 distinct documents is boilerplate (nav "
+    "bars, cookie banners, licence footers — at web scale the K "
+    "threshold rises, the plan does not change); per document, the "
+    "count and character mass of its boilerplate lines plus the "
+    "post-strip size. Scale shape: one explode to (doc, line), one "
+    "map-side-combined distinct-doc count per line (the "
+    "combiner-friendly word-count shape), the >= K filter collapses "
+    "that table to the tiny boilerplate set, and the tag-back join is "
+    "left-semi against that small side (AQE broadcasts it; an "
+    "adversarial corpus where the set is large degrades to a "
+    "shuffle-hash join, never a crossJoin) — then one per-doc "
+    "re-aggregation. The driver's synthetic documents are single-line, "
+    "so a doc's whole text is its one line and exact-duplicate texts "
+    "(the planted dup pairs) are the boilerplate hits — "
+    "degenerate-but-exact; the multi-line fixture test in "
+    "tests/test_plans.py gates real line-grain behavior.",
+    oracle=r"""
+    WITH l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ), nonblank AS (
+      SELECT doc_id, line FROM l WHERE line <> ''
+    ), boiler AS (
+      SELECT line FROM nonblank
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT n.doc_id,
+             CAST(count(*) AS BIGINT) AS boiler_lines,
+             CAST(sum(length(n.line)) AS BIGINT) AS boiler_chars
+      FROM nonblank n JOIN boiler b ON n.line = b.line
+      GROUP BY n.doc_id
+    )
+    SELECT d.doc_id,
+      CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+      coalesce(p.boiler_lines, 0) AS boiler_lines,
+      coalesce(p.boiler_chars, 0) AS boiler_chars,
+      CAST(length(d.text) - coalesce(p.boiler_chars, 0) AS BIGINT)
+        AS kept_chars,
+      coalesce(p.boiler_lines, 0) * 1000000
+        // greatest(len(string_split(d.text, chr(10))), 1)
+        AS boiler_line_ppm
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    ).filter(F.col("line") != "")
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("line")
+    )
+    per_doc = (
+        lines.join(boiler, "line", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("boiler_lines"),
+            F.sum(F.length("line")).cast("long").alias("boiler_chars"),
+        )
+    )
+    base = d.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, '\\n')) AS BIGINT)").alias("n_lines"),
+        F.length("text").cast("long").alias("text_chars"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("boiler_lines", F.lit(0)).cast("long").alias(
+                "boiler_lines"
+            ),
+            F.coalesce("boiler_chars", F.lit(0)).cast("long").alias(
+                "boiler_chars"
+            ),
+            (
+                F.col("text_chars") - F.coalesce("boiler_chars", F.lit(0))
+            ).cast("long").alias("kept_chars"),
+            F.expr(
+                "coalesce(boiler_lines, 0) * 1000000"
+                " div greatest(n_lines, 1)"
+            ).alias("boiler_line_ppm"),
+        )
+        .orderBy("doc_id")
+    )

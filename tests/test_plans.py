@@ -1785,17 +1785,20 @@ def test_gopher_line_grain_fixture(spark, tmp_path):
 
     docs = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3],
+            "doc_id": [1, 2, 3, 4, 5],
             "text": [
                 # 4 lines: 2 bullets, 1 ellipsis-ending; words with # and ...
                 "• alpha beta\n- gamma delta #tag\nplain words here...\nend line",
                 # dup lines: 'same line' x3 of 4 lines; dup paragraph: 'para one' x2 of 3
                 "same line\nsame line\nsame line\nunique",
                 "para one\n\npara one\n\npara two",
+                # docs 4/5 share ONE line ACROSS documents (boilerplate)
+                "footer line\nunique four",
+                "footer line\nunique five",
             ],
-            "lang": ["en", "en", "en"],
-            "source": ["t", "t", "t"],
-            "n_chars": [0, 0, 0],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [0] * 5,
         }
     )
     fixture = tmp_path / "gopher_fixture"
@@ -1807,10 +1810,32 @@ def test_gopher_line_grain_fixture(spark, tmp_path):
         f"'{fixture / 'documents.parquet'}'"
     )
 
-    for name in ("text_gopher_symbol_lines", "text_gopher_dup_lines"):
+    for name in (
+        "text_gopher_symbol_lines",
+        "text_gopher_dup_lines",
+        "corpus_boilerplate_lines",
+    ):
         q = QUERIES[name]
         r = compare(name, q.fn(spark, str(fixture)), q.oracle, con)
         assert r.ok, (name, r.errors)
+
+    # corpus-level boilerplate: the line shared by docs 4 and 5 is
+    # boilerplate (cross-DOCUMENT); doc 2's thrice-repeated line is
+    # NOT (one document — the countDistinct(doc_id) semantics)
+    boiler = {
+        row["doc_id"]: row
+        for row in QUERIES["corpus_boilerplate_lines"]
+        .fn(spark, str(fixture))
+        .collect()
+    }
+    assert boiler[4]["boiler_lines"] == 1
+    assert boiler[5]["boiler_lines"] == 1
+    assert boiler[4]["boiler_chars"] == len("footer line")
+    assert boiler[4]["kept_chars"] == len("footer line\nunique four") - len(
+        "footer line"
+    )
+    assert boiler[2]["boiler_lines"] == 0
+    assert boiler[1]["boiler_lines"] == 0
 
     sym = {
         row["doc_id"]: row
