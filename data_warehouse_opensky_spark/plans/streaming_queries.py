@@ -26,12 +26,22 @@ from ..session import configure_runtime
 from .catalog import query
 
 
+#: events.parquet schema per path — every streaming query re-derived
+#: it with a fresh batch-reader footer read (a driver round trip per
+#: query × 12 streaming queries per catalog pass); the fixture file is
+#: immutable for a session, so one footer read per path suffices.
+_EVENT_SCHEMA_CACHE: dict[str, "object"] = {}
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet with the same ts normalization as
     the batch path (ns → µs floor, sources/registry.py)."""
     configure_runtime(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = _EVENT_SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _EVENT_SCHEMA_CACHE[path] = schema
     # File stream sources take a DIRECTORY; select just the events file
     # out of the sf_dir with a glob filter.
     stream = (

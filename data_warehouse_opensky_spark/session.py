@@ -16,6 +16,7 @@ naive — UTC makes Spark agree).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -64,13 +65,28 @@ BUILDER_CONFS: dict[str, str] = {
 }
 
 
+#: Sessions already configured — configure_runtime is called from
+#: EVERY load_table()/query entry (usually several times per query),
+#: and each conf.set is a py4j driver round trip (~10 ms of pure
+#: driver latency per query × a 267-query catalog run). One apply per
+#: live SparkSession object is enough: nothing in the repo ever
+#: changes these confs afterwards, and a NEW session is configured on
+#: first touch. WeakSet (identity-keyed, auto-evicted on GC) rather
+#: than an id() set so a recycled address can never masquerade as an
+#: already-configured session.
+_CONFIGURED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs idempotently. Safe on any session."""
+    if spark in _CONFIGURED_SESSIONS:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable on this session build — keep going
+    _CONFIGURED_SESSIONS.add(spark)
     return spark
 
 
