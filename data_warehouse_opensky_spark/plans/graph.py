@@ -150,13 +150,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Symmetrize with a ROW-LOCAL 2-way explode, not a union of two
+    # projections: `pairs` is unpersisted (it exists only to build e)
+    # and a union evaluates the whole join+distinct subtree once per
+    # branch while e's cache materializes (guide §2.4 — the same
+    # diamond the CC operator had; explode touches the fact join
+    # exactly once).
     e = pairs.select(
-        (F.col("ck") * 2).alias("src"), (F.col("sk") * 2 + 1).alias("dst")
-    ).unionAll(
-        pairs.select(
-            (F.col("sk") * 2 + 1).alias("src"), (F.col("ck") * 2).alias("dst")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("ck") * 2).alias("src"),
+                    (F.col("sk") * 2 + 1).alias("dst"),
+                ),
+                F.struct(
+                    (F.col("sk") * 2 + 1).alias("src"),
+                    (F.col("ck") * 2).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # Iterations re-read edges/degrees 3×; cache the (small) edge and
     # degree tables — the facts are never rescanned after this point.
     e = e.persist()
@@ -349,7 +362,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    keep the 35M-row stream from being SORTED: sort-merge would
     #    sort the wedges; a shuffled hash join builds on the 1.2M-edge
     #    side and streams the wedges through probe-side counting.
-    max_node = deg.agg(F.max("node")).collect()[0][0]
+    # ONE control-plane action serves BOTH gates below (guide §1/§2:
+    # sequential driver actions are scheduling barriers — the former
+    # separate max_node agg + pairs.count() cost two jobs): over the
+    # persisted DEGREE table, sum(d) = 2·|pairs| (each deduped pair
+    # contributes one endpoint row per side) gives the edge count and
+    # max(node) the packing gate. Aggregating deg — not pairs — also
+    # keeps the original materialization order: this action pins BOTH
+    # the pairs and deg caches before the wedge mega-job reads them
+    # (aggregating pairs alone left deg to materialize inside that
+    # job, where racing consumers recompute it — measured ~1.5 s
+    # slower at sf0.1).
+    _stats = deg.agg(
+        F.sum("d").alias("sum_d"), F.max("node").alias("mx")
+    ).collect()[0]
+    n_edge_rows = (_stats["sum_d"] or 0) // 2
+    max_node = _stats["mx"]
     packable = max_node is not None and 0 <= max_node < (1 << 31)
     o1, o2 = o.alias("o1"), o.alias("o2")
     wedges = o1.join(
@@ -379,7 +407,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation footprint of the packed (one-long) edge row, and the
     # 0.7 margin keeps estimate error from landing exactly on the
     # cliff. Threshold -1 (broadcast disabled) always hints.
-    n_edge_rows = pairs.count()  # cached — one metadata-cheap action
     bcast_gate = _broadcast_threshold_bytes(spark)
     edge_cutover = int(bcast_gate * 0.7) // 22 if bcast_gate > 0 else 0
     edge_hint = (
@@ -807,9 +834,17 @@ _BFS_HOPS = 3
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = _repeat_edges(spark, sf_dir)
-    e = e2.unionAll(
-        e2.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    # Row-local explode symmetrization: e2 is unpersisted and a union
+    # of two projections would run the whole edge-build subtree twice
+    # while e's cache materializes (guide §2.4; pagerank/CC diamond).
+    e = e2.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v").persist()
     # Each frontier is PERSISTED: level h+1's plan references level h
     # AND the visited union of 0..h — without materialization the
     # lineage replays every earlier round per level (a >4x blowup

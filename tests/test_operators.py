@@ -225,6 +225,30 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_long_chain_pointer_jump(spark):
+    """r12 pointer-jumping upgrade: convergence is O(log diameter),
+    not O(diameter). A 48-node chain (diameter 47) converges to one
+    component within the default max_iterations=20 ONLY because each
+    round also follows labels one hop through the label table — plain
+    neighbor-min propagation would need 47 rounds and return wrong
+    labels here, so exactness on this graph is the regression gate
+    for the jump."""
+    from data_warehouse_opensky_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 48
+    edges = spark.createDataFrame(
+        [(100 + i, 100 + i + 1) for i in range(n - 1)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(100 + i, 100) for i in range(n)}
+
+
 def test_decode_image_real_requires_pillow_or_decodes(spark):
     """The real-decoder boundary is honest both ways: without Pillow it
     raises NotImplementedError (never silently fakes); with Pillow the
