@@ -492,12 +492,25 @@ def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # The exact and approximate counts run as SEPARATE aggregations,
+    # joined on the (group-count-sized) result. Fusing them into one
+    # agg plans partial_approx_count_distinct UNDER the distinct
+    # rewrite: the rsd=0.01 HLL++ sketch is ~1.6k longs (~13 KB) of
+    # buffer PER (event_type, user_id) KEY, so the partial-agg state
+    # and the shuffle both blow up by four orders of magnitude vs the
+    # rows they summarize (measured r12, guide §2.3: 2.87 s fused →
+    # ~0.5 s split at sf0.1; at 100 TB the fused shape is sketch-state
+    # × distinct-keys — a straight OOM). Split, the HLL pass keeps
+    # one sketch per (group × partition) and the exact pass is the
+    # plain two-phase distinct.
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_approx")
+    )
     return (
-        e.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n_users_exact"),
-            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
-        )
+        exact.join(approx, "event_type")
         .select(
             "event_type",
             "n_users_exact",
