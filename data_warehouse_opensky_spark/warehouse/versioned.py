@@ -277,11 +277,35 @@ class VersionedParquetTable:
         any_null = F.lit(False)
         for k in keys:
             any_null = any_null | F.col(k).isNull()
-        if source.filter(any_null).limit(1).count():
+        # ONE validation aggregate instead of three sequential actions
+        # (null-key probe, source count, distinct-key count): each
+        # action re-evaluated the unpersisted source and was its own
+        # scheduling barrier (guide §1/§2 — measured r12, merge wall
+        # time is dominated by job count at partition-grain writes).
+        # The same pass also collects the source-side touched
+        # partitions (control-plane sized — same budget as the former
+        # touched.collect) so the update path never runs a separate
+        # source-partitions job.
+        _src_aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(any_null, 1)).alias("n_null"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("n_keys"),
+        ]
+        pcol = self.partition_col
+        if pcol and when_matched == "update" and pcol in source.columns:
+            # collect_set drops NULLs — carry the default partition as
+            # an explicit flag ('' normalizes to NULL later, it is a
+            # regular set member here)
+            _src_aggs += [
+                F.collect_set(pcol).alias("pvals"),
+                F.max(F.when(F.col(pcol).isNull(), 1)).alias("pnull"),
+            ]
+        _v = source.agg(*_src_aggs).collect()[0]
+        if _v["n_null"]:
             raise ValueError("merge keys must be non-null")
-        n_source = source.count()
+        n_source = _v["n"]
         src_keys = source.select(*keys).distinct()
-        if src_keys.count() != n_source:
+        if _v["n_keys"] != n_source:
             raise ValueError(
                 "source has duplicate merge keys — MERGE requires at "
                 "most one source row per key (dedupe upstream, e.g. "
@@ -305,33 +329,56 @@ class VersionedParquetTable:
                 f"schema mismatch: target {sorted(target.columns)} vs "
                 f"source {sorted(source.columns)}"
             )
+        # ONE pass over the target replaces the former THREE (the
+        # touched-partition distinct, the post-write target.count(),
+        # and the semi-join matched count — guide §1/§2: every
+        # sequential action is a full pass plus a scheduling barrier):
+        # a LEFT join against the distinct source keys marks each
+        # target row matched/unmatched, and a single aggregate yields
+        # n_target, n_matched, and the matched partition set
+        # (control-plane sized — the same values the old distinct
+        # collected). Deliberately NOT observe() metrics: AQE's
+        # empty-relation propagation removes a CollectMetrics node
+        # whose subtree turns out empty at runtime (a pure-insert
+        # merge has zero matches), silently losing the metric —
+        # measured r12, tests/test_versioned.py caught it.
+        _marks = src_keys.withColumn("_m", F.lit(1))
+        _t_aggs = [
+            F.count(F.lit(1)).alias("n_target"),
+            F.count("_m").alias("n_matched"),
+        ]
+        if self.partition_col:
+            _t_aggs += [
+                F.collect_set(F.when(F.col("_m").isNotNull(),
+                                     F.col(self.partition_col))).alias("pvals"),
+                F.max(F.when(F.col("_m").isNotNull()
+                             & F.col(self.partition_col).isNull(), 1)
+                      ).alias("pnull"),
+            ]
+        _t = target.join(_marks, keys, "left").agg(*_t_aggs).collect()[0]
+        n_target, n_matched = _t["n_target"], _t["n_matched"]
         new_v = max(self.history() or [prev]) + 1
         vdir = self._version_dir(new_v)
 
         if self.partition_col:
-            pcol = self.partition_col
             if when_matched == "update" and pcol not in source.columns:
                 raise ValueError(
                     f"source must carry partition column {pcol!r}"
                 )
             # partitions the merge touches: every partition holding a
             # matched target row, plus (update mode) every partition a
-            # source row lands in. Control-plane sized: one distinct
-            # per side on the partition column.
-            matched_parts = (
-                target.join(src_keys, keys, "left_semi")
-                .select(pcol).distinct()
-            )
-            touched = (
-                matched_parts.unionByName(source.select(pcol).distinct())
-                .distinct()
-                if when_matched == "update"
-                else matched_parts
-            )
-            # normalize + dedupe: NULL and "" are ONE on-disk partition
-            touched_vals = list(
-                {_norm_pval(r[0]) for r in touched.collect()}
-            )
+            # source row lands in. Control-plane sized, and already
+            # collected by the two stats aggregates above — no third
+            # job. normalize + dedupe: NULL and "" are ONE on-disk
+            # partition.
+            touched_raw = set(_t["pvals"] or [])
+            if _t["pnull"]:
+                touched_raw.add(None)
+            if when_matched == "update":
+                touched_raw |= set(_v["pvals"] or [])
+                if _v["pnull"]:
+                    touched_raw.add(None)
+            touched_vals = list({_norm_pval(v) for v in touched_raw})
             kept = target.filter(
                 self._touched_filter(pcol, touched_vals)
             ).join(src_keys, keys, "left_anti")
@@ -367,8 +414,6 @@ class VersionedParquetTable:
             self._write_version(new_rows, vdir)
             rewritten, linked = None, 0
 
-        n_target = target.count()
-        n_matched = target.join(src_keys, keys, "left_semi").count()
         self._flip(new_v)
         return {
             "version": new_v,
