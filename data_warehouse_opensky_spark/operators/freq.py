@@ -63,6 +63,14 @@ def heavy_hitters(
     k = MG_CAPACITY
     assert k + 1 > inv_threshold, "sketch capacity must exceed 1/threshold"
 
+    # The token stream feeds THREE consumers (the sketch pass, the
+    # exact total, the verify count) and typically arrives as an
+    # unpersisted explode over the document scan — persist it so the
+    # tokenization runs once instead of three times (guide §5: reuse
+    # plus non-trivial recompute; cache lifecycle follows the catalog
+    # contract — session owner clears).
+    tokens = tokens.persist()
+
     def propose(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = pd.Series(dtype="int64")
         for pdf in batches:

@@ -99,7 +99,7 @@ def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return X.repetition_signals(d).orderBy("doc_id")
 
 
@@ -206,7 +206,7 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     train = d.filter(F.col("doc_id") % 50 != 0)
     return X.decontaminate(train, bench).orderBy("doc_id")
@@ -1426,7 +1426,7 @@ def corpus_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     chunks = X.cdc_chunks(d).persist()
     copies = chunks.groupBy("chunk_md5").agg(
         F.count("*").cast("long").alias("n_copies")

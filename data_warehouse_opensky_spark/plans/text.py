@@ -957,7 +957,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return (
         d.select("doc_id", F.split("text", " ").alias("t"))
         .withColumn(
