@@ -614,22 +614,17 @@ def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
     from ..streaming.stateful import timeout_day_sessions
 
-    def _write_slab(df: DataFrame, dest: str, mtime: int) -> None:
-        # Replay slabs are written EXECUTOR-side (coalesce(1) → one
-        # part file, moved into place) — never via toPandas(): at any
-        # real scale that would be a driver-side collect of the fact
-        # table (VERDICT r3 #3). coalesce(1) is fine here because a
-        # slab is one micro-batch by construction — the file source
-        # replays it as a unit regardless of how many files it spans.
-        stage = dest + "_stage"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dest)
-        shutil.rmtree(stage)
-        # The file source orders micro-batches by modification time —
-        # pin it explicitly so slab A's watermark is the one batch 2
-        # times out against, on any filesystem mtime granularity.
-        os.utime(dest, (mtime, mtime))
-
+    # Both replay slabs are written by ONE partitioned write (one
+    # events scan, one job) instead of two coalesce(1) writes (two
+    # scans, two jobs — guide §1/§2: sequential actions are barriers).
+    # Still EXECUTOR-side — never toPandas(): at any real scale that
+    # would be a driver-side collect of the fact table (VERDICT r3
+    # #3). repartition(1) keeps exactly one part file per slab dir (a
+    # slab is one micro-batch by construction; single-file slabs keep
+    # the move-into-place rename trivial), and the file source orders
+    # micro-batches by modification time — pinned explicitly so slab
+    # A's watermark is the one batch 2 times out against, on any
+    # filesystem mtime granularity.
     cut = "2024-01-04"
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -640,11 +635,41 @@ def streaming_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     )
     slabs = tempfile.mkdtemp(prefix="timeout_slabs_")
-    a = ev.filter(F.col("ts") < F.lit(cut).cast("timestamp")).drop("ts")
-    b = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp")).drop("ts")
-    pa, pb = os.path.join(slabs, "a.parquet"), os.path.join(slabs, "b.parquet")
-    _write_slab(a, pa, 1_000_000)
-    _write_slab(b, pb, 2_000_000)
+    stage = os.path.join(slabs, "_stage")
+    (
+        ev.withColumn(
+            "slab",
+            F.when(
+                F.col("ts") < F.lit(cut).cast("timestamp"), "a"
+            ).otherwise("b"),
+        )
+        .drop("ts")
+        .repartition(1)
+        .write.partitionBy("slab")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    for name, mtime in (("a", 1_000_000), ("b", 2_000_000)):
+        dest = os.path.join(slabs, f"{name}.parquet")
+        parts = glob.glob(
+            os.path.join(stage, f"slab={name}", "part-*.parquet")
+        )
+        if parts:
+            shutil.move(parts[0], dest)
+        else:
+            # dynamic partitioning writes NO dir for an empty slab
+            # (possible on a degenerate fixture); keep the two-batch
+            # replay shape with an explicit empty file.
+            ev.drop("ts").limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(dest + "_empty")
+            shutil.move(
+                glob.glob(os.path.join(dest + "_empty", "part-*.parquet"))[0],
+                dest,
+            )
+            shutil.rmtree(dest + "_empty")
+        os.utime(dest, (mtime, mtime))
+    shutil.rmtree(stage)
 
     stream = (
         spark.readStream.schema("user_id long, ts_s long, day_s long")
