@@ -1114,3 +1114,103 @@ def cdc_chunks(
         )
         .filter(F.col("chunk_len") > 0)
     )
+
+
+CDC_CHUNK_SCHEMA = (
+    "doc_id long, chunk_idx long, start_pos long, chunk_len long,"
+    " chunk_md5 string"
+)
+
+
+def cdc_chunks_arrow(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vectorized twin of :func:`cdc_chunks` — identical boundary rule
+    and output, computed in numpy + hashlib inside ``mapInArrow``
+    (guide §4.2: batch-local native code beats interpreted expression
+    eval for O(L·W) per-row folds).
+
+    Why the twin exists (measured, r13): the HOF form's
+    aggregate-over-slice fold runs on Spark's INTERPRETED expression
+    path, and at catalog scale it does double damage — (a) it is the
+    slowest per-row fold in the suite, and (b) compiling its jumbo
+    lambda tree into the shared higher-order-function eval sites
+    mid-session deoptimizes the JIT state that every md5-HOF dedup
+    query relies on (the record-28 minhash-family 2.5-3× in-bench step
+    was bisected to exactly this query's warmup: catalog prefixes
+    0..182 time the family at its floors, adding corpus_cdc_chunks
+    elevates all six — OPTIMIZATION_r13.md item 1). The arrow twin
+    keeps the distributed shape (row-local flat map, zero shuffles,
+    only (doc_id, text) crosses the Python boundary) and reproduces
+    the exact semantics: codepoints via ord() (== ascii() both
+    engines), the same 31-base poly fold mod 2^31-1, md5 over the
+    chunk's UTF-8 bytes.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        w = CDC_W
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            o_id: list[int] = []
+            o_idx: list[int] = []
+            o_start: list[int] = []
+            o_len: list[int] = []
+            o_md5: list[str] = []
+            for doc_id, text in zip(ids, texts):
+                if text is None:
+                    continue
+                ln = len(text)
+                if ln >= w:
+                    # codepoint array == ascii(c) per char, both engines
+                    cs = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    n_win = ln - w + 1
+                    h = np.zeros(n_win, dtype=np.int64)
+                    for j in range(w):
+                        h = (h * 31 + cs[j : j + n_win]) % ROLLING_MOD
+                    # cut AFTER char p = i+W-1 (1-based) iff hash%D==0
+                    # and p < L — identical rule to the HOF form
+                    cut_idx = np.nonzero(h % CDC_DIVISOR == 0)[0] + w
+                    cuts = cut_idx[cut_idx < ln].tolist()
+                else:
+                    cuts = []
+                bounds = [0] + cuts + [ln]
+                ci = 0
+                for k in range(len(bounds) - 1):
+                    s, e = bounds[k], bounds[k + 1]
+                    if e <= s:
+                        continue
+                    o_id.append(doc_id)
+                    o_idx.append(ci)
+                    o_start.append(s)
+                    o_len.append(e - s)
+                    o_md5.append(
+                        hashlib.md5(text[s:e].encode("utf-8")).hexdigest()
+                    )
+                    ci += 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_id, pa.int64()),
+                    pa.array(o_idx, pa.int64()),
+                    pa.array(o_start, pa.int64()),
+                    pa.array(o_len, pa.int64()),
+                    pa.array(o_md5, pa.string()),
+                ],
+                ["doc_id", "chunk_idx", "start_pos", "chunk_len",
+                 "chunk_md5"],
+            )
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+    ).mapInArrow(run, CDC_CHUNK_SCHEMA)

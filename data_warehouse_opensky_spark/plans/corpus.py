@@ -1427,7 +1427,12 @@ def corpus_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", spread=True)
-    chunks = X.cdc_chunks(d).persist()
+    # Arrow/numpy chunker (operators/text.py:cdc_chunks_arrow), not the
+    # HOF fold: measured faster at sf0.1 AND the HOF form's jumbo
+    # lambda tree was bisected (r13 item 1) as the JIT-deopt trigger
+    # behind the minhash-family in-bench step — evaluating it even once
+    # per session poisons every interpreted-HOF query that follows.
+    chunks = X.cdc_chunks_arrow(d).persist()
     copies = chunks.groupBy("chunk_md5").agg(
         F.count("*").cast("long").alias("n_copies")
     )

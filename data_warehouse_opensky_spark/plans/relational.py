@@ -509,10 +509,17 @@ def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("_approx")
     )
+    # Null-safe join key (ADVICE r12): a NULL event_type group would
+    # survive both aggregations but a null-unsafe inner join would drop
+    # it — <=> keeps the split plan shape while matching the fused
+    # form's semantics on NULL groups. (No NULL groups exist in the
+    # fixtures; this is latent-correctness, output unchanged.)
     return (
-        exact.join(approx, "event_type")
+        exact.join(
+            approx, exact["event_type"].eqNullSafe(approx["event_type"])
+        )
         .select(
-            "event_type",
+            exact["event_type"],
             "n_users_exact",
             (
                 F.abs(F.col("_approx") - F.col("n_users_exact"))

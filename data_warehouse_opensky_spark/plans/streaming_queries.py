@@ -16,6 +16,7 @@ state bounded; `maxFilesPerTrigger` bounds per-micro-batch work.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,11 +27,12 @@ from ..session import configure_runtime
 from .catalog import query
 
 
-#: events.parquet schema per path — every streaming query re-derived
-#: it with a fresh batch-reader footer read (a driver round trip per
-#: query × 12 streaming queries per catalog pass); the fixture file is
-#: immutable for a session, so one footer read per path suffices.
-_EVENT_SCHEMA_CACHE: dict[str, "object"] = {}
+#: events.parquet schema per (path, mtime_ns, size) — every streaming
+#: query re-derived it with a fresh batch-reader footer read (a driver
+#: round trip per query × 12 streaming queries per catalog pass); one
+#: footer read per distinct file state suffices, and the stat-based
+#: key revalidates a regenerated fixture at the same path for free.
+_EVENT_SCHEMA_CACHE: dict[tuple, "object"] = {}
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,10 +40,19 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch path (ns → µs floor, sources/registry.py)."""
     configure_runtime(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = _EVENT_SCHEMA_CACHE.get(path)
+    # Cache key carries (mtime_ns, size) so a regenerated fixture at
+    # the same path revalidates with one os.stat instead of serving a
+    # stale schema (ADVICE r12); a missing file falls through to the
+    # reader for its native error.
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, -1, -1)
+    schema = _EVENT_SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _EVENT_SCHEMA_CACHE[path] = schema
+        _EVENT_SCHEMA_CACHE[key] = schema
     # File stream sources take a DIRECTORY; select just the events file
     # out of the sf_dir with a glob filter.
     stream = (

@@ -34,6 +34,37 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Split-size constant for the `spread` gate below — mirrors
+#: spark.sql.files.maxPartitionBytes (session.py BUILDER_CONFS). The
+#: gate only decides whether a LOCAL small-table scan needs a
+#: round-robin respread, so a pure-filesystem estimate replaces the
+#: previous `df.rdd.getNumPartitions()` probe (VERDICT r12: that forces
+#: a physical-planning + RDD-conversion driver round trip on every
+#: spread load).
+_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _estimated_scan_splits(path: str) -> int:
+    """Scan-split estimate from file sizes alone (os.stat, no JVM):
+    Σ ceil(size / maxPartitionBytes) over the parquet file(s). At real
+    scale (many files ≫ cores) this exceeds any parallelism and the
+    spread gate is a no-op, exactly as before."""
+    try:
+        if os.path.isdir(path):
+            sizes = [
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            ]
+        else:
+            sizes = [os.stat(path).st_size]
+    except OSError:
+        return 1
+    return max(
+        1,
+        sum(-(-s // _MAX_PARTITION_BYTES) for s in sizes),
+    )
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
@@ -50,8 +81,11 @@ def load_table(
     parallelism and this is a no-op — no exchange is added at scale.
     """
     configure_runtime(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if spread and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if spread and _estimated_scan_splits(path) < (
+        spark.sparkContext.defaultParallelism
+    ):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

@@ -342,16 +342,23 @@ class VersionedParquetTable:
         # whose subtree turns out empty at runtime (a pure-insert
         # merge has zero matches), silently losing the metric —
         # measured r12, tests/test_versioned.py caught it.
-        _marks = src_keys.withColumn("_m", F.lit(1))
+        # Collision-proof marker name (ADVICE r12): delete mode skips
+        # the schema check, so a target that legitimately carries a
+        # column named "_m" would make the LEFT join's marker reference
+        # ambiguous — suffix until free (deterministic, ~never loops).
+        _mcol = "_m"
+        while _mcol in target.columns:
+            _mcol = _mcol + "_"
+        _marks = src_keys.withColumn(_mcol, F.lit(1))
         _t_aggs = [
             F.count(F.lit(1)).alias("n_target"),
-            F.count("_m").alias("n_matched"),
+            F.count(_mcol).alias("n_matched"),
         ]
         if self.partition_col:
             _t_aggs += [
-                F.collect_set(F.when(F.col("_m").isNotNull(),
+                F.collect_set(F.when(F.col(_mcol).isNotNull(),
                                      F.col(self.partition_col))).alias("pvals"),
-                F.max(F.when(F.col("_m").isNotNull()
+                F.max(F.when(F.col(_mcol).isNotNull()
                              & F.col(self.partition_col).isNull(), 1)
                       ).alias("pnull"),
             ]

@@ -731,3 +731,46 @@ def test_rank_correlations_on_planted_monotone_series(tmp_path, spark):
         6,
     )
     assert rho == want
+
+
+def test_cdc_chunks_arrow_equals_hof_twin(spark):
+    """r13 item 1/5: corpus_cdc_chunks now runs the numpy/mapInArrow
+    chunker. The HOF fold remains the executable semantic reference —
+    this gate asserts bit-identical output (bounds, indices, lengths,
+    md5s) on documents that exercise every edge: empty text, text
+    shorter than the window (W=8), exact window length, ASCII with
+    planted zero-hash boundaries, multi-line text, non-ASCII
+    codepoints (ascii()/ord() equivalence), and repeated content
+    (shared chunk md5s)."""
+    from data_warehouse_opensky_spark.operators.text import (
+        cdc_chunks,
+        cdc_chunks_arrow,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog. " * 40
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "short"),
+            (2, "exactly8"),
+            (3, base),
+            (4, base),  # duplicate content -> identical chunk md5s
+            (5, "line one\nline two\nline three\n" * 30),
+            (6, "héllo wörld ünïcode — ascii() is codepoints " * 25),
+            (7, "a" * 7 + "b"),
+        ],
+        ["doc_id", "text"],
+    )
+    hof = [
+        tuple(r)
+        for r in cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    ]
+    arw = [
+        tuple(r)
+        for r in cdc_chunks_arrow(docs)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    assert hof == arw
+    assert len(hof) > 10  # the fixture actually produced chunks
+    assert not any(r[0] == 0 for r in hof)  # empty doc emits none
